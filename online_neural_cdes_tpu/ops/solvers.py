@@ -1,0 +1,484 @@
+"""ODE solver runtime, TPU-native.
+
+Capability parity with the reference's vendored/modified torchdiffeq
+(/root/reference/modules/torchdiffeq/torchdiffeq/_impl/): fixed-grid
+Euler/midpoint/RK4(3/8) steppers and adaptive Runge-Kutta solvers
+(dopri5/bosh3/fehlberg2/adaptive_heun) with the repo's ``min_step`` /
+``max_step`` modification (rk_common.py:123-125,272-276,303 — the paper's
+bounded-step "online" dopri5).
+
+Architecture (deliberately *not* a translation):
+
+- The reference's Python-level hot loops (solvers.py:94-119 grid loop,
+  rk_common.py:193-200,216-305 accept/reject loop) become ``lax.scan`` /
+  ``lax.while_loop`` — one compiled XLA program, no host round-trips.
+- State ``y`` is any float array (e.g. ``(batch, hidden)``); the error norm
+  is an RMS over the whole array, so the step size is shared across the
+  batch exactly as in the reference (one flat state tensor).
+- Functions receive explicit parameter pytrees: ``func(t, y, args)``.
+- Fixed-grid solvers are reverse-differentiable through the scan (with
+  optional per-step rematerialisation); adaptive solvers are used through
+  the adjoint method (see ``ops/cdeint.py``) because reverse-mode through a
+  data-dependent ``while_loop`` is not defined — the reference's adjoint
+  (adjoint.py:65-133) is likewise a second solve, so NFE semantics match.
+
+Statistics: pass ``return_stats=True`` to also receive a dict with ``nfe``
+(the paper's efficiency metric), accepted/rejected step counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["odeint", "FIXED_METHODS", "ADAPTIVE_METHODS"]
+
+
+# ---------------------------------------------------------------------------
+# Butcher tableaux
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ButcherTableau:
+    alpha: tuple            # (s-1,) nodes
+    beta: tuple             # rows of the lower-triangular stage matrix
+    c_sol: tuple            # (s,) solution weights
+    c_error: tuple          # (s,) error weights (solution - embedded)
+    order: int              # order used by the step-size controller
+    mid: Optional[tuple] = None   # optional dense-output midpoint weights
+
+
+DOPRI5 = ButcherTableau(
+    alpha=(1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+    beta=(
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    ),
+    c_sol=(35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0),
+    c_error=(
+        35 / 384 - 5179 / 57600,
+        0.0,
+        500 / 1113 - 7571 / 16695,
+        125 / 192 - 393 / 640,
+        -2187 / 6784 + 92097 / 339200,
+        11 / 84 - 187 / 2100,
+        -1 / 40,
+    ),
+    order=5,
+    mid=(
+        6025192743 / 30085553152 / 2,
+        0.0,
+        51252292925 / 65400821598 / 2,
+        -2691868925 / 45128329728 / 2,
+        187940372067 / 1594534317056 / 2,
+        -1776094331 / 19743644256 / 2,
+        11237099 / 235043384 / 2,
+    ),
+)
+
+BOSH3 = ButcherTableau(
+    alpha=(1 / 2, 3 / 4, 1.0),
+    beta=((1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+    c_sol=(2 / 9, 1 / 3, 4 / 9, 0.0),
+    c_error=(2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8),
+    order=3,
+)
+
+FEHLBERG2 = ButcherTableau(
+    alpha=(1 / 2, 1.0),
+    beta=((1 / 2,), (1 / 256, 255 / 256)),
+    c_sol=(1 / 512, 255 / 256, 1 / 512),
+    c_error=(1 / 512 - 1 / 256, 0.0, 1 / 512),
+    order=2,
+)
+
+ADAPTIVE_HEUN = ButcherTableau(
+    alpha=(1.0,),
+    beta=((1.0,),),
+    c_sol=(1 / 2, 1 / 2),
+    c_error=(-1 / 2, 1 / 2),
+    order=2,
+)
+
+ADAPTIVE_METHODS = {
+    "dopri5": DOPRI5,
+    "bosh3": BOSH3,
+    "fehlberg2": FEHLBERG2,
+    "adaptive_heun": ADAPTIVE_HEUN,
+}
+
+FIXED_METHODS = ("euler", "midpoint", "rk4")
+
+
+# ---------------------------------------------------------------------------
+# Norms and step-size control (reference misc.py:18-89 semantics)
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+def _error_ratio(error, rtol, atol, y0, y1):
+    tol = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    return _rms_norm(error / tol)
+
+
+def _optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
+    """Branchless version of reference misc.py:80-89."""
+    zero_err = error_ratio == 0
+    dfactor = jnp.where(error_ratio < 1, jnp.ones_like(dfactor), dfactor)
+    safe_ratio = jnp.where(zero_err, jnp.ones_like(error_ratio), error_ratio)
+    exponent = 1.0 / order
+    factor = jnp.minimum(ifactor, jnp.maximum(safety / safe_ratio**exponent, dfactor))
+    factor = jnp.where(zero_err, ifactor, factor)
+    return last_step * factor
+
+
+def _select_initial_step(func, t0, y0, order, rtol, atol, f0, args):
+    """Hairer, Norsett & Wanner heuristic (reference misc.py:32-71)."""
+    dtype = y0.dtype
+    t0 = t0.astype(dtype)
+    scale = atol + jnp.abs(y0) * rtol
+    d0 = _rms_norm(y0 / scale)
+    d1 = _rms_norm(f0 / scale)
+    small = (d0 < 1e-5) | (d1 < 1e-5)
+    h0 = jnp.where(small, jnp.asarray(1e-6, dtype), 0.01 * d0 / jnp.where(d1 == 0, 1.0, d1))
+
+    y1 = y0 + h0 * f0
+    f1 = func(t0 + h0, y1, args)
+    d2 = _rms_norm((f1 - f0) / scale) / h0
+
+    tiny = (d1 <= 1e-15) & (d2 <= 1e-15)
+    h1 = jnp.where(
+        tiny,
+        jnp.maximum(jnp.asarray(1e-6, dtype), h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / float(order + 1)),
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+
+# ---------------------------------------------------------------------------
+# Runge-Kutta single step + 4th-order dense output (interp.py:1-48)
+# ---------------------------------------------------------------------------
+
+def _runge_kutta_step(func, y0, f0, t0, dt, tableau: ButcherTableau, args):
+    """One explicit RK step.  Returns (y1, f1, error, k_stages)."""
+    dtype = y0.dtype
+    n_stages = len(tableau.c_sol)
+    k = [f0]
+    for i, (alpha_i, beta_row) in enumerate(zip(tableau.alpha, tableau.beta)):
+        ti = t0 + dt * alpha_i
+        yi = y0 + dt * sum(b * kj for b, kj in zip(beta_row, k) if b != 0)
+        k.append(func(ti, yi, args))
+    assert len(k) == n_stages
+    y1 = y0 + dt * sum(c * kj for c, kj in zip(tableau.c_sol, k) if c != 0)
+    f1 = k[-1]
+    error = dt * sum(c * kj for c, kj in zip(tableau.c_error, k) if c != 0)
+    return y1.astype(dtype), f1, error, k
+
+
+def _interp_fit(y0, y1, y_mid, f0, f1, dt):
+    """Quartic fit matching y0, y1, y_mid, f0, f1 on one step."""
+    dt = dt.astype(y0.dtype)
+    a = 2 * dt * (f1 - f0) - 8 * (y1 + y0) + 16 * y_mid
+    b = dt * (5 * f0 - 3 * f1) + 18 * y0 + 14 * y1 - 32 * y_mid
+    c = dt * (f1 - 4 * f0) - 11 * y0 - 5 * y1 + 16 * y_mid
+    d = dt * f0
+    e = y0
+    return jnp.stack([a, b, c, d, e])
+
+
+def _interp_evaluate(coeffs, t0, t1, t):
+    """Evaluate the quartic dense output at t in [t0, t1]."""
+    x = ((t - t0) / (t1 - t0)).astype(coeffs.dtype)
+    out = coeffs[0]
+    for i in range(1, coeffs.shape[0]):
+        out = out * x + coeffs[i]
+    return out
+
+
+def _fit_from_stages(y0, y1, k, dt, tableau: ButcherTableau):
+    if tableau.mid is not None:
+        y_mid = y0 + dt.astype(y0.dtype) * sum(m * kj for m, kj in zip(tableau.mid, k) if m != 0)
+    else:
+        # Cubic-Hermite midpoint: exact for methods of order <= 3.
+        y_mid = 0.5 * (y0 + y1) + 0.125 * dt.astype(y0.dtype) * (k[0] - k[-1])
+    return _interp_fit(y0, y1, y_mid, k[0], k[-1], dt)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid solvers (reference solvers.py:77-119, fixed_grid.py, the RK4
+# 3/8-rule of rk_common.py:106-114)
+# ---------------------------------------------------------------------------
+
+def _euler_step(func, t0, dt, y0, args):
+    return y0 + dt * func(t0, y0, args), 1
+
+
+def _midpoint_step(func, t0, dt, y0, args):
+    half = 0.5 * dt
+    y_mid = y0 + half * func(t0, y0, args)
+    return y0 + dt * func(t0 + half, y_mid, args), 2
+
+
+def _rk4_38_step(func, t0, dt, y0, args):
+    """RK4 3/8-rule — the variant the reference uses for method='rk4'
+    (rk_common.py:106-114 ``rk4_alt_step_func``)."""
+    third = dt / 3.0
+    k1 = func(t0, y0, args)
+    k2 = func(t0 + third, y0 + third * k1, args)
+    k3 = func(t0 + 2.0 * third, y0 + dt * (k2 - k1 / 3.0), args)
+    k4 = func(t0 + dt, y0 + dt * (k1 - k2 + k3), args)
+    return y0 + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125, 4
+
+
+_FIXED_STEPS = {
+    "euler": _euler_step,
+    "midpoint": _midpoint_step,
+    "rk4": _rk4_38_step,
+}
+
+
+def _fixed_grid_integrate(func, y0, t, args, method, substeps=1, remat=False):
+    """``lax.scan`` over the len(t)-1 knot intervals, ``substeps`` equal RK
+    sub-steps per interval.  Returns ys with ys[i] = y(t[i]).
+
+    The reference builds a uniform grid from ``step_size`` and then
+    interpolates back onto ``t`` (solvers.py:77-119); in this framework the
+    requested times are the interpolation knots themselves, so sub-stepping
+    *within* each interval subsumes that (``step_size=1`` on the unit knot
+    grid — the NCDE configuration, ncde.py:132-134 — is ``substeps=1``).
+    """
+    step_fn = _FIXED_STEPS[method]
+
+    def interval(y, t0t1):
+        t0, t1 = t0t1
+        dt = (t1 - t0) / substeps
+
+        def sub(y, i):
+            y_new, _ = step_fn(func, t0 + i * dt, dt, y, args)
+            return y_new, None
+
+        if substeps == 1:
+            y_new, _ = step_fn(func, t0, dt, y, args)
+        else:
+            y_new, _ = jax.lax.scan(sub, y, jnp.arange(substeps))
+        return y_new, y_new
+
+    if remat:
+        interval = jax.checkpoint(interval)
+
+    _, ys = jax.lax.scan(interval, y0, (t[:-1], t[1:]))
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    nfe_per_step = {"euler": 1, "midpoint": 2, "rk4": 4}[method]
+    nfe = (t.shape[0] - 1) * substeps * nfe_per_step
+    stats = {
+        "nfe": jnp.asarray(nfe, jnp.int32),
+        "accepted": jnp.asarray((t.shape[0] - 1) * substeps, jnp.int32),
+        "rejected": jnp.asarray(0, jnp.int32),
+    }
+    return ys, stats
+
+
+# ---------------------------------------------------------------------------
+# Adaptive solver (reference rk_common.py:216-305 semantics incl. the
+# min_step/max_step modification, as lax.while_loop)
+# ---------------------------------------------------------------------------
+
+class _RKState(NamedTuple):
+    y1: jax.Array
+    f1: jax.Array
+    t0: jax.Array
+    t1: jax.Array
+    dt: jax.Array
+    interp: jax.Array       # (5, *y.shape) dense-output coefficients
+    nfe: jax.Array
+    accepted: jax.Array
+    rejected: jax.Array
+
+
+def _adaptive_integrate(
+    func, y0, t, args, tableau: ButcherTableau,
+    rtol, atol, min_step, max_step, first_step,
+    safety, ifactor, dfactor, max_num_steps, step_t=None, jump_t=None,
+):
+    dtype = y0.dtype
+    t = t.astype(dtype)
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+    min_step_a = jnp.asarray(min_step, dtype)
+    max_step_a = jnp.asarray(max_step, dtype)
+    safety = jnp.asarray(safety, dtype)
+    ifactor = jnp.asarray(ifactor, dtype)
+    dfactor = jnp.asarray(dfactor, dtype)
+    n_stages = len(tableau.c_sol)
+
+    # Prescribed step/jump discontinuity points, merged and sorted (static
+    # shape).  At such points the step is clamped to land exactly on them
+    # (reference rk_common.py:236-257).
+    if step_t is None:
+        step_t = jnp.zeros((0,), dtype)
+    else:
+        step_t = jnp.sort(jnp.asarray(step_t, dtype))
+    if jump_t is None:
+        jump_t = jnp.zeros((0,), dtype)
+    else:
+        jump_t = jnp.sort(jnp.asarray(jump_t, dtype))
+    special_t = jnp.sort(jnp.concatenate([step_t, jump_t]))
+    has_special = special_t.shape[0] > 0
+
+    f0 = func(t[0], y0, args)
+    nfe0 = jnp.asarray(1, jnp.int32)
+    if first_step is None:
+        dt0 = _select_initial_step(func, t[0], y0, tableau.order - 1, rtol, atol, f0, args)
+        nfe0 = nfe0 + 1
+    else:
+        dt0 = jnp.asarray(first_step, dtype)
+    dt0 = jnp.clip(dt0, min_step_a if min_step > 0 else None, max_step_a)
+
+    interp0 = jnp.stack([jnp.zeros_like(y0)] * 4 + [y0])
+    state0 = _RKState(
+        y1=y0, f1=f0, t0=t[0], t1=t[0], dt=dt0, interp=interp0,
+        nfe=nfe0, accepted=jnp.asarray(0, jnp.int32), rejected=jnp.asarray(0, jnp.int32),
+    )
+
+    def adaptive_step(s: _RKState) -> _RKState:
+        t0, dt = s.t1, s.dt
+        t1 = t0 + dt
+        # Clamp onto the next prescribed discontinuity if we'd step past it.
+        if has_special:
+            nxt_i = jnp.searchsorted(special_t, t0, side="right")
+            nxt = special_t[jnp.minimum(nxt_i, special_t.shape[0] - 1)]
+            hit = (nxt_i < special_t.shape[0]) & (t0 < nxt) & (nxt < t1)
+            t1 = jnp.where(hit, nxt, t1)
+            dt = t1 - t0
+
+        y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t0, dt, tableau, args)
+        ratio = _error_ratio(err, rtol, atol, s.y1, y1)
+        accept = ratio <= 1.0
+        # Reference min/max-step semantics (rk_common.py:272-276):
+        accept = jnp.where(dt > max_step_a, False, accept)
+        accept = jnp.where(dt <= min_step_a, True, accept)
+
+        interp = _fit_from_stages(s.y1, y1, k, dt, tableau)
+        dt_next = _optimal_step_size(dt, ratio, safety, ifactor, dfactor, tableau.order)
+        dt_next = jnp.clip(dt_next, min_step_a, max_step_a)
+
+        return _RKState(
+            y1=jnp.where(accept, y1, s.y1),
+            f1=jnp.where(accept, f1, s.f1),
+            t0=jnp.where(accept, t0, s.t0),
+            t1=jnp.where(accept, t1, s.t1),
+            dt=dt_next,
+            interp=jnp.where(accept, interp, s.interp),
+            nfe=s.nfe + n_stages - 1,
+            accepted=s.accepted + accept.astype(jnp.int32),
+            rejected=s.rejected + (~accept).astype(jnp.int32),
+        )
+
+    def advance_to(state: _RKState, t_out):
+        def cond(s):
+            return (t_out > s.t1) & (s.accepted + s.rejected < max_num_steps)
+
+        s = jax.lax.while_loop(cond, adaptive_step, state)
+        y_out = _interp_evaluate(s.interp, s.t0, s.t1, t_out)
+        # First output time may coincide with t[0], before any step exists.
+        y_out = jnp.where(t_out <= t[0], y0, y_out)
+        return s, y_out
+
+    state_final, ys_rest = jax.lax.scan(advance_to, state0, t[1:])
+    ys = jnp.concatenate([y0[None], ys_rest], axis=0)
+    stats = {
+        "nfe": state_final.nfe,
+        "accepted": state_final.accepted,
+        "rejected": state_final.rejected,
+    }
+    return ys, stats
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+def odeint(
+    func: Callable[[Any, jax.Array, Any], jax.Array],
+    y0: jax.Array,
+    t: jax.Array,
+    args: Any = None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    options: Optional[dict] = None,
+    return_stats: bool = False,
+):
+    """Integrate dy/dt = func(t, y, args) from t[0] through t, returning y at
+    every requested time (ys[0] == y0).  API parity with reference
+    odeint.py:31-90; ``options`` understands ``step_size``/``substeps``/
+    ``remat`` (fixed grid) and ``min_step``/``max_step``/``first_step``/
+    ``safety``/``ifactor``/``dfactor``/``max_num_steps``/``step_t``/
+    ``jump_t`` (adaptive).
+    """
+    options = dict(options or {})
+    t = jnp.asarray(t)
+
+    # Pytree states (e.g. the adjoint's (y, a_y, a_theta) triple — the
+    # analogue of the reference's tuple-state flattening, misc.py:194-305)
+    # are ravelled to one flat vector so the solver core sees a single array.
+    unravel = None
+    if not isinstance(y0, (jax.Array, np.ndarray)):
+        y0_flat, unravel = jax.flatten_util.ravel_pytree(y0)
+        inner_func = func
+
+        def func(tt, yy, aa, _unravel=unravel, _inner=inner_func):
+            dy = _inner(tt, _unravel(yy), aa)
+            return jax.flatten_util.ravel_pytree(dy)[0]
+
+        y0 = y0_flat
+    y0 = jnp.asarray(y0)
+
+    if method in FIXED_METHODS:
+        substeps = int(options.pop("substeps", 0))
+        step_size = options.pop("step_size", None)
+        remat = bool(options.pop("remat", False))
+        options.pop("grid_constructor", None)
+        if not substeps:
+            if step_size is not None and not isinstance(t, jax.core.Tracer):
+                spacing = float(np.max(np.diff(np.asarray(t))))
+                substeps = max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
+            else:
+                substeps = 1
+        ys, stats = _fixed_grid_integrate(func, y0, t, args, method, substeps, remat)
+    elif method in ADAPTIVE_METHODS:
+        ys, stats = _adaptive_integrate(
+            func, y0, t, args, ADAPTIVE_METHODS[method],
+            rtol=rtol, atol=atol,
+            min_step=float(options.pop("min_step", 0.0)),
+            max_step=float(options.pop("max_step", float("inf"))),
+            first_step=options.pop("first_step", None),
+            safety=float(options.pop("safety", 0.9)),
+            ifactor=float(options.pop("ifactor", 10.0)),
+            dfactor=float(options.pop("dfactor", 0.2)),
+            max_num_steps=int(options.pop("max_num_steps", 2**31 - 1)),
+            step_t=options.pop("step_t", None),
+            jump_t=options.pop("jump_t", None),
+        )
+    else:
+        raise ValueError(f"Unknown method {method!r}")
+
+    if unravel is not None:
+        ys = jax.vmap(unravel)(ys)
+
+    if return_stats:
+        return ys, stats
+    return ys
