@@ -8,18 +8,33 @@ repo's ``vector_field_type`` modification:
 - ``evaluate``    — dz = f(t, [z, X(t)])   (RNN-style, f returns (..., H))
 - ``derivative``  — dz = f(t, [z, dX/dt])
 
+Architecture (TPU-first, not a translation):
+
+- **Fixed-grid path** (rk4/midpoint/euler, the NCDE configuration
+  ncde.py:132-134): one ``lax.scan`` over the knot intervals that consumes
+  the spline's *time-major per-piece coefficients* directly — no
+  searchsorted/gather in the hot loop, and the field inside interval i is
+  pinned to piece i.  This piece-pinning subsumes the reference's
+  nextafter/Perturb discontinuity machinery (torchdiffeq misc.py:162-191):
+  each interval's dynamics are smooth, so direct autodiff and the adjoint
+  agree to the solver's order.
+- **Adaptive path** (dopri5 & friends) delegates to ``ops.solvers`` with a
+  searchsorted-based field lookup, matching the reference's behaviour of
+  letting the error controller handle the kinks (it does not pass jump_t
+  either, solver.py:224-225).
+
 Differentiation:
 
-- ``adjoint=False`` — plain reverse-mode through the solver scan, with
-  optional per-interval rematerialisation (fixed-grid methods only).
-- ``adjoint=True``  — O(1)-in-length memory: a ``custom_vjp`` whose backward
-  pass re-integrates the augmented state (y, a_y, a_theta) interval-by-
-  interval in a *reverse ``lax.scan``* reusing the same solver kernels —
-  the semantics of the reference's Python loop (torchdiffeq adjoint.py:
-  65-133) as one compiled program.  Gradients flow to z0, the vector-field
-  parameters, *and* the interpolation coefficients (the reference warns
-  about coeff gradients under adjoint, solver.py:201-221; here they are
-  carried in the augmented state by construction).
+- ``adjoint=False`` — reverse-mode straight through the scan, with optional
+  per-interval rematerialisation (``options={"remat": True}``).
+- ``adjoint=True``  — O(1)-in-length memory ``custom_vjp``: the backward
+  pass re-integrates the augmented state (z, a_z, a_piece, a_args)
+  interval-by-interval in a *reverse scan* reusing the same RK steppers —
+  the semantics of the reference's Python adjoint loop (torchdiffeq
+  adjoint.py:65-133) as one compiled program.  Gradients flow to z0, the
+  field parameters, and the interpolation coefficients (cf. the coeff-
+  gradient warning of solver.py:201-221 — here they are in the augmented
+  state by construction).
 """
 
 from __future__ import annotations
@@ -36,7 +51,164 @@ __all__ = ["cdeint", "odeint_adjoint"]
 
 
 # ---------------------------------------------------------------------------
-# Adjoint odeint
+# Generic (time-lookup) field wrapper — used by the adaptive path
+# ---------------------------------------------------------------------------
+
+def _make_cde_field(func, vector_field_type: str):
+    """Wrap the learned field and the control into dz/dt (reference
+    solver.py:102-137 ``_VectorField``).  The control spline rides in the
+    params pytree so adjoint gradients reach its coefficients."""
+
+    if vector_field_type == "matmul":
+
+        def vf(t, z, theta):
+            X_, args = theta
+            mat = func(t, z, args)                      # (..., H, I)
+            dx = X_.derivative(t)                       # (..., I)
+            return jnp.einsum("...hi,...i->...h", mat, dx)
+
+    elif vector_field_type == "evaluate":
+
+        def vf(t, z, theta):
+            X_, args = theta
+            inp = jnp.concatenate([z, X_.evaluate(t)], axis=-1)
+            return func(t, inp, args)
+
+    elif vector_field_type == "derivative":
+
+        def vf(t, z, theta):
+            X_, args = theta
+            inp = jnp.concatenate([z, X_.derivative(t)], axis=-1)
+            return func(t, inp, args)
+
+    else:
+        raise ValueError(f"Unknown vector_field_type {vector_field_type!r}")
+
+    return vf
+
+
+def _piece_field(spline_cls, func, vector_field_type: str):
+    """Piece-pinned field: pf(piece, t, frac, z, args) with frac = t - t0."""
+
+    if vector_field_type == "matmul":
+
+        def pf(piece, t, frac, z, args):
+            mat = func(t, z, args)
+            dx = spline_cls.piece_derivative(piece, frac)
+            return jnp.einsum("...hi,...i->...h", mat, dx)
+
+    elif vector_field_type == "evaluate":
+
+        def pf(piece, t, frac, z, args):
+            inp = jnp.concatenate([z, spline_cls.piece_evaluate(piece, frac)], axis=-1)
+            return func(t, inp, args)
+
+    elif vector_field_type == "derivative":
+
+        def pf(piece, t, frac, z, args):
+            inp = jnp.concatenate([z, spline_cls.piece_derivative(piece, frac)], axis=-1)
+            return func(t, inp, args)
+
+    else:
+        raise ValueError(f"Unknown vector_field_type {vector_field_type!r}")
+
+    return pf
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid piece-scan solve
+# ---------------------------------------------------------------------------
+
+def _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat):
+    step = solvers.tree_fixed_step(method)
+
+    def interval(z, inp):
+        piece, t0, t1 = inp
+        dt = (t1 - t0) / substeps
+
+        def f(tt, zz):
+            return pf(piece, tt, tt - t0, zz, args)
+
+        def sub(z, k):
+            return step(f, t0 + k * dt, dt, z), None
+
+        z, _ = jax.lax.scan(sub, z, jnp.arange(substeps))
+        return z, z
+
+    if remat:
+        interval = jax.checkpoint(interval)
+
+    xs = (pieces, grid_t[:-1], grid_t[1:])
+    _, zs = jax.lax.scan(interval, z0, xs)
+    return jnp.concatenate([z0[None], zs], axis=0)  # (L, ..., H)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fixed_cde_adjoint(bundle, cfg, z0, grid_t, pieces, args):
+    spline_cls, func = bundle
+    vf_type, method, substeps = cfg
+    pf = _piece_field(spline_cls, func, vf_type)
+    return _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, False)
+
+
+def _fixed_cde_adjoint_fwd(bundle, cfg, z0, grid_t, pieces, args):
+    zs = _fixed_cde_adjoint(bundle, cfg, z0, grid_t, pieces, args)
+    return zs, (zs, grid_t, pieces, args)
+
+
+def _fixed_cde_adjoint_bwd(bundle, cfg, residuals, grad_zs):
+    spline_cls, func = bundle
+    vf_type, method, substeps = cfg
+    pf = _piece_field(spline_cls, func, vf_type)
+    zs, grid_t, pieces, args = residuals
+    step = solvers.tree_fixed_step(method)
+
+    zero_args = jax.tree.map(jnp.zeros_like, args)
+
+    def interval_bwd(carry, inp):
+        a, args_bar = carry
+        piece, t0, t1, z_r, g_r = inp
+        a = a + g_r
+        aug0 = (z_r, a, jax.tree.map(jnp.zeros_like, piece), args_bar)
+        dt = (t1 - t0) / substeps
+
+        def aug_f(s, aug):
+            z, a_, _, _ = aug
+            tau = -s
+            f, vjp = jax.vjp(
+                lambda z_, p_, ar_: pf(p_, tau, tau - t0, z_, ar_), z, piece, args
+            )
+            vz, vp, va = vjp(a_)
+            return (-f, vz, vp, va)
+
+        def sub(aug, k):
+            return step(aug_f, -t1 + k * dt, dt, aug), None
+
+        aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
+        _, a_new, piece_bar, args_bar_new = aug
+        return (a_new, args_bar_new), piece_bar
+
+    xs = (
+        pieces,
+        grid_t[:-1],
+        grid_t[1:],
+        jax.tree.map(lambda x: x[1:], zs),
+        jax.tree.map(lambda x: x[1:], grad_zs),
+    )
+    a0 = jnp.zeros_like(zs[0])
+    (a_final, args_bar), piece_bars = jax.lax.scan(
+        interval_bwd, (a0, zero_args), xs, reverse=True
+    )
+    a_final = a_final + grad_zs[0]
+    return a_final, jnp.zeros_like(grid_t), piece_bars, args_bar
+
+
+_fixed_cde_adjoint.defvjp(_fixed_cde_adjoint_fwd, _fixed_cde_adjoint_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Adjoint odeint (generic; used by the adaptive path and exposed publicly —
+# the analogue of reference torchdiffeq adjoint.py:148-215)
 # ---------------------------------------------------------------------------
 
 def _freeze(obj):
@@ -69,7 +241,6 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
     adj_options = adj or dict(opt_items)
 
     ys, t, args = residuals
-    n_out = ys.shape[0] if hasattr(ys, "shape") else jax.tree_util.tree_leaves(ys)[0].shape[0]
 
     def aug_dynamics(s, aug, _):
         """Augmented dynamics in the substituted time s = -tau, so the
@@ -94,12 +265,12 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
             rtol=adj_rtol, atol=adj_atol, method=adj_method, options=dict(adj_options),
         )
         aug1 = jax.tree.map(lambda x: x[-1], aug_path)
+        # y is reset to the stored forward estimate at the next (earlier)
+        # interval via the scanned ys input (reference adjoint.py:132).
         _, a_new, args_bar_new = aug1
-        # Reset y to the stored forward estimate at t_{i-1} in the next
-        # iteration (reference adjoint.py:132) — done by feeding ys[i-1].
         return (a_new, args_bar_new), None
 
-    ys_tail = jax.tree.map(lambda x: x[1:], ys)       # y at t[1:]
+    ys_tail = jax.tree.map(lambda x: x[1:], ys)
     grads_tail = jax.tree.map(lambda x: x[1:], grad_ys)
     a0 = jax.tree.map(lambda x: jnp.zeros_like(x[0]), ys)
     (a_final, args_bar), _ = jax.lax.scan(
@@ -109,7 +280,6 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
         reverse=True,
     )
     a_final = jax.tree.map(lambda a, g: a + g[0], a_final, grad_ys)
-    # No gradient through the requested output times.
     t_bar = jnp.zeros_like(t)
     return a_final, t_bar, args_bar
 
@@ -130,11 +300,9 @@ def odeint_adjoint(
     adjoint_options: Optional[dict] = None,
 ):
     """O(1)-memory odeint; gradients computed by integrating the adjoint
-    system backwards (reference torchdiffeq adjoint.py:148-215).
-
-    ``adjoint_options`` may override ``method``/``rtol``/``atol``/solver
-    options for the backward solve; by default it mirrors the forward one.
-    """
+    system backwards.  ``adjoint_options`` may override ``method``/``rtol``/
+    ``atol``/solver options for the backward solve (defaults mirror the
+    forward one)."""
     cfg = (
         float(rtol),
         float(atol),
@@ -150,37 +318,17 @@ def odeint_adjoint(
 # cdeint
 # ---------------------------------------------------------------------------
 
-def _make_cde_field(X, func, vector_field_type: str):
-    """Wrap the learned field and the control into dz/dt (reference
-    solver.py:102-137 ``_VectorField``).  The control spline ``X`` rides in
-    the params pytree so adjoint gradients reach its coefficients."""
+def _resolve_substeps(options: dict, grid_t) -> int:
+    substeps = int(options.get("substeps", 0))
+    if substeps:
+        return substeps
+    step_size = options.get("step_size")
+    if step_size is not None and not isinstance(grid_t, jax.core.Tracer):
+        import numpy as np
 
-    if vector_field_type == "matmul":
-
-        def vf(t, z, theta):
-            X_, args = theta
-            mat = func(t, z, args)                      # (..., H, I)
-            dx = X_.derivative(t)                       # (..., I)
-            return jnp.einsum("...hi,...i->...h", mat, dx)
-
-    elif vector_field_type == "evaluate":
-
-        def vf(t, z, theta):
-            X_, args = theta
-            inp = jnp.concatenate([z, X_.evaluate(t)], axis=-1)
-            return func(t, inp, args)
-
-    elif vector_field_type == "derivative":
-
-        def vf(t, z, theta):
-            X_, args = theta
-            inp = jnp.concatenate([z, X_.derivative(t)], axis=-1)
-            return func(t, inp, args)
-
-    else:
-        raise ValueError(f"Unknown vector_field_type {vector_field_type!r}")
-
-    return vf
+        spacing = float(np.max(np.diff(np.asarray(grid_t))))
+        return max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
+    return 1
 
 
 def cdeint(
@@ -199,45 +347,67 @@ def cdeint(
     adjoint_options: Optional[dict] = None,
     return_stats: bool = False,
 ):
-    """Solve dz = f(t, z) dX(t) and return z at the requested times with the
+    """Solve dz = f(t, z) dX(t), returning z at the requested times with the
     time axis at position -2: ``(..., len(t), hidden)``.
 
     API parity with reference solver.py:140-238 (default tolerances
-    atol=1e-6 / rtol=1e-4 per solver.py:193-196); functional differences:
-    the learned field is an explicit function ``func(t, z, args)`` over a
-    parameter pytree, and ``t`` must be increasing.
+    atol=1e-6 / rtol=1e-4 per solver.py:193-196).  ``t`` must be increasing
+    and is either the spline's full knot grid (return-sequences) or its
+    2-point interval (final state only) for the fixed-grid fast path; any
+    other ``t`` falls back to the generic solver.
     """
-    vf = _make_cde_field(X, func, vector_field_type)
-    theta = (X, args)
+    options = dict(options or {})
     t = jnp.asarray(t)
-
+    grid_t = X.grid_points
+    n_knots = grid_t.shape[0]
     stats = None
-    if adjoint:
+
+    use_piece_scan = (
+        method in solvers.FIXED_METHODS
+        and hasattr(X, "piece_data")
+        and t.shape[0] in (2, n_knots)
+    )
+
+    if use_piece_scan:
+        substeps = _resolve_substeps(options, grid_t)
+        remat = bool(options.get("remat", False))
+        pieces = X.piece_data()
+        cfg = (vector_field_type, method, substeps)
+        if adjoint:
+            zs = _fixed_cde_adjoint((type(X), func), cfg, z0, grid_t, pieces, args)
+        else:
+            pf = _piece_field(type(X), func, vector_field_type)
+            zs = _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat)
+        if t.shape[0] == 2 and n_knots != 2:
+            zs = jnp.stack([zs[0], zs[-1]])
         if return_stats:
-            if method in solvers.FIXED_METHODS:
-                # Fixed-grid NFE is static — a zero-field dummy solve makes
-                # odeint report it without touching the real vector field.
-                stats = solvers.odeint(
-                    lambda *_: jnp.zeros_like(z0), z0, t, None,
-                    method=method, options=dict(options or {}), return_stats=True,
-                )[1]
-            else:
+            n_steps = (n_knots - 1) * substeps
+            stats = {
+                "nfe": jnp.asarray(n_steps * solvers.FIXED_NFE_PER_STEP[method], jnp.int32),
+                "accepted": jnp.asarray(n_steps, jnp.int32),
+                "rejected": jnp.asarray(0, jnp.int32),
+            }
+    else:
+        vf = _make_cde_field(func, vector_field_type)
+        theta = (X, args)
+        if adjoint:
+            if return_stats:
                 # Adaptive NFE is data-dependent: costs one extra (no-grad)
                 # forward solve outside the custom_vjp.
                 _, stats = solvers.odeint(
                     vf, jax.lax.stop_gradient(z0), t,
                     jax.lax.stop_gradient(theta), rtol=rtol, atol=atol,
-                    method=method, options=dict(options or {}), return_stats=True,
+                    method=method, options=dict(options), return_stats=True,
                 )
-        zs = odeint_adjoint(
-            vf, z0, t, theta, rtol=rtol, atol=atol, method=method,
-            options=options, adjoint_options=adjoint_options,
-        )
-    else:
-        zs, stats = solvers.odeint(
-            vf, z0, t, theta, rtol=rtol, atol=atol, method=method,
-            options=dict(options or {}), return_stats=True,
-        )
+            zs = odeint_adjoint(
+                vf, z0, t, theta, rtol=rtol, atol=atol, method=method,
+                options=options, adjoint_options=adjoint_options,
+            )
+        else:
+            zs, stats = solvers.odeint(
+                vf, z0, t, theta, rtol=rtol, atol=atol, method=method,
+                options=dict(options), return_stats=True,
+            )
 
     # Solver output is time-major (T, ..., H); models want (..., T, H).
     zs = jnp.moveaxis(zs, 0, -2)

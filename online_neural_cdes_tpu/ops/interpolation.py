@@ -299,6 +299,16 @@ class _InterpolationBase:
 
     ``t`` may be a scalar (returns (..., C)) or a 1-D array of times
     (returns (..., T, C)).
+
+    Splines additionally expose a *piece-wise* API used by the fixed-grid
+    CDE solver: ``piece_data()`` returns a time-major pytree with leading
+    axis L-1 (one slice per interval) that a ``lax.scan`` consumes directly,
+    and ``piece_derivative(piece, frac)`` / ``piece_evaluate(piece, frac)``
+    evaluate one piece at ``frac = t - t_piece_start``.  This replaces both
+    the searchsorted gather in the hot loop and the reference's
+    nextafter/Perturb machinery for derivative discontinuities at the knots
+    (torchdiffeq misc.py:162-191): inside interval i the field is
+    *pinned* to piece i, so the dynamics each scan step sees are smooth.
     """
 
     @property
@@ -345,6 +355,20 @@ class LinearInterpolation(_InterpolationBase):
         nxt = jnp.take(self.coeffs, index + 1, axis=-2)
         dt = jnp.take(self.t, index + 1) - jnp.take(self.t, index)
         return (nxt - prev) / dt[..., None]
+
+    def piece_data(self):
+        x = jnp.moveaxis(self.coeffs, -2, 0)          # (L, ..., C)
+        dt = self.t[1:] - self.t[:-1]
+        dt = dt.reshape((-1,) + (1,) * (x.ndim - 1))
+        return {"x0": x[:-1], "dxdt": (x[1:] - x[:-1]) / dt}
+
+    @staticmethod
+    def piece_derivative(piece, frac):
+        return piece["dxdt"]
+
+    @staticmethod
+    def piece_evaluate(piece, frac):
+        return piece["x0"] + frac * piece["dxdt"]
 
 
 @struct.dataclass
@@ -400,6 +424,24 @@ class CubicSpline(_InterpolationBase):
         two_c = jnp.take(self.two_c, index, axis=-2)
         three_d = jnp.take(self.three_d, index, axis=-2)
         return b + (two_c + three_d * frac) * frac
+
+    def piece_data(self):
+        tm = lambda arr: jnp.moveaxis(arr, -2, 0)
+        return {
+            "a": tm(self.a),
+            "b": tm(self.b),
+            "two_c": tm(self.two_c),
+            "three_d": tm(self.three_d),
+        }
+
+    @staticmethod
+    def piece_derivative(piece, frac):
+        return piece["b"] + (piece["two_c"] + piece["three_d"] * frac) * frac
+
+    @staticmethod
+    def piece_evaluate(piece, frac):
+        inner = 0.5 * piece["two_c"] + piece["three_d"] * frac / 3.0
+        return piece["a"] + (piece["b"] + inner * frac) * frac
 
 
 # Reference exposes both names (torchcde.NaturalCubicSpline / CubicSpline).
@@ -510,6 +552,35 @@ class SmoothLinearInterpolation(_InterpolationBase):
         dmc = mc[..., :-1] * powers
         match_d = _polyval_descending(dmc, frac[..., None])
         return jnp.where(in_match[..., None], match_d, self._linear_deriv(index))
+
+    def piece_data(self):
+        x = jnp.moveaxis(self.coeffs, -2, 0)          # (L, ..., C)
+        mc = jnp.moveaxis(self.matching_coeffs, -3, 0)  # (L-2, ..., C, P)
+        mc = jnp.concatenate([jnp.zeros_like(mc[:1]), mc], axis=0)  # piece 0: none
+        n_pieces = x.shape[0] - 1
+        has_match = jnp.arange(n_pieces) > 0
+        return {
+            "x0": x[:-1],
+            "dxdt": x[1:] - x[:-1],  # unit knot spacing enforced in create()
+            "mc": mc,
+            "has_match": has_match,
+            "eps": jnp.full((n_pieces,), self.eps, self.coeffs.dtype),
+        }
+
+    @staticmethod
+    def piece_derivative(piece, frac):
+        mc = piece["mc"]
+        n = mc.shape[-1]
+        powers = jnp.arange(n - 1, 0, -1, dtype=mc.dtype)
+        match_d = _polyval_descending(mc[..., :-1] * powers, frac)
+        in_match = piece["has_match"] & (frac < piece["eps"])
+        return jnp.where(in_match, match_d, piece["dxdt"])
+
+    @staticmethod
+    def piece_evaluate(piece, frac):
+        match_v = _polyval_descending(piece["mc"], frac)
+        in_match = piece["has_match"] & (frac < piece["eps"])
+        return jnp.where(in_match, match_v, piece["x0"] + frac * piece["dxdt"])
 
 
 # ---------------------------------------------------------------------------

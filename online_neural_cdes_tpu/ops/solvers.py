@@ -248,6 +248,55 @@ _FIXED_STEPS = {
     "rk4": _rk4_38_step,
 }
 
+FIXED_NFE_PER_STEP = {"euler": 1, "midpoint": 2, "rk4": 4}
+
+
+# Pytree-state variants of the fixed steppers, used by the CDE fixed-grid
+# path whose augmented adjoint state is a (z, a, piece_bar, args_bar) tuple.
+def _axpy(y, dt, *ks_and_coeffs):
+    """y + dt * sum(c_i * k_i) over pytrees."""
+    ks = ks_and_coeffs[0::2]
+    cs = ks_and_coeffs[1::2]
+
+    def leaf(yl, *kls):
+        acc = yl
+        for kl, c in zip(kls, cs):
+            acc = acc + dt * c * kl
+        return acc
+
+    return jax.tree.map(leaf, y, *ks)
+
+
+def tree_fixed_step(method: str):
+    """Returns step(f, t0, dt, y) -> y1 with f(t, y) and pytree y."""
+
+    if method == "euler":
+
+        def step(f, t0, dt, y):
+            return _axpy(y, dt, f(t0, y), 1.0)
+
+    elif method == "midpoint":
+
+        def step(f, t0, dt, y):
+            k1 = f(t0, y)
+            k2 = f(t0 + 0.5 * dt, _axpy(y, dt, k1, 0.5))
+            return _axpy(y, dt, k2, 1.0)
+
+    elif method == "rk4":
+
+        def step(f, t0, dt, y):
+            third = 1.0 / 3.0
+            k1 = f(t0, y)
+            k2 = f(t0 + dt * third, _axpy(y, dt, k1, third))
+            k3 = f(t0 + 2.0 * dt * third, _axpy(y, dt, k1, -third, k2, 1.0))
+            k4 = f(t0 + dt, _axpy(y, dt, k1, 1.0, k2, -1.0, k3, 1.0))
+            return _axpy(y, dt, k1, 0.125, k2, 0.375, k3, 0.375, k4, 0.125)
+
+    else:
+        raise ValueError(f"No fixed-grid stepper {method!r}")
+
+    return step
+
 
 def _fixed_grid_integrate(func, y0, t, args, method, substeps=1, remat=False):
     """``lax.scan`` over the len(t)-1 knot intervals, ``substeps`` equal RK

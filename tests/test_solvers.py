@@ -1,0 +1,180 @@
+"""Solver accuracy/semantics tests against closed-form solutions — the
+analogue of the reference's analytic-fixture battery
+(modules/torchdiffeq/tests/problems.py, odeint_tests.py), including the
+min/max-step NFE assertions of its ``TestMinMaxStep`` (odeint_tests.py:222-240)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_neural_cdes_tpu.ops.solvers import odeint
+
+
+def const_f(t, y, args):
+    return jnp.full_like(y, 2.0)
+
+
+def cos_f(t, y, args):
+    return jnp.broadcast_to(jnp.cos(t), y.shape)
+
+
+def decay_f(t, y, args):
+    return -y
+
+
+@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4"])
+def test_fixed_grid_constant_ode_exact(method):
+    y0 = jnp.array([1.0, -1.0])
+    t = jnp.linspace(0.0, 4.0, 9)
+    ys = odeint(const_f, y0, t, method=method)
+    expected = y0[None] + 2.0 * np.asarray(t)[:, None]
+    np.testing.assert_allclose(np.asarray(ys), expected, rtol=1e-12)
+
+
+def test_rk4_accuracy_cos():
+    y0 = jnp.array([0.0])
+    t = jnp.linspace(0.0, 3.0, 31)
+    ys = odeint(cos_f, y0, t, method="rk4")
+    np.testing.assert_allclose(np.asarray(ys)[:, 0], np.sin(np.asarray(t)), atol=1e-6)
+
+
+def test_rk4_substeps_improve_accuracy():
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 2.0, 3)
+    coarse = odeint(decay_f, y0, t, method="rk4")
+    fine = odeint(decay_f, y0, t, method="rk4", options={"substeps": 8})
+    exact = np.exp(-np.asarray(t))
+    err_c = abs(float(coarse[-1, 0]) - exact[-1])
+    err_f = abs(float(fine[-1, 0]) - exact[-1])
+    assert err_f < err_c / 100
+
+
+def test_step_size_option_maps_to_substeps():
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 2.0, 3)  # spacing 1.0
+    a = odeint(decay_f, y0, t, method="rk4", options={"step_size": 0.125})
+    b = odeint(decay_f, y0, t, method="rk4", options={"substeps": 8})
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "method,tol", [("dopri5", 1e-5), ("bosh3", 1e-4), ("fehlberg2", 1e-3),
+                   ("adaptive_heun", 1e-3)]
+)
+def test_adaptive_accuracy(method, tol):
+    y0 = jnp.array([1.0, 2.0])
+    t = jnp.linspace(0.0, 5.0, 11)
+    ys = odeint(decay_f, y0, t, method=method, rtol=1e-7, atol=1e-9)
+    expected = np.asarray(y0)[None] * np.exp(-np.asarray(t))[:, None]
+    np.testing.assert_allclose(np.asarray(ys), expected, rtol=tol)
+
+
+def test_dopri5_dense_output_between_knots():
+    y0 = jnp.array([0.0])
+    t = jnp.linspace(0.0, 3.0, 41)  # many closely spaced outputs
+    ys = odeint(cos_f, y0, t, method="dopri5", rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ys)[:, 0], np.sin(np.asarray(t)), atol=1e-6)
+
+
+def test_min_step_reduces_nfe():
+    """The repo's bounded-step modification: with min_step large the solver
+    takes big force-accepted steps, slashing NFE (reference
+    odeint_tests.py:222-240)."""
+    y0 = jnp.ones((4,))
+
+    def stiffish(t, y, args):
+        return jnp.sin(50.0 * t) * y
+
+    t = jnp.linspace(0.0, 10.0, 3)
+    _, stats_free = odeint(
+        stiffish, y0, t, method="dopri5", rtol=1e-6, atol=1e-8, return_stats=True
+    )
+    _, stats_min = odeint(
+        stiffish, y0, t, method="dopri5", rtol=1e-6, atol=1e-8,
+        options={"min_step": 2.0}, return_stats=True,
+    )
+    assert int(stats_min["nfe"]) < int(stats_free["nfe"]) / 4
+    # With min_step=2 over a length-10 interval: ~5-6 accepted steps.
+    assert int(stats_min["accepted"]) <= 8
+
+
+def test_max_step_bounds_steps():
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 8.0, 2)
+    _, stats = odeint(
+        const_f, y0, t, method="dopri5", options={"max_step": 1.0}, return_stats=True
+    )
+    # 8 time units at <= 1.0 per step -> at least 8 accepted steps.
+    assert int(stats["accepted"]) >= 8
+
+
+def test_min_step_forces_accept():
+    """dt <= min_step accepts regardless of error (rk_common.py:275-276)."""
+    y0 = jnp.array([1.0])
+
+    def nasty(t, y, args):
+        return 100.0 * jnp.cos(100.0 * t) * y
+
+    t = jnp.linspace(0.0, 4.0, 2)
+    _, stats = odeint(
+        nasty, y0, t, method="dopri5", rtol=1e-9, atol=1e-12,
+        options={"min_step": 0.5}, return_stats=True,
+    )
+    # Steps are clamped to [0.5, inf): at most 8 accepted + few rejected.
+    assert int(stats["accepted"]) <= 9
+    assert int(stats["rejected"]) == 0  # every dt==min_step is force-accepted
+
+
+def test_jump_t_lands_on_discontinuity():
+    """Piecewise-constant RHS: with jump_t at the kink the solution is exact."""
+    y0 = jnp.array([0.0])
+
+    def piecewise(t, y, args):
+        return jnp.where(t < 1.0, jnp.ones_like(y), -jnp.ones_like(y))
+
+    t = jnp.linspace(0.0, 2.0, 2)
+    ys = odeint(
+        piecewise, y0, t, method="dopri5", rtol=1e-6, atol=1e-8,
+        options={"jump_t": jnp.array([1.0])},
+    )
+    np.testing.assert_allclose(float(ys[-1, 0]), 0.0, atol=1e-4)
+
+
+def test_pytree_state():
+    y0 = {"a": jnp.array([1.0]), "b": jnp.array([[2.0, 3.0]])}
+
+    def f(t, y, args):
+        return {"a": -y["a"], "b": -2.0 * y["b"]}
+
+    t = jnp.linspace(0.0, 1.0, 5)
+    ys = odeint(f, y0, t, method="rk4", options={"substeps": 16})
+    np.testing.assert_allclose(
+        np.asarray(ys["a"])[:, 0], np.exp(-np.asarray(t)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys["b"])[:, 0, 0], 2.0 * np.exp(-2.0 * np.asarray(t)), rtol=1e-6
+    )
+
+
+def test_odeint_under_jit_and_vmap():
+    @jax.jit
+    def run(y0):
+        return odeint(decay_f, y0, jnp.linspace(0.0, 1.0, 5), method="dopri5")
+
+    batched = jax.vmap(run)(jnp.ones((3, 2)))
+    assert batched.shape == (3, 5, 2)
+    np.testing.assert_allclose(
+        np.asarray(batched[:, -1]), np.full((3, 2), np.exp(-1.0)), rtol=1e-5
+    )
+
+
+def test_args_are_threaded():
+    def f(t, y, args):
+        return args["rate"] * y
+
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 1.0, 3)
+    ys = odeint(f, y0, t, {"rate": jnp.array(-3.0)}, method="dopri5",
+                rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(ys[-1, 0]), np.exp(-3.0), rtol=1e-5)
