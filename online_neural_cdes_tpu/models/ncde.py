@@ -1,0 +1,192 @@
+"""The Neural CDE model.
+
+Capability parity with reference /root/reference/src/ncde/ncde.py:34-243:
+spline registry, vector-field registry, h0 from initial observation and/or
+static features, solver presets (rk4: one step per knot; dopri5: bounded
+min_step=0.5, atol=1e-5/rtol=1e-3 — ncde.py:129-134), return-sequences
+with every-other filtering for rectilinear schemes (ncde.py:200-212).
+
+Functional design: ``NeuralCDE`` is a frozen hyperparameter dataclass;
+``init(key)`` makes the parameter pytree and ``apply(params, inputs)`` is a
+pure jittable forward.  ``inputs`` is the precomputed interpolation
+coefficient array — or a ``(static, coeffs)`` tuple when ``static_dim`` is
+set — exactly the reference's calling convention.  Statistics (NFE — the
+paper's efficiency metric) are surfaced with ``apply(..., return_stats=True)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from online_neural_cdes_tpu.models.vector_fields import VectorField
+from online_neural_cdes_tpu.ops import interpolation as interp
+from online_neural_cdes_tpu.ops.cdeint import cdeint
+from online_neural_cdes_tpu.utils.params import linear_apply, linear_init
+
+__all__ = ["NeuralCDE", "SPLINES"]
+
+SPLINES = (
+    "cubic",
+    "hermite",
+    "linear",
+    "rectilinear",
+    "linear_cubic_smoothing",
+    "linear_quintic_smoothing",
+)
+
+
+def make_spline(interpolation: str, coeffs: jax.Array, eps: Optional[float] = None):
+    """Spline registry (reference ncde.py:12-23).  ``coeffs`` must come from
+    the matching builder in ``ops.interpolation``."""
+    if interpolation in ("linear", "rectilinear"):
+        return interp.LinearInterpolation.create(coeffs)
+    if interpolation in ("cubic", "hermite"):
+        return interp.CubicSpline.create(coeffs)
+    if interpolation == "linear_cubic_smoothing":
+        return interp.SmoothLinearInterpolation.create(
+            coeffs, gradient_matching_eps=eps, match_second_derivatives=False
+        )
+    if interpolation == "linear_quintic_smoothing":
+        return interp.SmoothLinearInterpolation.create(
+            coeffs, gradient_matching_eps=eps, match_second_derivatives=True
+        )
+    raise ValueError(f"Unrecognised interpolation scheme {interpolation}")
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuralCDE:
+    input_dim: int
+    hidden_dim: int
+    output_dim: int
+    static_dim: Optional[int] = None
+    hidden_hidden_dim: int = 15
+    num_layers: int = 3
+    use_initial: bool = True
+    interpolation: str = "linear"
+    interpolation_eps: Optional[float] = None
+    sparsity: Optional[float] = None
+    vector_field: str = "original"
+    vector_field_type: str = "matmul"
+    adjoint: bool = True
+    solver: str = "rk4"
+    return_sequences: bool = False
+    apply_final_linear: bool = True
+    return_filtered_rectilinear: bool = True
+
+    def __post_init__(self):
+        assert self.interpolation in SPLINES, self.interpolation
+        assert self.solver in ("rk4", "dopri5", "euler", "midpoint", "bosh3")
+
+    @property
+    def field(self) -> VectorField:
+        return VectorField(
+            input_dim=self.input_dim,
+            hidden_dim=self.hidden_dim,
+            hidden_hidden_dim=self.hidden_hidden_dim,
+            num_layers=self.num_layers,
+            sparsity=self.sparsity,
+            vector_field_type=self.vector_field_type,
+            kind=self.vector_field,
+        )
+
+    @property
+    def initial_dim(self) -> int:
+        dim = 0
+        if self.use_initial:
+            dim += self.input_dim
+        if self.static_dim is not None:
+            dim += self.static_dim
+        return dim
+
+    @property
+    def solver_settings(self):
+        """Reference presets, ncde.py:129-134."""
+        if self.solver == "dopri5":
+            return dict(atol=1e-5, rtol=1e-3, options={"min_step": 0.5})
+        return dict(atol=1e-5, rtol=1e-3, options={"step_size": 1})
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        k_field, k_init, k_final = jax.random.split(key, 3)
+        params = {"field": self.field.init(k_field, dtype)}
+        if self.initial_dim > 0:
+            params["initial"] = linear_init(
+                k_init, self.initial_dim, self.hidden_dim, dtype
+            )
+        if self.apply_final_linear:
+            params["final"] = linear_init(
+                k_final, self.hidden_dim, self.output_dim, dtype
+            )
+        return params
+
+    # -- forward pieces ---------------------------------------------------
+
+    def _setup_h0(self, params, inputs):
+        """h0 from initial observation and/or static features
+        (reference ncde.py:170-198)."""
+        if self.static_dim is None:
+            coeffs = inputs
+            static = None
+        else:
+            assert isinstance(inputs, (tuple, list)) and len(inputs) == 2, (
+                "Inputs must be a 2-tuple of (static_data, temporal_data)"
+            )
+            static, coeffs = inputs
+        spline = make_spline(self.interpolation, coeffs, self.interpolation_eps)
+        x0 = spline.evaluate(spline.interval[0])
+        if static is None:
+            if self.use_initial:
+                h0 = linear_apply(params["initial"], x0)
+            else:
+                h0 = jnp.zeros(coeffs.shape[:-2] + (self.hidden_dim,), coeffs.dtype)
+        else:
+            if self.use_initial:
+                h0 = linear_apply(params["initial"], jnp.concatenate([static, x0], -1))
+            else:
+                h0 = linear_apply(params["initial"], static)
+        return spline, h0
+
+    def _make_outputs(self, params, hidden):
+        """final linear + every-other filtering for rectilinear sequences
+        (reference ncde.py:200-212)."""
+        final = (
+            (lambda h: linear_apply(params["final"], h))
+            if self.apply_final_linear
+            else (lambda h: h)
+        )
+        if self.return_sequences:
+            outputs = final(hidden)
+            if self.interpolation == "rectilinear" and self.return_filtered_rectilinear:
+                outputs = outputs[..., ::2, :]
+        else:
+            outputs = final(hidden[..., -1, :])
+        return outputs
+
+    def apply(self, params: dict, inputs, return_stats: bool = False):
+        spline, h0 = self._setup_h0(params, inputs)
+        times = spline.grid_points if self.return_sequences else spline.interval
+        settings = self.solver_settings
+        field = self.field
+
+        def func(t, z, field_params):
+            return field.apply(field_params, t, z)
+
+        result = cdeint(
+            spline,
+            func,
+            h0,
+            times,
+            params["field"],
+            adjoint=self.adjoint,
+            vector_field_type=self.vector_field_type,
+            method=self.solver,
+            return_stats=return_stats,
+            **settings,
+        )
+        if return_stats:
+            hidden, stats = result
+            return self._make_outputs(params, hidden), stats
+        return self._make_outputs(params, result)

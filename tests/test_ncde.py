@@ -1,0 +1,171 @@
+"""NeuralCDE model tests: no-NaN forward fuzzing across the config space
+(the analogue of reference src/tests/test_ncde.py:8-41) plus an end-to-end
+Brownian-motion training run (the minimum slice of SURVEY.md §7.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from online_neural_cdes_tpu.data.toy import brownian_motion_data
+from online_neural_cdes_tpu.models.ncde import NeuralCDE
+from online_neural_cdes_tpu.ops.interpolation import (
+    hermite_cubic_coefficients_with_backward_differences,
+    linear_interpolation_coeffs,
+    natural_cubic_coeffs,
+)
+
+B, L, C, H = 4, 6, 3, 8
+
+
+def _coeffs_for(interpolation, x):
+    if interpolation in ("linear", "linear_cubic_smoothing", "linear_quintic_smoothing"):
+        return linear_interpolation_coeffs(x)
+    if interpolation == "rectilinear":
+        return linear_interpolation_coeffs(x, rectilinear=0)
+    if interpolation == "cubic":
+        return natural_cubic_coeffs(x)
+    if interpolation == "hermite":
+        return hermite_cubic_coefficients_with_backward_differences(x)
+    raise ValueError(interpolation)
+
+
+def _run_model(model, key=0, static=None):
+    rng = np.random.default_rng(key)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)  # time channel for rectilinear
+    x[1, 2, 1] = np.nan        # some missingness
+    coeffs = _coeffs_for(model.interpolation, jnp.asarray(x))
+    params = model.init(jax.random.PRNGKey(0))
+    inputs = coeffs if static is None else (static, coeffs)
+    return model.apply(params, inputs)
+
+
+@pytest.mark.parametrize("vector_field", ["original", "gru", "minimal"])
+@pytest.mark.parametrize("vf_type", ["matmul", "evaluate", "derivative"])
+def test_field_combinations_forward(vector_field, vf_type):
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=2, hidden_hidden_dim=12,
+        num_layers=2, vector_field=vector_field, vector_field_type=vf_type,
+        adjoint=False, solver="rk4",
+    )
+    out = _run_model(model)
+    assert out.shape == (B, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("vector_field,sparsity", [("sparse", 0.5), ("low-rank", 0.4)])
+def test_sparse_fields_forward(vector_field, sparsity):
+    """The reference keeps these commented out of its registry but tests
+    them (src/tests/test_ncde.py:14-15); first-class here."""
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=2, sparsity=sparsity,
+        vector_field=vector_field, adjoint=False, solver="rk4",
+    )
+    out = _run_model(model)
+    assert out.shape == (B, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "interpolation,eps",
+    [("linear", None), ("rectilinear", None), ("cubic", None), ("hermite", None),
+     ("linear_cubic_smoothing", 0.2), ("linear_quintic_smoothing", 0.2)],
+)
+def test_interpolation_schemes_forward(interpolation, eps):
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, interpolation=interpolation,
+        interpolation_eps=eps, adjoint=False, solver="rk4",
+    )
+    out = _run_model(model)
+    assert out.shape == (B, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_return_sequences_and_rectilinear_filtering():
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=2, interpolation="rectilinear",
+        return_sequences=True, adjoint=False, solver="rk4",
+    )
+    out = _run_model(model)
+    # Rectilinear doubles length to 2L-1; ::2 filtering returns L outputs
+    # (reference ncde.py:200-212).
+    assert out.shape == (B, L, 2)
+
+    model_full = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=2, interpolation="rectilinear",
+        return_sequences=True, return_filtered_rectilinear=False,
+        adjoint=False, solver="rk4",
+    )
+    assert _run_model(model_full).shape == (B, 2 * L - 1, 2)
+
+
+def test_static_features_and_initial_variants():
+    static = jnp.asarray(np.random.default_rng(5).normal(size=(B, 4)), jnp.float32)
+    for use_initial in (True, False):
+        model = NeuralCDE(
+            input_dim=C, hidden_dim=H, output_dim=2, static_dim=4,
+            use_initial=use_initial, adjoint=False, solver="rk4",
+        )
+        out = _run_model(model, static=static)
+        assert out.shape == (B, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=2, use_initial=False,
+        adjoint=False, solver="rk4",
+    )
+    assert _run_model(model).shape == (B, 2)
+
+
+def test_dopri5_bounded_step_forward_with_stats():
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=2, solver="dopri5", adjoint=False,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    coeffs = linear_interpolation_coeffs(x)
+    params = model.init(jax.random.PRNGKey(0))
+    out, stats = model.apply(params, coeffs, return_stats=True)
+    assert out.shape == (B, 2)
+    # min_step=0.5 on a length-(L-1) interval bounds accepted steps.
+    assert int(stats["accepted"]) <= 2 * (L - 1) + 2
+    assert int(stats["nfe"]) >= 6
+
+
+def test_end_to_end_brownian_motion_training():
+    """Minimum end-to-end slice: rectilinear NCDE + rk4 + Adam learns the
+    BM sign task well above chance (sim_bm_toy_example semantics)."""
+    key = jax.random.PRNGKey(42)
+    x, y = brownian_motion_data(key, num_paths=256, n_points=3)
+    coeffs = linear_interpolation_coeffs(x, rectilinear=0)
+
+    model = NeuralCDE(
+        input_dim=2, hidden_dim=8, output_dim=1, hidden_hidden_dim=32,
+        num_layers=2, interpolation="rectilinear", return_sequences=True,
+        adjoint=True, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, coeffs)[..., 0]  # (B, L)
+        return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+
+    logits = model.apply(params, coeffs)[..., 0]
+    acc = float(((jax.nn.sigmoid(logits[:, -1]) > 0.5) == (y[:, -1] > 0.5)).mean())
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+    assert acc > 0.85, acc
