@@ -1,0 +1,55 @@
+"""Device-mesh helpers: data-parallel training over ICI.
+
+The reference has *no* intra-model parallelism — its only parallelism is
+one-process-per-GPU config sweeps through GNU parallel + MongoDB
+(SURVEY.md §2.7-2.8, reference experiments/runs.py:64-73).  This module is
+the TPU-native capability that replaces and exceeds it: batches shard
+across chips on a ``jax.sharding.Mesh`` data axis, parameters are
+replicated, and XLA inserts the gradient ``psum`` over ICI from the
+sharding annotations alone — no hand-written collectives.
+
+Multi-host extension: call ``jax.distributed.initialize()`` before
+``make_mesh()`` and the same code spans slices over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding"]
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """A 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_parallel_sharding(mesh: Mesh):
+    """(batch_sharding, replicated_sharding) for the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS)), NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of arrays with the leading axis split across the data
+    axis (leading dim must divide by mesh size)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
