@@ -221,25 +221,31 @@ def _fit_from_stages(y0, y1, k, dt, tableau: ButcherTableau):
 # 3/8-rule of rk_common.py:106-114)
 # ---------------------------------------------------------------------------
 
+# Time arithmetic stays in the times' dtype (possibly f64); state updates
+# cast dt to the state dtype — the reference's mixed-precision convention
+# (rk_common.py:136-138).
+
 def _euler_step(func, t0, dt, y0, args):
-    return y0 + dt * func(t0, y0, args), 1
+    h = jnp.asarray(dt).astype(y0.dtype)
+    return y0 + h * func(t0, y0, args), 1
 
 
 def _midpoint_step(func, t0, dt, y0, args):
-    half = 0.5 * dt
-    y_mid = y0 + half * func(t0, y0, args)
-    return y0 + dt * func(t0 + half, y_mid, args), 2
+    h = jnp.asarray(dt).astype(y0.dtype)
+    y_mid = y0 + 0.5 * h * func(t0, y0, args)
+    return y0 + h * func(t0 + 0.5 * dt, y_mid, args), 2
 
 
 def _rk4_38_step(func, t0, dt, y0, args):
     """RK4 3/8-rule — the variant the reference uses for method='rk4'
     (rk_common.py:106-114 ``rk4_alt_step_func``)."""
-    third = dt / 3.0
+    h = jnp.asarray(dt).astype(y0.dtype)
+    third = h / 3.0
     k1 = func(t0, y0, args)
-    k2 = func(t0 + third, y0 + third * k1, args)
-    k3 = func(t0 + 2.0 * third, y0 + dt * (k2 - k1 / 3.0), args)
-    k4 = func(t0 + dt, y0 + dt * (k1 - k2 + k3), args)
-    return y0 + dt * (k1 + 3.0 * (k2 + k3) + k4) * 0.125, 4
+    k2 = func(t0 + dt / 3.0, y0 + third * k1, args)
+    k3 = func(t0 + 2.0 * dt / 3.0, y0 + h * (k2 - k1 / 3.0), args)
+    k4 = func(t0 + dt, y0 + h * (k1 - k2 + k3), args)
+    return y0 + h * (k1 + 3.0 * (k2 + k3) + k4) * 0.125, 4
 
 
 _FIXED_STEPS = {
@@ -254,14 +260,15 @@ FIXED_NFE_PER_STEP = {"euler": 1, "midpoint": 2, "rk4": 4}
 # Pytree-state variants of the fixed steppers, used by the CDE fixed-grid
 # path whose augmented adjoint state is a (z, a, piece_bar, args_bar) tuple.
 def _axpy(y, dt, *ks_and_coeffs):
-    """y + dt * sum(c_i * k_i) over pytrees."""
+    """y + dt * sum(c_i * k_i) over pytrees (dt cast per-leaf)."""
     ks = ks_and_coeffs[0::2]
     cs = ks_and_coeffs[1::2]
 
     def leaf(yl, *kls):
         acc = yl
+        h = jnp.asarray(dt).astype(yl.dtype)
         for kl, c in zip(kls, cs):
-            acc = acc + dt * c * kl
+            acc = acc + h * c * kl
         return acc
 
     return jax.tree.map(leaf, y, *ks)
