@@ -76,6 +76,9 @@ class NeuralCDE:
     return_sequences: bool = False
     apply_final_linear: bool = True
     return_filtered_rectilinear: bool = True
+    # Use the fused Pallas trunk->head->contraction kernel on TPU for the
+    # original/matmul field (ops/kernels.py); identical math elsewhere.
+    fused: bool = True
 
     def __post_init__(self):
         assert self.interpolation in SPLINES, self.interpolation
@@ -171,17 +174,55 @@ class NeuralCDE:
         settings = self.solver_settings
         field = self.field
 
-        def func(t, z, field_params):
-            return field.apply(field_params, t, z)
+        use_fused = (
+            self.fused
+            and self.vector_field == "original"
+            and self.vector_field_type == "matmul"
+            and h0.ndim == 2
+        )
+        if use_fused:
+            from online_neural_cdes_tpu.ops.kernels import (
+                fused_field_available,
+                fused_matmul_field,
+                pack_fused_params,
+            )
+
+            packed = pack_fused_params(
+                params["field"], self.hidden_dim, self.input_dim
+            )
+            # Pallas only where the head's minor axis tiles the 128-lane VPU
+            # and the batch tiles sublanes; tiny shapes stay on plain XLA.
+            use_pallas = (
+                fused_field_available()
+                and h0.shape[0] % 8 == 0
+                and self.hidden_dim * self.input_dim >= 128
+                and self.hidden_dim % 8 == 0
+            )
+
+            def func(t, z, dx, fp):
+                return fused_matmul_field(
+                    fp["trunk"], fp["head_w"], fp["head_b"], z, dx,
+                    self.hidden_dim, self.input_dim, use_pallas,
+                )
+
+            field_args = packed
+            vf_type = "matmul_fused"
+        else:
+
+            def func(t, z, field_params):
+                return field.apply(field_params, t, z)
+
+            field_args = params["field"]
+            vf_type = self.vector_field_type
 
         result = cdeint(
             spline,
             func,
             h0,
             times,
-            params["field"],
+            field_args,
             adjoint=self.adjoint,
-            vector_field_type=self.vector_field_type,
+            vector_field_type=vf_type,
             method=self.solver,
             return_stats=return_stats,
             **settings,

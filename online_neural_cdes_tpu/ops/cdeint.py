@@ -81,6 +81,14 @@ def _make_cde_field(func, vector_field_type: str):
             inp = jnp.concatenate([z, X_.derivative(t)], axis=-1)
             return func(t, inp, args)
 
+    elif vector_field_type == "matmul_fused":
+        # func computes the full field-matrix/control contraction itself
+        # (e.g. the fused Pallas kernel): signature (t, z, dx, args).
+
+        def vf(t, z, theta):
+            X_, args = theta
+            return func(t, z, X_.derivative(t), args)
+
     else:
         raise ValueError(f"Unknown vector_field_type {vector_field_type!r}")
 
@@ -108,6 +116,11 @@ def _piece_field(spline_cls, func, vector_field_type: str):
         def pf(piece, t, frac, z, args):
             inp = jnp.concatenate([z, spline_cls.piece_derivative(piece, frac)], axis=-1)
             return func(t, inp, args)
+
+    elif vector_field_type == "matmul_fused":
+
+        def pf(piece, t, frac, z, args):
+            return func(t, z, spline_cls.piece_derivative(piece, frac), args)
 
     else:
         raise ValueError(f"Unknown vector_field_type {vector_field_type!r}")

@@ -1,0 +1,181 @@
+"""Pallas TPU kernels for the CDE hot path.
+
+The innermost operation of a matmul-type Neural CDE solve is, per RK stage
+(reference solver.py:128-135 + vector_fields/base.py:83-92):
+
+    u   = relu(z @ W_t + b_t)            # trunk, possibly several layers
+    A   = tanh(u @ W_o + b_o)            # (B, H*I) field matrix
+    out = einsum('bhi,bi->bh', A, dX)    # contraction with the control
+
+XLA executes this as two MXU matmuls plus a separate contraction fusion —
+the (B, H*I) intermediate ``A`` round-trips HBM twice per stage.  The
+fused kernel here keeps ``A`` in VMEM: one ``pallas_call`` per stage
+computes trunk -> head -> contraction for a batch tile and writes only the
+(B, H) result.  The head weight is held in a contraction-major (HH, I*H)
+layout so the in-kernel reshape keeps H (lane-aligned) as the minor axis
+and the I-reduction runs over sublanes.
+
+The op is a ``custom_vjp``: the backward pass is expressed with XLA
+einsums (recomputing activations — nothing is stashed in HBM), so the
+fused op composes with both direct autodiff and the interval adjoint.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_matmul_field", "pack_fused_params", "fused_field_available"]
+
+
+def _pick_batch_tile(batch: int, head_cols: int, hh: int) -> int:
+    """Largest batch tile whose VMEM working set stays comfortably < 12MB."""
+    for tile in (512, 256, 128, 64, 32, 16, 8):
+        if batch % tile != 0:
+            continue
+        # A tile + u tile + z tile + out tile (f32 words)
+        words = tile * (head_cols + hh + 2 * 256) + hh * head_cols
+        if words * 4 < 12 * 1024 * 1024:
+            return tile
+    return batch
+
+
+def fused_field_available(backend: str | None = None) -> bool:
+    if backend is None:
+        backend = jax.default_backend()
+    return backend in ("tpu",)
+
+
+def pack_fused_params(field_params: dict, hidden_dim: int, input_dim: int) -> dict:
+    """Re-layout an 'original' VectorField's parameters for the fused kernel:
+    the head weight (HH, H*I) becomes contraction-major (HH, I*H)."""
+    w = field_params["out"]["w"]  # (HH, H*I)
+    hh = w.shape[0]
+    w_ihl = (
+        w.reshape(hh, hidden_dim, input_dim)
+        .transpose(0, 2, 1)
+        .reshape(hh, input_dim * hidden_dim)
+    )
+    b = field_params["out"]["b"].reshape(hidden_dim, input_dim).T.reshape(-1)
+    return {
+        "trunk": field_params["trunk"],
+        "head_w": w_ihl,
+        "head_b": b,
+    }
+
+
+def _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
+    """Pure-XLA forward with identical semantics (non-TPU fallback and the
+    backward-pass recomputation)."""
+    u = z
+    for layer in trunk:
+        u = jax.nn.relu(u @ layer["w"] + layer["b"])
+    a = jnp.tanh(u @ head_w + head_b)  # (B, I*H)
+    a = a.reshape(a.shape[:-1] + (input_dim, hidden_dim))
+    return jnp.sum(a * dx[..., :, None], axis=-2)
+
+
+def _make_kernel(n_trunk: int, hidden_dim: int, input_dim: int):
+    def kernel(*refs):
+        z_ref, dx_ref = refs[0], refs[1]
+        trunk_refs = refs[2: 2 + 2 * n_trunk]
+        head_w_ref, head_b_ref, out_ref = refs[2 + 2 * n_trunk:]
+
+        u = z_ref[:]
+        for i in range(n_trunk):
+            w = trunk_refs[2 * i][:]
+            b = trunk_refs[2 * i + 1][:]
+            u = jnp.maximum(
+                jnp.dot(u, w, preferred_element_type=jnp.float32) + b, 0.0
+            )
+        a = jnp.tanh(
+            jnp.dot(u, head_w_ref[:], preferred_element_type=jnp.float32)
+            + head_b_ref[:]
+        )  # (Bt, I*H)
+        bt = a.shape[0]
+        a = a.reshape(bt, input_dim, hidden_dim)
+        dx = dx_ref[:]  # (Bt, I)
+        out_ref[:] = jnp.sum(a * dx[:, :, None], axis=1)
+
+    return kernel
+
+
+def _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
+    batch = z.shape[0]
+    hh = head_w.shape[0]
+    head_cols = head_w.shape[1]
+    tile = _pick_batch_tile(batch, head_cols, hh)
+    n_trunk = len(trunk)
+
+    def full(_ndim):
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((tile, z.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, dx.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [z, dx]
+    for layer in trunk:
+        in_specs += [full(2), full(1)]
+        operands += [layer["w"], layer["b"][None, :]]
+    in_specs += [full(2), full(1)]
+    operands += [head_w, head_b[None, :]]
+
+    flops = 2 * batch * (
+        sum(l["w"].shape[0] * l["w"].shape[1] for l in trunk)
+        + hh * head_cols
+        + head_cols
+    )
+    return pl.pallas_call(
+        _make_kernel(n_trunk, hidden_dim, input_dim),
+        grid=(batch // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile, hidden_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, hidden_dim), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (z.size + dx.size + hh * head_cols + batch * hidden_dim),
+            transcendentals=batch * head_cols,
+        ),
+    )(*operands)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_matmul_field(trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas):
+    """out = einsum('bih,bi->bh', tanh(trunk(z) @ head_w + head_b), dx).
+
+    trunk: list of {'w','b'} relu layers; head_w: (HH, I*H)
+    contraction-major; z: (B, H_in); dx: (B, I).  Returns (B, H).
+    """
+    if use_pallas:
+        return _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim, input_dim)
+    return _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim, input_dim)
+
+
+def _fused_fwd(trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas):
+    out = fused_matmul_field(
+        trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas
+    )
+    return out, (trunk, head_w, head_b, z, dx)
+
+
+def _fused_bwd(hidden_dim, input_dim, use_pallas, residuals, g):
+    trunk, head_w, head_b, z, dx = residuals
+
+    def ref(trunk_, head_w_, head_b_, z_, dx_):
+        return _forward_reference(
+            trunk_, head_w_, head_b_, z_, dx_, hidden_dim, input_dim
+        )
+
+    _, vjp = jax.vjp(ref, trunk, head_w, head_b, z, dx)
+    return vjp(g)
+
+
+fused_matmul_field.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,105 @@
+"""Fused vector-field kernel tests: the fused op must be numerically
+identical to the unfused trunk->head->einsum composition, in both values
+and gradients, and the Pallas kernel (interpreter mode on CPU) must match
+the XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_neural_cdes_tpu.models.ncde import NeuralCDE
+from online_neural_cdes_tpu.models.vector_fields import VectorField
+from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+from online_neural_cdes_tpu.ops.kernels import (
+    _forward_pallas,
+    _forward_reference,
+    fused_matmul_field,
+    pack_fused_params,
+)
+
+B, L, C, H, HH = 8, 6, 3, 8, 16
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    field = VectorField(input_dim=C, hidden_dim=H, hidden_hidden_dim=HH,
+                        num_layers=2, kind="original")
+    params = field.init(jax.random.PRNGKey(seed))
+    z = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    dx = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    return field, params, z, dx
+
+
+def test_fused_matches_unfused_field():
+    field, params, z, dx = _setup()
+    expected = jnp.einsum("bhi,bi->bh", field.apply(params, 0.0, z), dx)
+    packed = pack_fused_params(params, H, C)
+    got = fused_matmul_field(
+        packed["trunk"], packed["head_w"], packed["head_b"], z, dx, H, C, False
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_fused_gradients_match_unfused():
+    field, params, z, dx = _setup(1)
+
+    def loss_fused(p, z_, dx_):
+        packed = pack_fused_params(p, H, C)
+        out = fused_matmul_field(
+            packed["trunk"], packed["head_w"], packed["head_b"], z_, dx_, H, C, False
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_ref(p, z_, dx_):
+        out = jnp.einsum("bhi,bi->bh", field.apply(p, 0.0, z_), dx_)
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(params, z, dx)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z, dx)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        gf, gr,
+    )
+
+
+def test_pallas_kernel_interpret_matches_reference():
+    from jax.experimental.pallas import tpu as pltpu
+
+    field, params, z, dx = _setup(2)
+    packed = pack_fused_params(params, H, C)
+    ref = _forward_reference(
+        packed["trunk"], packed["head_w"], packed["head_b"], z, dx, H, C
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = _forward_pallas(
+            packed["trunk"], packed["head_w"], packed["head_b"], z, dx, H, C
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("adjoint", [False, True])
+def test_ncde_fused_flag_equivalence(adjoint):
+    """NeuralCDE(fused=True) must produce the same forward and gradients as
+    fused=False on CPU (where the fused path uses the XLA reference)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    coeffs = linear_interpolation_coeffs(x)
+    kw = dict(input_dim=C, hidden_dim=H, output_dim=2, hidden_hidden_dim=HH,
+              num_layers=2, adjoint=adjoint, solver="rk4", return_sequences=True)
+    m_fused = NeuralCDE(fused=True, **kw)
+    m_plain = NeuralCDE(fused=False, **kw)
+    params = m_fused.init(jax.random.PRNGKey(0))
+
+    out_f = m_fused.apply(params, coeffs)
+    out_p = m_plain.apply(params, coeffs)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=1e-5)
+
+    gf = jax.grad(lambda p: jnp.sum(m_fused.apply(p, coeffs) ** 2))(params)
+    gp = jax.grad(lambda p: jnp.sum(m_plain.apply(p, coeffs) ** 2))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        gf, gp,
+    )
