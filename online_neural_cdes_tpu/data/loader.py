@@ -1,0 +1,223 @@
+"""Data loading: interpolation-key parsing, rectilinear-intensity
+augmentation, sort-by-length + length-bucketed padding, batch iteration.
+
+Capability parity with reference /root/reference/experiments/ingredients/
+loader.py: ``parse_interpolation_string`` (loader.py:53-71), the
+rectilinear-intensity cumulative-measurement channels (loader.py:100-113),
+sorting unequal lengths shortest-first (loader.py:170-177), per-batch-
+window padding + forward fill (loader.py:180-213) and the
+(static, temporal), label batch contract (loader.py:216-231).
+
+TPU-native difference: the reference pads each batch window to its own max
+length, which under ``jit`` would recompile per batch.  Here padded
+lengths are additionally rounded up to a small set of *buckets*
+(``bucket_multiple``), so the number of distinct compiled shapes is
+bounded while short batches still avoid paying full-length compute
+(SURVEY.md §7 "variable lengths").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "parse_interpolation_string",
+    "load_numpy_data",
+    "sort_unequal_lengths",
+    "pad_ragged",
+    "add_rectilinear_intensity",
+    "Batches",
+    "LoadedData",
+]
+
+
+def parse_interpolation_string(interpolation: Optional[str]):
+    """user interpolation string -> (data array key, model scheme)."""
+    if interpolation in ("linear", "rectilinear", "cubic"):
+        return interpolation, interpolation
+    if interpolation == "rectilinear-intensity":
+        return "rectilinear", interpolation
+    if interpolation in ("linear_cubic_smoothing", "linear_quintic_smoothing"):
+        return "linear", interpolation
+    if interpolation == "linear_forward_fill":
+        return interpolation, "linear"
+    if interpolation == "cubic_forward_fill":
+        return "linear_forward_fill", "linear_cubic_smoothing"
+    if interpolation == "hermite":
+        return "hermite", "hermite"
+    if interpolation is None:
+        return "raw", None
+    raise NotImplementedError(f"Not implemented for interpolation {interpolation}")
+
+
+def sort_unequal_lengths(static, temporal, labels):
+    """Sort ragged series shortest-first (reference loader.py:170-177)."""
+    lengths = [len(x) for x in temporal]
+    order = sorted(range(len(lengths)), key=lambda k: lengths[k])
+    static = None if static is None else static[order]
+    temporal = [temporal[i] for i in order]
+    if isinstance(labels, list):
+        labels = [labels[i] for i in order]
+    else:
+        labels = labels[order]
+    return static, temporal, labels, order
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def pad_ragged(
+    series: Sequence[np.ndarray],
+    bucket_multiple: int = 16,
+    forward_fill: bool = True,
+    pad_value: float = np.nan,
+) -> np.ndarray:
+    """Pad a list of (L_i, C) arrays to a common bucketed length.  With
+    ``forward_fill`` the pad region repeats the final row (the reference's
+    PadRaggedTensors + ForwardFill pipeline); otherwise it is ``pad_value``
+    (NaN -> masked by the temporal loss)."""
+    max_len = max(len(s) for s in series)
+    target = _round_up(max_len, bucket_multiple)
+    sample = np.asarray(series[0])
+    trailing = sample.shape[1:]
+    out = np.full((len(series), target) + trailing, pad_value, dtype=np.float32)
+    for i, s in enumerate(series):
+        s = np.asarray(s, dtype=np.float32)
+        out[i, : len(s)] = s
+        if forward_fill and len(s) < target:
+            out[i, len(s):] = s[-1]
+    return out
+
+
+def add_rectilinear_intensity(rect_coeffs: np.ndarray, raw: np.ndarray) -> np.ndarray:
+    """Append cumulative per-channel measurement counts as extra channels to
+    rectilinear coefficients (reference loader.py:100-113).  ``raw`` is the
+    un-interpolated series (L, C) with time in channel 0; zero times past
+    the series end count as unobserved."""
+    raw = np.array(raw, copy=True)
+    raw[0, :][raw[0, :] == 0] = np.nan
+    observed = ~np.isnan(raw[:, 1:])
+    counts = np.cumsum(observed, axis=0).astype(rect_coeffs.dtype)
+    counts = np.repeat(counts, 2, axis=0)[:-1]  # interleave-lag to 2L-1
+    return np.concatenate([rect_coeffs, counts], axis=1)
+
+
+@dataclasses.dataclass
+class LoadedData:
+    """One split's data plus problem metadata."""
+
+    static: Optional[np.ndarray]
+    temporal: object              # array (N, L, C) or list of ragged arrays
+    labels: object
+    input_dim: int
+    output_dim: int
+    static_dim: Optional[int]
+    model_interpolation: Optional[str]
+    return_sequences: bool
+
+
+def load_numpy_data(
+    npz_path: str,
+    interpolation: Optional[str],
+    use_static: bool = True,
+    problem: Optional[str] = None,
+    output_dim: int = 1,
+    label_dtype: Optional[str] = None,
+) -> List[LoadedData]:
+    """Load a processed npz and return [train, val, test] LoadedData
+    (reference loader.py:74-167)."""
+    npz = np.load(npz_path, allow_pickle=True)
+    data_key, model_interpolation = parse_interpolation_string(interpolation)
+
+    use_static = use_static and "static_data" in npz.files and interpolation is not None
+    static = npz["static_data"].astype(np.float32) if use_static else None
+    temporal = npz[f"temporal_data_{data_key}"]
+    labels = npz["labels"]
+    splits = [npz[k] for k in ("train_idxs", "val_idxs", "test_idxs")]
+
+    if model_interpolation == "rectilinear-intensity":
+        model_interpolation = "rectilinear"
+        raw = npz["temporal_data_raw"]
+        temporal = np.array(
+            [add_rectilinear_intensity(np.asarray(t), np.asarray(r))
+             for t, r in zip(temporal, raw)],
+            dtype=object,
+        ) if temporal.dtype == object else np.stack(
+            [add_rectilinear_intensity(t, r) for t, r in zip(temporal, raw)]
+        )
+
+    ragged = temporal.dtype == object
+    first = np.asarray(temporal[0])
+    input_dim = first.shape[-1] // 4 if data_key == "cubic" else first.shape[-1]
+    static_dim = static.shape[-1] if use_static else None
+    return_sequences = problem == "online"
+
+    out = []
+    for idxs in splits:
+        st = None if static is None else static[idxs]
+        tp = [np.asarray(temporal[i]) for i in idxs] if ragged else temporal[idxs]
+        lb = (
+            [np.asarray(labels[i]) for i in idxs]
+            if labels.dtype == object
+            else labels[idxs]
+        )
+        if ragged:
+            st, tp, lb, _ = sort_unequal_lengths(st, tp, lb)
+        if label_dtype is not None and not isinstance(lb, list):
+            lb = lb.astype(label_dtype)
+        out.append(
+            LoadedData(
+                static=st, temporal=tp, labels=lb,
+                input_dim=input_dim, output_dim=output_dim,
+                static_dim=static_dim,
+                model_interpolation=model_interpolation,
+                return_sequences=return_sequences,
+            )
+        )
+    return out
+
+
+class Batches:
+    """Iterate (inputs, labels) numpy batches; ragged series are padded per
+    batch window with bucketed lengths (reference create_dataloader,
+    loader.py:180-213)."""
+
+    def __init__(
+        self,
+        data: LoadedData,
+        batch_size: int = 1024,
+        bucket_multiple: int = 16,
+        forward_fill: bool = True,
+    ):
+        self.data = data
+        self.batch_size = batch_size
+        self.bucket_multiple = bucket_multiple
+        self.forward_fill = forward_fill
+
+    def __len__(self):
+        n = len(self.data.temporal)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[object, np.ndarray]]:
+        d = self.data
+        n = len(d.temporal)
+        for start in range(0, n, self.batch_size):
+            sl = slice(start, min(start + self.batch_size, n))
+            temporal = d.temporal[sl]
+            if isinstance(temporal, list):
+                temporal = pad_ragged(
+                    temporal, self.bucket_multiple, self.forward_fill
+                )
+            labels = d.labels[sl]
+            if isinstance(labels, list):
+                labels = pad_ragged(
+                    [np.atleast_1d(l) for l in labels],
+                    self.bucket_multiple,
+                    forward_fill=False,
+                )
+            inputs = temporal if d.static is None else (d.static[sl], temporal)
+            yield inputs, np.asarray(labels)

