@@ -1,0 +1,94 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel training
+steps must match single-device numerics exactly (gradient psum inserted by
+XLA), and batches must actually shard.  The reference has no analogue
+(single-device training only, SURVEY.md §2.7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_neural_cdes_tpu.data.toy import brownian_motion_data
+from online_neural_cdes_tpu.models.ncde import NeuralCDE
+from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+from online_neural_cdes_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from online_neural_cdes_tpu.training.loop import (
+    init_adam_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _setup(batch=64):
+    x, y = brownian_motion_data(jax.random.PRNGKey(0), batch, n_points=4)
+    coeffs = linear_interpolation_coeffs(x, rectilinear=0)
+    model = NeuralCDE(
+        input_dim=2, hidden_dim=8, output_dim=1, hidden_hidden_dim=16,
+        num_layers=2, interpolation="rectilinear", return_sequences=True,
+        adjoint=True, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    return model, params, coeffs, y
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_data_parallel_step_matches_single_device():
+    model, params, coeffs, y = _setup()
+    opt_state = init_adam_state(params)
+
+    single = make_train_step(model, loss="bce", lr=1e-3, donate=False)
+    p1, s1, l1 = single(params, opt_state, coeffs, y, 1.0)
+
+    mesh = make_mesh(8)
+    sharded_step = make_train_step(model, loss="bce", lr=1e-3, mesh=mesh, donate=False)
+    params_r = replicate(params, mesh)
+    opt_r = replicate(opt_state, mesh)
+    coeffs_s, y_s = shard_batch((coeffs, y), mesh)
+    p8, s8, l8 = sharded_step(params_r, opt_r, coeffs_s, y_s, 1.0)
+
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        p8, p1,
+    )
+
+
+def test_batch_is_actually_sharded():
+    mesh = make_mesh(8)
+    x = jnp.zeros((64, 7, 2))
+    xs = shard_batch(x, mesh)
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(8, 7, 2)}
+
+
+def test_eval_step_sharded():
+    model, params, coeffs, y = _setup()
+    mesh = make_mesh(8)
+    eval_s = make_eval_step(model, mesh=mesh)
+    preds = eval_s(replicate(params, mesh), shard_batch(coeffs, mesh))
+    assert preds.shape == (64, 4, 1)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_multi_seed_vmap_training():
+    """TPU-native config-parallelism: train several seeds at once by
+    vmapping the whole train step over a parameter ensemble (replaces the
+    reference's one-process-per-GPU seed sweeps)."""
+    model, _, coeffs, y = _setup(batch=32)
+    seeds = jax.vmap(model.init)(jax.random.split(jax.random.PRNGKey(0), 4))
+    opt_states = jax.vmap(init_adam_state)(seeds)
+    step = make_train_step(model, loss="bce", lr=1e-2, donate=False)
+
+    vstep = jax.vmap(step, in_axes=(0, 0, None, None, None))
+    params, opt_states, losses = vstep(seeds, opt_states, coeffs, y, 1.0)
+    for _ in range(3):
+        params, opt_states, losses = vstep(params, opt_states, coeffs, y, 1.0)
+    assert losses.shape == (4,)
+    assert np.isfinite(np.asarray(losses)).all()
+    # Seeds differ -> different losses.
+    assert len(np.unique(np.asarray(losses).round(6))) > 1
