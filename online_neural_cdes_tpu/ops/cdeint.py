@@ -43,6 +43,7 @@ from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 
 from online_neural_cdes_tpu.ops import solvers
@@ -63,22 +64,33 @@ def _make_cde_field(func, vector_field_type: str):
 
         def vf(t, z, theta):
             X_, args = theta
-            mat = func(t, z, args)                      # (..., H, I)
-            dx = X_.derivative(t)                       # (..., I)
+            mat = func(t, z, args)                      # (..., H, I) or tuple
+            dx = X_.derivative(t)                       # (..., I) or tuple
+            if isinstance(dx, tuple):
+                # TupleControl: dz = sum_k f_k(z) dX_k (reference
+                # solver.py's tuple handling via _VectorField).
+                assert isinstance(mat, tuple) and len(mat) == len(dx)
+                return sum(
+                    jnp.einsum("...hi,...i->...h", m, d) for m, d in zip(mat, dx)
+                )
             return jnp.einsum("...hi,...i->...h", mat, dx)
 
     elif vector_field_type == "evaluate":
 
         def vf(t, z, theta):
             X_, args = theta
-            inp = jnp.concatenate([z, X_.evaluate(t)], axis=-1)
+            vals = X_.evaluate(t)
+            vals = vals if isinstance(vals, tuple) else (vals,)
+            inp = jnp.concatenate([z, *vals], axis=-1)
             return func(t, inp, args)
 
     elif vector_field_type == "derivative":
 
         def vf(t, z, theta):
             X_, args = theta
-            inp = jnp.concatenate([z, X_.derivative(t)], axis=-1)
+            vals = X_.derivative(t)
+            vals = vals if isinstance(vals, tuple) else (vals,)
+            inp = jnp.concatenate([z, *vals], axis=-1)
             return func(t, inp, args)
 
     elif vector_field_type == "matmul_fused":
@@ -251,6 +263,9 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
     adj_method = adj.pop("method", method)
     adj_rtol = adj.pop("rtol", rtol)
     adj_atol = adj.pop("atol", atol)
+    # 'seminorm': adapt steps on the (y, a_y) blocks only, ignoring the
+    # parameter-gradient block (reference adjoint.py:235-281).
+    seminorm = adj.pop("norm", None) == "seminorm"
     adj_options = adj or dict(opt_items)
 
     ys, t, args = residuals
@@ -273,9 +288,17 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
         a = jax.tree.map(jnp.add, a, g_i)
         aug0 = (y_i, a, args_bar)
         s_span = jnp.stack([-t_i, -t_prev])
+        opts = dict(adj_options)
+        if seminorm:
+            weights = (
+                jax.tree.map(jnp.ones_like, y_i),
+                jax.tree.map(jnp.ones_like, a),
+                jax.tree.map(jnp.zeros_like, args_bar),
+            )
+            opts["error_weights"] = jax.flatten_util.ravel_pytree(weights)[0]
         aug_path = solvers.odeint(
             aug_dynamics, aug0, s_span, None,
-            rtol=adj_rtol, atol=adj_atol, method=adj_method, options=dict(adj_options),
+            rtol=adj_rtol, atol=adj_atol, method=adj_method, options=opts,
         )
         aug1 = jax.tree.map(lambda x: x[-1], aug_path)
         # y is reset to the stored forward estimate at the next (earlier)

@@ -448,6 +448,48 @@ class CubicSpline(_InterpolationBase):
 NaturalCubicSpline = CubicSpline
 
 
+@struct.dataclass
+class TupleControl(_InterpolationBase):
+    """Batch several controls into one (reference torchcde misc.py:129-166):
+    ``evaluate``/``derivative`` return tuples, one entry per control.  All
+    controls must share the same interval; grid_points requires them to
+    share knots."""
+
+    controls: tuple
+
+    @classmethod
+    def create(cls, *controls):
+        if len(controls) == 0:
+            raise ValueError("Expected one or more controls to batch together.")
+        interval0 = np.asarray(controls[0].interval)
+        for c in controls[1:]:
+            if not np.allclose(np.asarray(c.interval), interval0):
+                raise ValueError("Can only batch together controls over the same interval.")
+        return cls(controls=tuple(controls))
+
+    @property
+    def t(self):
+        return self.controls[0].t
+
+    @property
+    def grid_points(self):
+        g0 = self.controls[0].grid_points
+        for c in self.controls[1:]:
+            if c.grid_points.shape != g0.shape:
+                raise RuntimeError("Batch of controls have different grid points.")
+        return g0
+
+    @property
+    def interval(self):
+        return self.controls[0].interval
+
+    def evaluate(self, t):
+        return tuple(c.evaluate(t) for c in self.controls)
+
+    def derivative(self, t):
+        return tuple(c.derivative(t) for c in self.controls)
+
+
 # ---------------------------------------------------------------------------
 # Smoothed linear interpolation (the paper's linear_cubic/quintic_smoothing)
 # ---------------------------------------------------------------------------

@@ -128,9 +128,20 @@ def _rms_norm(x: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.mean(jnp.square(x)))
 
 
-def _error_ratio(error, rtol, atol, y0, y1):
+def _weighted_rms_norm(x: jax.Array, weights: Optional[jax.Array]) -> jax.Array:
+    """RMS over the entries with nonzero weight — the reference's 'seminorm'
+    adjoint option ignores the parameter-gradient block of the augmented
+    state when controlling step size (adjoint.py:235-281)."""
+    if weights is None:
+        return _rms_norm(x)
+    total = jnp.sum(jnp.square(x * weights))
+    count = jnp.maximum(jnp.sum(weights != 0), 1)
+    return jnp.sqrt(total / count)
+
+
+def _error_ratio(error, rtol, atol, y0, y1, weights=None):
     tol = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return _rms_norm(error / tol)
+    return _weighted_rms_norm(error / tol, weights)
 
 
 def _optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
@@ -347,6 +358,93 @@ def _fixed_grid_integrate(func, y0, t, args, method, substeps=1, remat=False):
 
 
 # ---------------------------------------------------------------------------
+# Adams-Bashforth(-Moulton) multistep (reference fixed_adams.py's role:
+# fixed-step predictor/corrector; order 4 with RK4 bootstrap, uniform grid)
+# ---------------------------------------------------------------------------
+
+def _adams_integrate(func, y0, t, args, substeps: int, correct: bool):
+    n_out = t.shape[0]
+    n_steps = (n_out - 1) * substeps
+    h_t = (t[-1] - t[0]) / n_steps          # assumes uniform output grid
+    h = jnp.asarray(h_t).astype(y0.dtype)
+
+    def rk4_step(tt, y):
+        y_new, _ = _rk4_38_step(func, tt, h_t, y, args)
+        return y_new
+
+    def body(carry, i):
+        y, hist = carry                      # hist: (4, ...) latest first
+        tt = t[0] + i * h_t
+        f_n = func(tt, y, args)
+        hist = jnp.concatenate([f_n[None], hist[:-1]], axis=0)
+
+        def bootstrap(_):
+            return rk4_step(tt, y)
+
+        def adams(_):
+            f0, f1, f2, f3 = hist[0], hist[1], hist[2], hist[3]
+            y_pred = y + h / 24.0 * (55.0 * f0 - 59.0 * f1 + 37.0 * f2 - 9.0 * f3)
+            if not correct:
+                return y_pred
+            f_pred = func(tt + h_t, y_pred, args)
+            return y + h / 24.0 * (9.0 * f_pred + 19.0 * f0 - 5.0 * f1 + f2)
+
+        y_new = jax.lax.cond(i < 3, bootstrap, adams, None)
+        return (y_new, hist), y_new
+
+    hist0 = jnp.zeros((4,) + y0.shape, y0.dtype)
+    (_, _), ys = jax.lax.scan(body, (y0, hist0), jnp.arange(n_steps))
+    ys = jnp.concatenate([y0[None], ys], axis=0)[::substeps]
+    nfe = n_steps * ((2 if correct else 1) + 1) + 3 * 3  # approx: bootstrap extra
+    stats = {
+        "nfe": jnp.asarray(nfe, jnp.int32),
+        "accepted": jnp.asarray(n_steps, jnp.int32),
+        "rejected": jnp.asarray(0, jnp.int32),
+    }
+    return ys, stats
+
+
+# ---------------------------------------------------------------------------
+# SciPy host fallback (reference scipy_wrapper.py:9-56) — not jittable.
+# ---------------------------------------------------------------------------
+
+def _scipy_integrate(func, y0, t, args, rtol, atol, options):
+    import numpy as onp
+    from scipy.integrate import solve_ivp
+
+    shape = y0.shape
+    dtype = y0.dtype
+    nfe = [0]
+
+    def np_func(tt, yy):
+        nfe[0] += 1
+        out = func(jnp.asarray(tt, dtype), jnp.asarray(yy.reshape(shape), dtype), args)
+        return onp.asarray(out, onp.float64).reshape(-1)
+
+    t_np = onp.asarray(t, onp.float64)
+    kwargs = {}
+    if "max_step" in options:
+        kwargs["max_step"] = float(options["max_step"])
+    sol = solve_ivp(
+        np_func,
+        t_span=(t_np[0], t_np[-1]),
+        y0=onp.asarray(y0, onp.float64).reshape(-1),
+        t_eval=t_np,
+        method=options.get("solver", "LSODA"),
+        rtol=rtol,
+        atol=atol,
+        **kwargs,
+    )
+    ys = jnp.asarray(sol.y.T.reshape((len(t_np),) + shape), dtype)
+    stats = {
+        "nfe": jnp.asarray(nfe[0], jnp.int32),
+        "accepted": jnp.asarray(len(sol.t), jnp.int32),
+        "rejected": jnp.asarray(0, jnp.int32),
+    }
+    return ys, stats
+
+
+# ---------------------------------------------------------------------------
 # Adaptive solver (reference rk_common.py:216-305 semantics incl. the
 # min_step/max_step modification, as lax.while_loop)
 # ---------------------------------------------------------------------------
@@ -367,6 +465,7 @@ def _adaptive_integrate(
     func, y0, t, args, tableau: ButcherTableau,
     rtol, atol, min_step, max_step, first_step,
     safety, ifactor, dfactor, max_num_steps, step_t=None, jump_t=None,
+    error_weights=None,
 ):
     dtype = y0.dtype
     t = t.astype(dtype)
@@ -420,7 +519,7 @@ def _adaptive_integrate(
             dt = t1 - t0
 
         y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t0, dt, tableau, args)
-        ratio = _error_ratio(err, rtol, atol, s.y1, y1)
+        ratio = _error_ratio(err, rtol, atol, s.y1, y1, error_weights)
         accept = ratio <= 1.0
         # Reference min/max-step semantics (rk_common.py:272-276):
         accept = jnp.where(dt > max_step_a, False, accept)
@@ -515,6 +614,13 @@ def odeint(
             else:
                 substeps = 1
         ys, stats = _fixed_grid_integrate(func, y0, t, args, method, substeps, remat)
+    elif method in ("explicit_adams", "implicit_adams"):
+        substeps = int(options.pop("substeps", 1))
+        ys, stats = _adams_integrate(
+            func, y0, t, args, substeps, correct=method == "implicit_adams"
+        )
+    elif method == "scipy_solver":
+        ys, stats = _scipy_integrate(func, y0, t, args, rtol, atol, options)
     elif method in ADAPTIVE_METHODS:
         ys, stats = _adaptive_integrate(
             func, y0, t, args, ADAPTIVE_METHODS[method],
@@ -528,6 +634,7 @@ def odeint(
             max_num_steps=int(options.pop("max_num_steps", 2**31 - 1)),
             step_t=options.pop("step_t", None),
             jump_t=options.pop("jump_t", None),
+            error_weights=options.pop("error_weights", None),
         )
     else:
         raise ValueError(f"Unknown method {method!r}")
@@ -538,3 +645,113 @@ def odeint(
     if return_stats:
         return ys, stats
     return ys
+
+
+# ---------------------------------------------------------------------------
+# Event handling (reference event_handling.py:5-35, odeint.py:93-127)
+# ---------------------------------------------------------------------------
+
+def combine_event_functions(event_fn, t0, y0):
+    """Fold a vector-valued event function into a scalar one whose first
+    zero-crossing is the first crossing of any component (signs normalised
+    at (t0, y0) — reference event_handling.py:20-35)."""
+    signs0 = jnp.sign(event_fn(t0, y0))
+
+    def combined(t, y):
+        return jnp.min(signs0 * event_fn(t, y))
+
+    return combined
+
+
+def odeint_event(
+    func,
+    y0: jax.Array,
+    t0,
+    event_fn,
+    args=None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    method: str = "dopri5",
+    options: Optional[dict] = None,
+    bisection_iters: int = 40,
+):
+    """Integrate until ``event_fn(t, y)`` crosses zero; returns
+    ``(event_t, y_event)``.  The crossing is located by bisection on the
+    solver's dense output (reference find_event, event_handling.py:5-17).
+    Vector-valued event functions are combined with
+    :func:`combine_event_functions`.
+    """
+    options = dict(options or {})
+    if method not in ADAPTIVE_METHODS:
+        raise ValueError("odeint_event requires an adaptive method")
+    tableau = ADAPTIVE_METHODS[method]
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    rtol_a = jnp.asarray(rtol, dtype)
+    atol_a = jnp.asarray(atol, dtype)
+    min_step = jnp.asarray(float(options.get("min_step", 0.0)), dtype)
+    max_step = jnp.asarray(float(options.get("max_step", float("inf"))), dtype)
+    safety = jnp.asarray(float(options.get("safety", 0.9)), dtype)
+    ifactor = jnp.asarray(float(options.get("ifactor", 10.0)), dtype)
+    dfactor = jnp.asarray(float(options.get("dfactor", 0.2)), dtype)
+    max_num_steps = int(options.get("max_num_steps", 2**20))
+    n_stages = len(tableau.c_sol)
+
+    probe = event_fn(t0, y0)
+    if probe.ndim > 0 and probe.size > 1:
+        event_fn = combine_event_functions(event_fn, t0, y0)
+    sign0 = jnp.sign(event_fn(t0, y0))
+
+    f0 = func(t0, y0, args)
+    dt0 = _select_initial_step(func, t0, y0, tableau.order - 1, rtol_a, atol_a, f0, args)
+    state0 = _RKState(
+        y1=y0, f1=f0, t0=t0, t1=t0, dt=jnp.clip(dt0, min_step, max_step),
+        interp=jnp.stack([jnp.zeros_like(y0)] * 4 + [y0]),
+        nfe=jnp.asarray(2, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+        rejected=jnp.asarray(0, jnp.int32),
+    )
+
+    def adaptive_step(s: _RKState) -> _RKState:
+        t_l, dt = s.t1, s.dt
+        y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t_l, dt, tableau, args)
+        ratio = _error_ratio(err, rtol_a, atol_a, s.y1, y1)
+        accept = ratio <= 1.0
+        accept = jnp.where(dt > max_step, False, accept)
+        accept = jnp.where(dt <= min_step, True, accept)
+        interp = _fit_from_stages(s.y1, y1, k, dt, tableau)
+        dt_next = jnp.clip(
+            _optimal_step_size(dt, ratio, safety, ifactor, dfactor, tableau.order),
+            min_step, max_step,
+        )
+        return _RKState(
+            y1=jnp.where(accept, y1, s.y1),
+            f1=jnp.where(accept, f1, s.f1),
+            t0=jnp.where(accept, t_l, s.t0),
+            t1=jnp.where(accept, t_l + dt, s.t1),
+            dt=dt_next,
+            interp=jnp.where(accept, interp, s.interp),
+            nfe=s.nfe + n_stages - 1,
+            accepted=s.accepted + accept.astype(jnp.int32),
+            rejected=s.rejected + (~accept).astype(jnp.int32),
+        )
+
+    def cond(s):
+        same_sign = jnp.sign(event_fn(s.t1, s.y1)) == sign0
+        return same_sign & (s.accepted + s.rejected < max_num_steps)
+
+    s = jax.lax.while_loop(cond, adaptive_step, state0)
+
+    # Bisection on the dense output within the crossing step.
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        y_mid = _interp_evaluate(s.interp, s.t0, s.t1, mid)
+        same = jnp.sign(event_fn(mid, y_mid)) == sign0
+        return (jnp.where(same, mid, lo), jnp.where(same, hi, mid)), None
+
+    (lo, hi), _ = jax.lax.scan(bisect, (s.t0, s.t1), None, length=bisection_iters)
+    event_t = 0.5 * (lo + hi)
+    y_event = _interp_evaluate(s.interp, s.t0, s.t1, event_t)
+    return event_t, y_event

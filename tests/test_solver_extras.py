@@ -1,0 +1,157 @@
+"""Tests for the extended solver inventory: Adams multistep, scipy host
+fallback, event handling, seminorm adjoint, TupleControl (reference
+fixed_adams.py / scipy_wrapper.py / event_handling.py / adjoint.py:235-281 /
+misc.py:129-166 roles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_neural_cdes_tpu.ops.cdeint import cdeint, odeint_adjoint
+from online_neural_cdes_tpu.ops.interpolation import (
+    LinearInterpolation,
+    TupleControl,
+    linear_interpolation_coeffs,
+)
+from online_neural_cdes_tpu.ops.solvers import combine_event_functions, odeint, odeint_event
+
+
+def decay(t, y, args):
+    return -y
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_accuracy(method):
+    y0 = jnp.array([1.0, 2.0])
+    t = jnp.linspace(0.0, 2.0, 5)
+    ys = odeint(decay, y0, t, method=method, options={"substeps": 8})
+    expected = np.asarray(y0)[None] * np.exp(-np.asarray(t))[:, None]
+    np.testing.assert_allclose(np.asarray(ys), expected, rtol=2e-4)
+    # The corrector is more accurate than the predictor alone.
+    coarse_e = odeint(decay, y0, t, method="explicit_adams", options={"substeps": 2})
+    coarse_i = odeint(decay, y0, t, method="implicit_adams", options={"substeps": 2})
+    err_e = abs(float(coarse_e[-1, 0]) - np.exp(-2.0))
+    err_i = abs(float(coarse_i[-1, 0]) - np.exp(-2.0))
+    assert err_i < err_e
+
+
+def test_scipy_solver_wrapper():
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 3.0, 7)
+    ys, stats = odeint(
+        decay, y0, t, method="scipy_solver", rtol=1e-8, atol=1e-10,
+        options={"solver": "RK45"}, return_stats=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys)[:, 0], np.exp(-np.asarray(t)), rtol=1e-5
+    )
+    assert int(stats["nfe"]) > 0
+
+
+def test_odeint_event_linear_crossing():
+    """dy/dt = -1 from y=1: event y=0 fires at t=1."""
+    def f(t, y, args):
+        return -jnp.ones_like(y)
+
+    def event(t, y):
+        return y[0]
+
+    event_t, y_event = odeint_event(
+        f, jnp.array([1.0]), 0.0, event, method="dopri5", rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(float(event_t), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(y_event[0]), 0.0, atol=1e-6)
+
+
+def test_odeint_event_nonlinear():
+    """Exponential decay hits 0.5 at t = ln 2."""
+    def event(t, y):
+        return y[0] - 0.5
+
+    event_t, _ = odeint_event(
+        decay, jnp.array([1.0]), 0.0, event, method="dopri5", rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(float(event_t), np.log(2.0), atol=1e-6)
+
+
+def test_combine_event_functions():
+    def events(t, y):
+        return jnp.array([y[0] - 0.25, 0.75 - y[0]])  # second starts negative? no: y0=1 -> 0.75-1=-0.25
+
+    # Signs normalised at t0 so the combination starts positive; first
+    # crossing of either component fires.
+    def f(t, y, args):
+        return -jnp.ones_like(y)
+
+    event_t, _ = odeint_event(
+        f, jnp.array([1.0]), 0.0, events, method="dopri5", rtol=1e-8, atol=1e-10
+    )
+    # y(t) = 1 - t; component 2 (0.75 - y) starts at -0.25 -> normalised;
+    # crosses zero at t=0.25; component 1 crosses at t=0.75.
+    np.testing.assert_allclose(float(event_t), 0.25, atol=1e-5)
+
+
+def test_seminorm_adjoint_gradients_close():
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(3, 3)) * 0.3)
+    y0 = jnp.asarray(rng.normal(size=(2, 3)))
+    t = jnp.linspace(0.0, 2.0, 4)
+
+    def f(tt, y, args):
+        return jnp.tanh(y @ args)
+
+    def loss(norm_opts):
+        def inner(y0_, W_):
+            ys = odeint_adjoint(
+                f, y0_, t, W_, rtol=1e-8, atol=1e-10, method="dopri5",
+                adjoint_options=norm_opts,
+            )
+            return jnp.sum(ys ** 2)
+        return inner
+
+    g_full = jax.grad(loss(None), argnums=(0, 1))(y0, W)
+    g_semi = jax.grad(loss({"norm": "seminorm"}), argnums=(0, 1))(y0, W)
+    for a, b in zip(g_full, g_semi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_tuple_control_cdeint():
+    rng = np.random.default_rng(1)
+    B, L = 3, 6
+    x1 = rng.normal(size=(B, L, 2)).astype(np.float32)
+    x2 = rng.normal(size=(B, L, 3)).astype(np.float32)
+    X = TupleControl.create(
+        LinearInterpolation.create(linear_interpolation_coeffs(jnp.asarray(x1))),
+        LinearInterpolation.create(linear_interpolation_coeffs(jnp.asarray(x2))),
+    )
+    assert len(X.evaluate(1.5)) == 2
+    H = 4
+    W1 = jnp.asarray(rng.normal(size=(H, H * 2)) * 0.1)
+    W2 = jnp.asarray(rng.normal(size=(H, H * 3)) * 0.1)
+
+    def func(t, z, args):
+        w1, w2 = args
+        m1 = jnp.tanh(z @ w1).reshape(z.shape[:-1] + (H, 2))
+        m2 = jnp.tanh(z @ w2).reshape(z.shape[:-1] + (H, 3))
+        return (m1, m2)
+
+    z0 = jnp.zeros((B, H))
+    zs = cdeint(X, func, z0, X.grid_points, (W1, W2), adjoint=False, method="dopri5")
+    assert zs.shape == (B, L, H)
+    assert np.isfinite(np.asarray(zs)).all()
+
+    # Equivalent to a single control with concatenated channels and a
+    # block-concatenated field.
+    x_cat = np.concatenate([x1, x2], axis=-1)
+    Xc = LinearInterpolation.create(linear_interpolation_coeffs(jnp.asarray(x_cat)))
+
+    def func_cat(t, z, args):
+        w1, w2 = args
+        m1 = jnp.tanh(z @ w1).reshape(z.shape[:-1] + (H, 2))
+        m2 = jnp.tanh(z @ w2).reshape(z.shape[:-1] + (H, 3))
+        return jnp.concatenate([m1, m2], axis=-1)
+
+    zs_cat = cdeint(Xc, func_cat, z0, Xc.grid_points, (W1, W2), adjoint=False,
+                    method="dopri5")
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(zs_cat), rtol=1e-4, atol=1e-6)
