@@ -80,11 +80,13 @@ def _coeff_fn(method: str):
     raise ValueError(method)
 
 
-def interpolate(data, method: str = "linear", initial_nan_to_zero: bool = True):
+def interpolate(data, method: str = "linear", initial_nan_to_zero: bool = True,
+                use_native: bool = True):
     """Coefficient transformer (reference transformers.py:7-76): per-method
     coeff builder with the causal initial-NaN->0 fill.  Accepts an array
-    (N, L, C) or a ragged list; ragged inputs are grouped by length so each
-    length compiles once."""
+    (N, L, C) or a ragged list.  Ragged corpora prefer the native C++
+    library (data/native.py — one threaded pass, no per-length compiles)
+    and otherwise group by length so each length compiles once."""
     fn = _coeff_fn(method)
 
     def one_batch(arr):
@@ -98,6 +100,11 @@ def interpolate(data, method: str = "linear", initial_nan_to_zero: bool = True):
     if isinstance(data, np.ndarray) and data.ndim == 3:
         return one_batch(data)
 
+    if use_native:
+        native_out = _interpolate_native(data, method, initial_nan_to_zero)
+        if native_out is not None:
+            return native_out
+
     lengths = [len(d) for d in data]
     out: List[Optional[np.ndarray]] = [None] * len(data)
     for length in sorted(set(lengths)):
@@ -107,6 +114,33 @@ def interpolate(data, method: str = "linear", initial_nan_to_zero: bool = True):
         for j, i in enumerate(idxs):
             out[i] = coeffs[j]
     return out
+
+
+def _interpolate_native(data, method: str, initial_nan_to_zero: bool):
+    """Ragged fast path through csrc/preprocess.cpp; None if unavailable."""
+    try:
+        from online_neural_cdes_tpu.data import native
+    except Exception:
+        return None
+    if method not in ("linear", "rectilinear", "linear_forward_fill", "cubic"):
+        return None
+    if not native.available():
+        return None
+    series = []
+    for d in data:
+        d = np.array(d, dtype=np.float32, copy=True)
+        if initial_nan_to_zero:
+            row = d[:1, :]
+            row[np.isnan(row)] = 0.0
+        series.append(d)
+    if method == "cubic":
+        return native.natural_cubic_ragged(series)
+    if method == "rectilinear":
+        series = native.rectilinear_ragged(series, time_index=0)
+        return native.linear_fill_ragged(series)
+    if method == "linear_forward_fill":
+        series = native.forward_fill_ragged(series)
+    return native.linear_fill_ragged(series)
 
 
 def train_val_test_indices(length: int, stratification_labels=None,

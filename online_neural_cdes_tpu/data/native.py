@@ -1,0 +1,157 @@
+"""ctypes bindings for the native C++ preprocessing library (csrc/
+preprocess.cpp): ragged forward fill, linear NaN infill, rectilinear
+preparation, natural-cubic coefficient construction and GRU-D delta/mask —
+one pass per series, threaded over series, no per-length XLA compiles.
+
+``build()`` compiles the shared library with g++ on first use; every entry
+point has a pure-Python fallback path in ``data/common.py`` /
+``ops/interpolation.py``, so the framework works unbuilt.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "build",
+    "forward_fill_ragged",
+    "linear_fill_ragged",
+    "rectilinear_ragged",
+    "natural_cubic_ragged",
+    "delta_mask_ragged",
+]
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(os.path.dirname(_HERE), "csrc", "preprocess.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_HERE), "csrc", "libncde_preprocess.so")
+_lib: Optional[ctypes.CDLL] = None
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def build(force: bool = False) -> str:
+    """Compile the shared library (g++, -O3)."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _LIB_PATH, "-pthread",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            build()
+        lib = ctypes.CDLL(_LIB_PATH)
+    except Exception:
+        return None
+    lib.ncde_forward_fill.argtypes = [_f32p, _i64p, ctypes.c_int64, ctypes.c_int64]
+    lib.ncde_linear_fill.argtypes = [_f32p, _f64p, _i64p, ctypes.c_int64, ctypes.c_int64]
+    lib.ncde_rectilinear.argtypes = [
+        _f32p, _f32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64
+    ]
+    lib.ncde_natural_cubic.argtypes = [
+        _f32p, _f64p, _f32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64
+    ]
+    lib.ncde_delta_mask.argtypes = [_f32p, _f32p, _f32p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ragged_pack(series: Sequence[np.ndarray]):
+    lengths = np.asarray([len(s) for s in series], np.int64)
+    offsets = np.zeros(len(series) + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.concatenate([np.ascontiguousarray(s, np.float32) for s in series])
+    return flat, offsets
+
+
+def _unpack(flat: np.ndarray, offsets: np.ndarray) -> List[np.ndarray]:
+    return [flat[offsets[i]: offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+
+def _times_for(series, offsets):
+    return np.concatenate(
+        [np.arange(offsets[i + 1] - offsets[i], dtype=np.float64)
+         for i in range(len(offsets) - 1)]
+    )
+
+
+def forward_fill_ragged(series: Sequence[np.ndarray]) -> List[np.ndarray]:
+    lib = _load()
+    flat, offsets = _ragged_pack(series)
+    lib.ncde_forward_fill(flat, offsets, len(series), flat.shape[-1])
+    return _unpack(flat, offsets)
+
+
+def linear_fill_ragged(series: Sequence[np.ndarray],
+                       times: Optional[Sequence[np.ndarray]] = None) -> List[np.ndarray]:
+    lib = _load()
+    flat, offsets = _ragged_pack(series)
+    if times is None:
+        t = _times_for(series, offsets)
+    else:
+        t = np.concatenate([np.asarray(x, np.float64) for x in times])
+    lib.ncde_linear_fill(flat, np.ascontiguousarray(t), offsets, len(series),
+                         flat.shape[-1])
+    return _unpack(flat, offsets)
+
+
+def rectilinear_ragged(series: Sequence[np.ndarray], time_index: int = 0) -> List[np.ndarray]:
+    lib = _load()
+    flat, offsets = _ragged_pack(series)
+    out_lengths = 2 * np.diff(offsets) - 1
+    out_offsets = np.zeros(len(series) + 1, np.int64)
+    np.cumsum(out_lengths, out=out_offsets[1:])
+    out = np.empty((out_offsets[-1], flat.shape[-1]), np.float32)
+    lib.ncde_rectilinear(flat, out, offsets, out_offsets, len(series),
+                         flat.shape[-1], time_index)
+    return _unpack(out, out_offsets)
+
+
+def natural_cubic_ragged(series: Sequence[np.ndarray],
+                         times: Optional[Sequence[np.ndarray]] = None) -> List[np.ndarray]:
+    """Packed [a|b|two_c|three_d] coefficients per series, rows = len-1."""
+    lib = _load()
+    flat, offsets = _ragged_pack(series)
+    channels = flat.shape[-1]
+    if times is None:
+        t = _times_for(series, offsets)
+    else:
+        t = np.concatenate([np.asarray(x, np.float64) for x in times])
+    piece_lengths = np.diff(offsets) - 1
+    piece_offsets = np.zeros(len(series) + 1, np.int64)
+    np.cumsum(piece_lengths, out=piece_offsets[1:])
+    coeffs = np.zeros((piece_offsets[-1], 4 * channels), np.float32)
+    lib.ncde_natural_cubic(flat, np.ascontiguousarray(t), coeffs, offsets,
+                           piece_offsets, len(series), channels)
+    return _unpack(coeffs, piece_offsets)
+
+
+def delta_mask_ragged(series: Sequence[np.ndarray]):
+    """GRU-D time-since-last-observation deltas + masks (time channel 0)."""
+    lib = _load()
+    flat, offsets = _ragged_pack(series)
+    delta = np.zeros_like(flat)
+    mask = np.zeros_like(flat)
+    lib.ncde_delta_mask(flat, delta, mask, offsets, len(series), flat.shape[-1])
+    return _unpack(delta, offsets), _unpack(mask, offsets)
