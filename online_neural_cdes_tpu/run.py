@@ -1,0 +1,59 @@
+"""Command-line sweep runner.
+
+The analogue of reference experiments/runs.py's ``__main__`` (runs.py:76-101)
+without GNU parallel or MongoDB: suites run re-entrantly against the local
+ledger; shard the config list across hosts with --shard/--num-shards.
+
+    python -m online_neural_cdes_tpu.run toy --test-mode
+    python -m online_neural_cdes_tpu.run medical-sota --data-root data/processed
+    python -m online_neural_cdes_tpu.run --analyse medical-sota
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("run_name", help="suite name from configurations.json5")
+    ap.add_argument("--data-root", default="data/processed")
+    ap.add_argument("--ledger", default="results/ledger.jsonl")
+    ap.add_argument("--config-dir", default=None)
+    ap.add_argument("--test-mode", action="store_true")
+    ap.add_argument("--shard", type=int, default=0)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--analyse", action="store_true",
+                    help="print seed-averaged tables instead of running")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    if args.analyse:
+        from online_neural_cdes_tpu.training.analyse import metric_table, nfe_table
+        from online_neural_cdes_tpu.training.ledger import Ledger
+
+        ledger = Ledger(args.ledger)
+        print(metric_table(ledger, args.run_name))
+        print(nfe_table(ledger, args.run_name))
+        return
+
+    from online_neural_cdes_tpu.training.sweep import run
+
+    completed = run(
+        args.run_name,
+        ledger_path=args.ledger,
+        data_root=args.data_root,
+        config_dir=args.config_dir,
+        test_mode=args.test_mode,
+        shard_index=args.shard,
+        num_shards=args.num_shards,
+        verbose=args.verbose,
+    )
+    print(f"completed {len(completed)} configs")
+
+
+if __name__ == "__main__":
+    main()

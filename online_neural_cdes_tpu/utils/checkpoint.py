@@ -1,0 +1,65 @@
+"""Checkpoint/resume for parameter + optimiser pytrees.
+
+The reference checkpoints only transiently: ignite's best-by-metric
+``state_dict`` into a TemporaryDirectory that is deleted after test eval
+(reference experiments/ingredients/trainer.py:437-443,211) — resume exists
+only at sweep granularity.  Here checkpoints persist: orbax (the TPU
+ecosystem standard) when importable, otherwise a self-contained
+npz-of-leaves format; both round-trip arbitrary pytrees of arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+
+def _try_orbax():
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp
+    except Exception:
+        return None
+
+
+def save_checkpoint(path: str, state: Any, *, use_orbax: Optional[bool] = None) -> str:
+    """Persist a pytree.  ``path`` is a directory (orbax) or gets ``.npz``
+    appended (fallback)."""
+    ocp = _try_orbax() if use_orbax in (None, True) else None
+    if ocp is not None and use_orbax is not False:
+        path = os.path.abspath(path)
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path, state, force=True)
+        checkpointer.wait_until_finished()
+        return path
+
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    file_path = path if path.endswith(".npz") else path + ".npz"
+    os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
+    np.savez(
+        file_path,
+        __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    return file_path
+
+
+def load_checkpoint(path: str, like: Any) -> Any:
+    """Restore a pytree with the structure/dtypes of ``like``."""
+    ocp = _try_orbax()
+    if os.path.isdir(path) and ocp is not None:
+        checkpointer = ocp.StandardCheckpointer()
+        return checkpointer.restore(os.path.abspath(path), like)
+
+    file_path = path if path.endswith(".npz") else path + ".npz"
+    npz = np.load(file_path, allow_pickle=False)
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    leaves = [np.asarray(npz[f"leaf_{i}"]) for i in range(len(leaves_like))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
