@@ -72,14 +72,15 @@ def bench_jax(x, y, epochs=10):
     ]
     # Warm up (compile) + one full epoch to stabilise caches.
     params, opt_state, loss = step(params, opt_state, *batches[0])
-    jax.block_until_ready(loss)
+    float(loss)  # NOTE: on the experimental axon backend block_until_ready
+    # does not reliably block; a host transfer is the only true sync.
 
     times = []
     for _ in range(epochs):
         t0 = time.perf_counter()
         for c, l in batches:
             params, opt_state, loss = step(params, opt_state, c, l)
-        jax.block_until_ready((params, loss))
+        float(loss)  # chains through every update of the epoch
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), float(loss)
 
@@ -153,9 +154,44 @@ def bench_torch(x, y, epochs=1):
     return (time.perf_counter() - t0) / epochs, float(loss)
 
 
+def bench_flagship_step(n=10):
+    """MIMIC-scale online NCDE training step (B=512, 100 knots ->
+    rectilinear length 199, H=HH=128, C=21, adjoint rk4, fused kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.training.loop import init_adam_state, make_train_step
+
+    B, L, C, H = 512, 100, 21, 128
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
+        hidden_hidden_dim=H, num_layers=2, interpolation="rectilinear",
+        return_sequences=True, adjoint=True, solver="rk4", solver_unroll=4,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    static = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = init_adam_state(params)
+    step = make_train_step(model, loss="bce", lr=5e-4, donate=False)
+    params, opt_state, loss = step(params, opt_state, (static, coeffs), labels, 1.0)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = step(params, opt_state, (static, coeffs), labels, 1.0)
+    float(loss)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
 def main():
     x, y = _make_data()
     jax_epoch_s, jax_loss = bench_jax(x, y)
+    flagship_ms = bench_flagship_step()
     try:
         torch_epoch_s, _ = bench_torch(x, y)
     except Exception:
@@ -175,6 +211,7 @@ def main():
                     "from-scratch torch (CPU, same host) implementation of the "
                     "identical algorithm; reference published no GPU numbers"
                 ),
+                "flagship_mimic_scale_step_ms": round(flagship_ms, 2),
             }
         )
     )

@@ -79,6 +79,8 @@ class NeuralCDE:
     # Use the fused Pallas trunk->head->contraction kernel on TPU for the
     # original/matmul field (ops/kernels.py); identical math elsewhere.
     fused: bool = True
+    # Unroll factor for the interval scans (compile time vs step time).
+    solver_unroll: int = 1
 
     def __post_init__(self):
         assert self.interpolation in SPLINES, self.interpolation
@@ -110,7 +112,10 @@ class NeuralCDE:
         """Reference presets, ncde.py:129-134."""
         if self.solver == "dopri5":
             return dict(atol=1e-5, rtol=1e-3, options={"min_step": 0.5})
-        return dict(atol=1e-5, rtol=1e-3, options={"step_size": 1})
+        return dict(
+            atol=1e-5, rtol=1e-3,
+            options={"step_size": 1, "unroll": self.solver_unroll},
+        )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         k_field, k_init, k_final = jax.random.split(key, 3)

@@ -144,7 +144,8 @@ def _piece_field(spline_cls, func, vector_field_type: str):
 # Fixed-grid piece-scan solve
 # ---------------------------------------------------------------------------
 
-def _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat):
+def _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat,
+                        unroll=1):
     step = solvers.tree_fixed_step(method)
 
     def interval(z, inp):
@@ -154,26 +155,30 @@ def _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat):
         def f(tt, zz):
             return pf(piece, tt, tt - t0, zz, args)
 
-        def sub(z, k):
-            return step(f, t0 + k * dt, dt, z), None
+        if substeps == 1:
+            z = step(f, t0, dt, z)
+        else:
+            def sub(z, k):
+                return step(f, t0 + k * dt, dt, z), None
 
-        z, _ = jax.lax.scan(sub, z, jnp.arange(substeps))
+            z, _ = jax.lax.scan(sub, z, jnp.arange(substeps))
         return z, z
 
     if remat:
         interval = jax.checkpoint(interval)
 
     xs = (pieces, grid_t[:-1], grid_t[1:])
-    _, zs = jax.lax.scan(interval, z0, xs)
+    _, zs = jax.lax.scan(interval, z0, xs, unroll=unroll)
     return jnp.concatenate([z0[None], zs], axis=0)  # (L, ..., H)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fixed_cde_adjoint(bundle, cfg, z0, grid_t, pieces, args):
     spline_cls, func = bundle
-    vf_type, method, substeps = cfg
+    vf_type, method, substeps, unroll = cfg
     pf = _piece_field(spline_cls, func, vf_type)
-    return _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, False)
+    return _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps,
+                               False, unroll)
 
 
 def _fixed_cde_adjoint_fwd(bundle, cfg, z0, grid_t, pieces, args):
@@ -183,7 +188,7 @@ def _fixed_cde_adjoint_fwd(bundle, cfg, z0, grid_t, pieces, args):
 
 def _fixed_cde_adjoint_bwd(bundle, cfg, residuals, grad_zs):
     spline_cls, func = bundle
-    vf_type, method, substeps = cfg
+    vf_type, method, substeps, unroll = cfg
     pf = _piece_field(spline_cls, func, vf_type)
     zs, grid_t, pieces, args = residuals
     step = solvers.tree_fixed_step(method)
@@ -222,7 +227,7 @@ def _fixed_cde_adjoint_bwd(bundle, cfg, residuals, grad_zs):
     )
     a0 = jnp.zeros_like(zs[0])
     (a_final, args_bar), piece_bars = jax.lax.scan(
-        interval_bwd, (a0, zero_args), xs, reverse=True
+        interval_bwd, (a0, zero_args), xs, reverse=True, unroll=unroll
     )
     a_final = a_final + grad_zs[0]
     return a_final, jnp.zeros_like(grid_t), piece_bars, args_bar
@@ -407,13 +412,15 @@ def cdeint(
     if use_piece_scan:
         substeps = _resolve_substeps(options, grid_t)
         remat = bool(options.get("remat", False))
+        unroll = int(options.get("unroll", 1))
         pieces = X.piece_data()
-        cfg = (vector_field_type, method, substeps)
+        cfg = (vector_field_type, method, substeps, unroll)
         if adjoint:
             zs = _fixed_cde_adjoint((type(X), func), cfg, z0, grid_t, pieces, args)
         else:
             pf = _piece_field(type(X), func, vector_field_type)
-            zs = _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat)
+            zs = _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps,
+                                     remat, unroll)
         if t.shape[0] == 2 and n_knots != 2:
             zs = jnp.stack([zs[0], zs[-1]])
         if return_stats:
