@@ -108,20 +108,43 @@ def build_tsr(dataset: str, root: str = "data/processed",
     return save_processed(processed, targets, os.path.join(root, f"TSR/{dataset}"))
 
 
+SPEECH_CLASSES = ("yes", "no", "up", "down", "left", "right", "on", "off",
+                  "stop", "go")
+
+
 def build_speech_commands(root: str = "data/processed",
                           raw_dir: str = "data/raw/SpeechCommands"):
-    """SpeechCommands MFCC dataset (reference get_data/download/
-    speech_commands.py computes 20 MFCC channels at length 89 over ten
-    classes).  Requires the raw google speech-commands archive on disk plus
-    torchaudio for the MFCC transform."""
+    """SpeechCommands MFCC dataset: ten classes, 16 kHz one-second clips,
+    10 MFCC channels (reference get_data/download/speech_commands.py:80-115
+    — its torchaudio MFCC replaced by the numpy implementation in
+    data/audio.py).  Requires the extracted speech_commands_v0.02 archive
+    under ``raw_dir`` (zero-egress image: download externally)."""
+    from scipy.io import wavfile
+
+    from online_neural_cdes_tpu.data.audio import mfcc
+
     if not os.path.isdir(raw_dir):
         raise FileNotFoundError(
             f"SpeechCommands raw audio not found under {raw_dir} "
             "(zero-egress environment)."
         )
-    raise NotImplementedError(
-        "MFCC preprocessing requires torchaudio, which is not in this "
-        "image; precompute data_len=89.npz offline as the reference does."
+    clips, labels = [], []
+    for y, cls in enumerate(SPEECH_CLASSES):
+        folder = os.path.join(raw_dir, cls)
+        for fname in sorted(os.listdir(folder)):
+            if not fname.endswith(".wav"):
+                continue
+            _, audio = wavfile.read(os.path.join(folder, fname))
+            if len(audio) != 16000:  # discard short clips like the reference
+                continue
+            clips.append(audio.astype(np.float32) / 2**15)
+            labels.append(y)
+    feats = mfcc(np.stack(clips))                 # (N, frames, 10)
+    labels = np.asarray(labels, np.float32)
+    temporal = add_time(feats)
+    processed = process_all_interpolations(None, temporal, labels.astype(np.int64))
+    return save_processed(
+        processed, labels, os.path.join(root, "SpeechCommands/SpeechCommands")
     )
 
 

@@ -150,16 +150,27 @@ def train_val_test_indices(length: int, stratification_labels=None,
 
     idxs = np.arange(length)
     strat = None if stratification_labels is None else np.asarray(stratification_labels)
-    train, rest = train_test_split(
-        idxs, test_size=fractions[1] + fractions[2], random_state=seed, stratify=strat
-    )
-    rest_strat = None if strat is None else strat[rest]
-    val, test = train_test_split(
-        rest,
-        test_size=fractions[2] / (fractions[1] + fractions[2]),
-        random_state=seed,
-        stratify=rest_strat,
-    )
+    try:
+        train, rest = train_test_split(
+            idxs, test_size=fractions[1] + fractions[2], random_state=seed,
+            stratify=strat,
+        )
+        rest_strat = None if strat is None else strat[rest]
+        val, test = train_test_split(
+            rest,
+            test_size=fractions[2] / (fractions[1] + fractions[2]),
+            random_state=seed,
+            stratify=rest_strat,
+        )
+    except ValueError:
+        # Stratification infeasible (tiny datasets / rare classes).
+        train, rest = train_test_split(
+            idxs, test_size=fractions[1] + fractions[2], random_state=seed
+        )
+        val, test = train_test_split(
+            rest, test_size=fractions[2] / (fractions[1] + fractions[2]),
+            random_state=seed,
+        )
     return train, val, test
 
 
