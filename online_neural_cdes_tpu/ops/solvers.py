@@ -52,6 +52,9 @@ class ButcherTableau:
     c_error: tuple          # (s,) error weights (solution - embedded)
     order: int              # order used by the step-size controller
     mid: Optional[tuple] = None   # optional dense-output midpoint weights
+    # DOP853-style blended error: when set, the ratio combines the 5th-order
+    # (c_error) and 3rd-order (c_error_alt) estimates as in Hairer's DOP853.
+    c_error_alt: Optional[tuple] = None
 
 
 DOPRI5 = ButcherTableau(
@@ -110,11 +113,37 @@ ADAPTIVE_HEUN = ButcherTableau(
     order=2,
 )
 
+def _dop853_tableau() -> ButcherTableau:
+    """Hairer's DOP853 (8th order, 12 stages + an FSAL-style 13th used by
+    the blended 5th/3rd-order error estimator).  Coefficients are taken
+    from scipy's published tables rather than retyped."""
+    from scipy.integrate._ivp import dop853_coefficients as dc
+
+    n = dc.N_STAGES  # 12
+    alpha = tuple(dc.C[1:n]) + (1.0,)
+    beta = tuple(tuple(dc.A[i][:i]) for i in range(1, n))
+    # 13th stage at t1 with the solution weights: k[12] = f(t1, y1).
+    beta = beta + (tuple(dc.B),)
+    c_sol = tuple(dc.B) + (0.0,)
+    return ButcherTableau(
+        alpha=alpha,
+        beta=beta,
+        c_sol=c_sol,
+        c_error=tuple(dc.E5),
+        c_error_alt=tuple(dc.E3),
+        order=8,
+    )
+
+
+DOP853 = _dop853_tableau()
+
 ADAPTIVE_METHODS = {
     "dopri5": DOPRI5,
     "bosh3": BOSH3,
     "fehlberg2": FEHLBERG2,
     "adaptive_heun": ADAPTIVE_HEUN,
+    "dopri8": DOP853,
+    "dop853": DOP853,
 }
 
 FIXED_METHODS = ("euler", "midpoint", "rk4")
@@ -485,6 +514,11 @@ def _adaptive_integrate(
         step_t = jnp.zeros((0,), dtype)
     else:
         step_t = jnp.sort(jnp.asarray(step_t, dtype))
+    if tableau.mid is None and tableau.order > 4:
+        # High-order tableau without a matching dense output (DOP853): land
+        # exactly on the requested times instead of interpolating with the
+        # (order-3) Hermite fallback.
+        step_t = jnp.sort(jnp.concatenate([step_t, t[1:]]))
     if jump_t is None:
         jump_t = jnp.zeros((0,), dtype)
     else:
@@ -519,7 +553,26 @@ def _adaptive_integrate(
             dt = t1 - t0
 
         y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t0, dt, tableau, args)
-        ratio = _error_ratio(err, rtol, atol, s.y1, y1, error_weights)
+        if tableau.c_error_alt is None:
+            ratio = _error_ratio(err, rtol, atol, s.y1, y1, error_weights)
+        else:
+            # DOP853 blended 5th/3rd-order error (Hairer; scipy semantics).
+            scale = atol + rtol * jnp.maximum(jnp.abs(s.y1), jnp.abs(y1))
+            err5 = (err / dt.astype(err.dtype)) / scale
+            err3 = sum(
+                c * kj for c, kj in zip(tableau.c_error_alt, k) if c != 0
+            ) / scale
+            w = error_weights if error_weights is not None else jnp.ones_like(err5)
+            n = jnp.maximum(jnp.sum(w != 0), 1).astype(err5.dtype)
+            e5 = jnp.sum(jnp.square(err5 * w))
+            e3 = jnp.sum(jnp.square(err3 * w))
+            denom = e5 + 0.01 * e3
+            ratio = jnp.where(
+                denom > 0.0,
+                jnp.abs(dt).astype(err5.dtype) * e5
+                / jnp.sqrt(jnp.maximum(denom, 1e-30) * n),
+                jnp.zeros_like(e5),
+            )
         accept = ratio <= 1.0
         # Reference min/max-step semantics (rk_common.py:272-276):
         accept = jnp.where(dt > max_step_a, False, accept)

@@ -60,7 +60,7 @@ def test_step_size_option_maps_to_substeps():
 
 @pytest.mark.parametrize(
     "method,tol", [("dopri5", 1e-5), ("bosh3", 1e-4), ("fehlberg2", 1e-3),
-                   ("adaptive_heun", 1e-3)]
+                   ("adaptive_heun", 1e-3), ("dopri8", 1e-6)]
 )
 def test_adaptive_accuracy(method, tol):
     y0 = jnp.array([1.0, 2.0])
@@ -75,6 +75,17 @@ def test_dopri5_dense_output_between_knots():
     t = jnp.linspace(0.0, 3.0, 41)  # many closely spaced outputs
     ys = odeint(cos_f, y0, t, method="dopri5", rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(ys)[:, 0], np.sin(np.asarray(t)), atol=1e-6)
+
+
+def test_dopri8_takes_fewer_steps_than_dopri5():
+    """8th order should need far fewer accepted steps at tight tolerance."""
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 10.0, 2)
+    _, s5 = odeint(decay_f, y0, t, method="dopri5", rtol=1e-10, atol=1e-12,
+                   return_stats=True)
+    _, s8 = odeint(decay_f, y0, t, method="dopri8", rtol=1e-10, atol=1e-12,
+                   return_stats=True)
+    assert int(s8["accepted"]) < int(s5["accepted"]) / 2
 
 
 def test_min_step_reduces_nfe():
