@@ -96,11 +96,12 @@ def _make_kernel(n_trunk: int, hidden_dim: int, input_dim: int):
         a = jnp.tanh(
             jnp.dot(u, head_w_ref[:], preferred_element_type=jnp.float32)
             + head_b_ref[:]
-        )  # (Bt, I*H)
+        )  # (Bt, I*H) in f32
         bt = a.shape[0]
         a = a.reshape(bt, input_dim, hidden_dim)
-        dx = dx_ref[:]  # (Bt, I)
-        out_ref[:] = jnp.sum(a * dx[:, :, None], axis=1)
+        dx = dx_ref[:].astype(jnp.float32)  # (Bt, I)
+        out = jnp.sum(a * dx[:, :, None], axis=1)
+        out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
 
