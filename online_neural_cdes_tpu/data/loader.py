@@ -75,13 +75,16 @@ def pad_ragged(
     bucket_multiple: int = 16,
     forward_fill: bool = True,
     pad_value: float = np.nan,
+    target_len: Optional[int] = None,
 ) -> np.ndarray:
-    """Pad a list of (L_i, C) arrays to a common bucketed length.  With
-    ``forward_fill`` the pad region repeats the final row (the reference's
-    PadRaggedTensors + ForwardFill pipeline); otherwise it is ``pad_value``
-    (NaN -> masked by the temporal loss)."""
+    """Pad a list of (L_i, C) arrays to a common bucketed length (or the
+    explicit ``target_len``).  With ``forward_fill`` the pad region repeats
+    the final row (the reference's PadRaggedTensors + ForwardFill
+    pipeline); otherwise it is ``pad_value`` (NaN -> masked by the
+    temporal loss)."""
     max_len = max(len(s) for s in series)
-    target = _round_up(max_len, bucket_multiple)
+    target = target_len if target_len is not None else _round_up(max_len, bucket_multiple)
+    assert target >= max_len, (target, max_len)
     sample = np.asarray(series[0])
     trailing = sample.shape[1:]
     out = np.full((len(series), target) + trailing, pad_value, dtype=np.float32)
@@ -202,22 +205,50 @@ class Batches:
         n = len(self.data.temporal)
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _temporal_target(self, label_target: int) -> int:
+        """Pad target for the coefficient rows so that the model's output
+        length matches the padded labels: rectilinear rows are 2L-1,
+        cubic/hermite piece rows are L-1, linear-family rows are L."""
+        mi = self.data.model_interpolation
+        if mi in ("rectilinear", "rectilinear-intensity"):
+            return 2 * label_target - 1
+        if mi in ("cubic", "hermite"):
+            return label_target - 1
+        return label_target
+
     def __iter__(self) -> Iterator[Tuple[object, np.ndarray]]:
         d = self.data
         n = len(d.temporal)
         for start in range(0, n, self.batch_size):
             sl = slice(start, min(start + self.batch_size, n))
             temporal = d.temporal[sl]
-            if isinstance(temporal, list):
-                temporal = pad_ragged(
-                    temporal, self.bucket_multiple, self.forward_fill
-                )
             labels = d.labels[sl]
+            label_target = None
             if isinstance(labels, list):
+                # Online labels may carry a trailing singleton dim (the
+                # MIMIC tasks store (L, 1)); flatten to (L,).
+                flat = []
+                for l in labels:
+                    l = np.atleast_1d(np.asarray(l))
+                    if l.ndim == 2 and l.shape[1] == 1:
+                        l = l[:, 0]
+                    flat.append(l)
+                label_target = _round_up(
+                    max(len(l) for l in flat), self.bucket_multiple
+                )
                 labels = pad_ragged(
-                    [np.atleast_1d(l) for l in labels],
-                    self.bucket_multiple,
-                    forward_fill=False,
+                    flat, self.bucket_multiple, forward_fill=False,
+                    target_len=label_target,
+                )
+            if isinstance(temporal, list):
+                target = (
+                    self._temporal_target(label_target)
+                    if label_target is not None
+                    else None
+                )
+                temporal = pad_ragged(
+                    temporal, self.bucket_multiple, self.forward_fill,
+                    target_len=target,
                 )
             inputs = temporal if d.static is None else (d.static[sl], temporal)
             yield inputs, np.asarray(labels)
