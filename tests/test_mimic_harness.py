@@ -72,3 +72,10 @@ def test_odernn_on_mortality(mimic_root):
     cfg["model"]["adjoint"] = False
     results = run_experiment(cfg, data_root=mimic_root)
     assert np.isfinite(results["test.loss"])
+
+
+@pytest.mark.parametrize("model_string", ["ncde-stacked", "ncde-attention"])
+def test_composite_models_on_mortality(mimic_root, model_string):
+    cfg = _base_config(model_string, "linear", dataset="Mortality")
+    results = run_experiment(cfg, data_root=mimic_root)
+    assert np.isfinite(results["test.loss"])
