@@ -728,12 +728,18 @@ def odeint_event(
     method: str = "dopri5",
     options: Optional[dict] = None,
     bisection_iters: int = 40,
+    differentiable: bool = False,
 ):
     """Integrate until ``event_fn(t, y)`` crosses zero; returns
     ``(event_t, y_event)``.  The crossing is located by bisection on the
     solver's dense output (reference find_event, event_handling.py:5-17).
     Vector-valued event functions are combined with
     :func:`combine_event_functions`.
+
+    With ``differentiable=True`` the event time and state carry gradients
+    w.r.t. ``y0``/``args`` via an implicit-function-theorem Newton
+    reparametrisation around a differentiable re-solve (the reference's
+    ``ImplicitFnGradientRerouting``, odeint.py:130-164).
     """
     options = dict(options or {})
     if method not in ADAPTIVE_METHODS:
@@ -807,4 +813,22 @@ def odeint_event(
     (lo, hi), _ = jax.lax.scan(bisect, (s.t0, s.t1), None, length=bisection_iters)
     event_t = 0.5 * (lo + hi)
     y_event = _interp_evaluate(s.interp, s.t0, s.t1, event_t)
+
+    if differentiable:
+        # Gradient rerouting via the implicit function theorem (the role of
+        # the reference's ImplicitFnGradientRerouting, odeint.py:130-164):
+        # re-solve to the (gradient-stopped) event time with the
+        # differentiable fixed-grid integrator, then apply one Newton step
+        # of g so autodiff produces  dt*/dtheta = -(dg/dy . dy/dtheta)
+        # / (dg/dt + dg/dy . f).
+        t_star = jax.lax.stop_gradient(event_t)
+        span = jnp.stack([t0, t_star])
+        y_event = _fixed_grid_integrate(
+            func, y0, span, args, "rk4", substeps=int(bisection_iters), remat=False
+        )[0][-1]
+        g, (gt, gy) = jax.value_and_grad(event_fn, argnums=(0, 1))(t_star, y_event)
+        f_star = func(t_star, y_event, args)
+        denom = gt + jnp.sum(gy * f_star)
+        event_t = t_star - g / jnp.where(denom == 0, jnp.ones_like(denom), denom)
+
     return event_t, y_event

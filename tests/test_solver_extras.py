@@ -92,6 +92,30 @@ def test_combine_event_functions():
     np.testing.assert_allclose(float(event_t), 0.25, atol=1e-5)
 
 
+def test_event_time_gradients_ift():
+    """dy/dt = -r from y0: event y=0 at t* = y0/r, so dt*/dy0 = 1/r and
+    dt*/dr = -y0/r^2 (implicit-function-theorem rerouting)."""
+    def f(t, y, args):
+        return -args * jnp.ones_like(y)
+
+    def event(t, y):
+        return y[0]
+
+    def event_time(y0_scalar, rate):
+        t_star, _ = odeint_event(
+            f, jnp.array([y0_scalar]), 0.0, event, rate,
+            method="dopri5", rtol=1e-9, atol=1e-12, differentiable=True,
+        )
+        return t_star
+
+    y0, r = 2.0, 0.5
+    t_star = event_time(y0, r)
+    np.testing.assert_allclose(float(t_star), y0 / r, rtol=1e-6)
+    g_y0, g_r = jax.grad(event_time, argnums=(0, 1))(y0, r)
+    np.testing.assert_allclose(float(g_y0), 1.0 / r, rtol=1e-4)
+    np.testing.assert_allclose(float(g_r), -y0 / r**2, rtol=1e-4)
+
+
 def test_seminorm_adjoint_gradients_close():
     rng = np.random.default_rng(0)
     W = jnp.asarray(rng.normal(size=(3, 3)) * 0.3)
