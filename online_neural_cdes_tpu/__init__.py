@@ -16,15 +16,50 @@ Layout (mirrors SURVEY.md §2's component inventory):
                   ``modules/torchdiffeq``)
 - ``models``    — NeuralCDE + vector fields, Stacked/Attention variants,
                   ODE-RNN, GRU-D, GRU baselines.  (reference: ``src/``)
-- ``data``      — dataset preprocessing: normalisation, time channels,
-                  interpolation precompute, splits.  (reference: ``get_data/``)
+- ``data``      — dataset preprocessing, loaders, builders, native C++
+                  ragged kernels.  (reference: ``get_data/``)
 - ``training``  — trainer loop, NaN-masked metrics, config grids, sweep
-                  ledger, hyperopt.  (reference: ``experiments/``)
-- ``parallel``  — mesh construction, data-parallel train steps, multi-host
-                  helpers.  (reference has none; this is TPU-new)
-- ``utils``     — parameter initialisers, pytree helpers.
+                  ledger, hyperopt, analysis.  (reference: ``experiments/``)
+- ``parallel``  — mesh construction, data-parallel steps, seed-parallel
+                  ensembles.  (reference has none; TPU-new)
+- ``utils``     — parameter initialisers, checkpointing, profiling.
+
+The reference's public API surface (torchcde/torchdiffeq exports plus the
+model zoo) is re-exported flat below.
 """
 
 __version__ = "0.1.0"
 
-from online_neural_cdes_tpu.ops import interpolation, solvers, cdeint  # noqa: F401
+# torchdiffeq-equivalent exports
+from online_neural_cdes_tpu.ops.solvers import odeint, odeint_event  # noqa: F401
+from online_neural_cdes_tpu.ops.cdeint import odeint_adjoint, cdeint  # noqa: F401
+
+# torchcde-equivalent exports
+from online_neural_cdes_tpu.ops.interpolation import (  # noqa: F401
+    CubicSpline,
+    LinearInterpolation,
+    NaturalCubicSpline,
+    SmoothLinearInterpolation,
+    TupleControl,
+    hermite_cubic_coefficients_with_backward_differences,
+    linear_interpolation_coeffs,
+    natural_cubic_coeffs,
+    natural_cubic_spline_coeffs,
+)
+from online_neural_cdes_tpu.ops.logsig import (  # noqa: F401
+    logsig_windows,
+    logsignature_windows,
+)
+
+# model zoo
+from online_neural_cdes_tpu.models import (  # noqa: F401
+    GRUD,
+    ODERNN,
+    RNN,
+    AttentionNeuralCDE,
+    NeuralCDE,
+    StackedNeuralCDE,
+    VectorField,
+    prepare_gru_variant_data,
+    sparsemax,
+)
