@@ -48,7 +48,7 @@ def bench_jax(x, y, epochs=10):
     model = NeuralCDE(
         input_dim=2, hidden_dim=HIDDEN, output_dim=1, hidden_hidden_dim=WIDTH,
         num_layers=2, interpolation="rectilinear", return_sequences=True,
-        adjoint=True, solver="rk4",
+        adjoint=True, solver="rk4", solver_unroll=4,
     )
     coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
     labels = jnp.asarray(y)

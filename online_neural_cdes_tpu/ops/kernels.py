@@ -33,14 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_matmul_field", "pack_fused_params", "fused_field_available"]
 
 
-def _pick_batch_tile(batch: int, head_cols: int, hh: int) -> int:
-    """Largest batch tile whose VMEM working set stays comfortably < 12MB."""
+def _pick_batch_tile(batch: int, head_cols: int, hh: int,
+                     budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Largest batch tile whose VMEM working set stays under the budget."""
     for tile in (512, 256, 128, 64, 32, 16, 8):
         if batch % tile != 0:
             continue
         # A tile + u tile + z tile + out tile (f32 words)
         words = tile * (head_cols + hh + 2 * 256) + hh * head_cols
-        if words * 4 < 12 * 1024 * 1024:
+        if words * 4 < budget_bytes:
             return tile
     return batch
 
@@ -180,3 +181,95 @@ def _fused_bwd(hidden_dim, input_dim, use_pallas, residuals, g):
 
 
 fused_matmul_field.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-interval fused RK4(3/8) kernel: all four stages of one knot interval
+# in a single pallas_call — the state and trunk/head weights stay resident
+# in VMEM across stages, so per-interval HBM traffic is one weight fetch
+# and one (B, H) state round-trip instead of four of each.  Valid when the
+# control's derivative is constant within the interval (linear /
+# rectilinear splines — the paper's online configuration).
+# ---------------------------------------------------------------------------
+
+def _make_rk4_kernel(n_trunk: int, hidden_dim: int, input_dim: int):
+    third = 1.0 / 3.0
+
+    def kernel(*refs):
+        z_ref, dx_ref = refs[0], refs[1]
+        trunk_refs = refs[2: 2 + 2 * n_trunk]
+        head_w_ref, head_b_ref, out_ref = refs[2 + 2 * n_trunk:]
+
+        head_w = head_w_ref[:]
+        head_b = head_b_ref[:]
+        dx = dx_ref[:]                      # (Bt, I)
+        bt = dx.shape[0]
+
+        def field(z):
+            u = z
+            for i in range(n_trunk):
+                w = trunk_refs[2 * i][:]
+                b = trunk_refs[2 * i + 1][:]
+                u = jnp.maximum(
+                    jnp.dot(u, w, preferred_element_type=jnp.float32) + b, 0.0
+                )
+            a = jnp.tanh(
+                jnp.dot(u, head_w, preferred_element_type=jnp.float32) + head_b
+            ).reshape(bt, input_dim, hidden_dim)
+            return jnp.sum(a * dx[:, :, None].astype(jnp.float32), axis=1)
+
+        z = z_ref[:].astype(jnp.float32)
+        k1 = field(z)
+        k2 = field(z + third * k1)
+        k3 = field(z + k2 - third * k1)
+        k4 = field(z + k1 - k2 + k3)
+        out = z + (k1 + 3.0 * (k2 + k3) + k4) * 0.125
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_rk4_interval(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
+    """z_{i+1} = RK4_38(z_i; f(z) = field(z) @ dx) over one unit interval,
+    entirely in VMEM.  Shapes as in :func:`fused_matmul_field`.
+
+    Measured note (TPU v5e, B=512, H=HH=128, C=21): this whole-interval
+    fusion ties the per-stage kernel chain (~37 TF/s) — at these shapes the
+    MXU matmul structure, not per-call overhead or weight refetch, is the
+    bound.  Kept as an opt-in building block for shapes where weight
+    residency matters (small HH, large stage count)."""
+    batch = z.shape[0]
+    hh = head_w.shape[0]
+    head_cols = head_w.shape[1]
+    # Four live stages need headroom on the Mosaic VMEM stack.
+    tile = _pick_batch_tile(batch, head_cols, hh, budget_bytes=6 * 1024 * 1024)
+    n_trunk = len(trunk)
+
+    in_specs = [
+        pl.BlockSpec((tile, z.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, dx.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [z, dx]
+    for layer in trunk:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        operands += [layer["w"], layer["b"][None, :]]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    operands += [head_w, head_b[None, :]]
+
+    flops = 4 * 2 * batch * (
+        sum(l["w"].shape[0] * l["w"].shape[1] for l in trunk) + hh * head_cols
+    )
+    return pl.pallas_call(
+        _make_rk4_kernel(n_trunk, hidden_dim, input_dim),
+        grid=(batch // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile, hidden_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, hidden_dim), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (z.size * 2 + dx.size + hh * head_cols),
+            transcendentals=4 * batch * head_cols,
+        ),
+    )(*operands)

@@ -78,6 +78,28 @@ def test_pallas_kernel_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_fused_rk4_interval_matches_composition():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from online_neural_cdes_tpu.ops.kernels import fused_rk4_interval
+    from online_neural_cdes_tpu.ops.solvers import tree_fixed_step
+
+    field, params, z, dx = _setup(4)
+    packed = pack_fused_params(params, H, C)
+    step = tree_fixed_step("rk4")
+    expected = step(
+        lambda t, zz: _forward_reference(
+            packed["trunk"], packed["head_w"], packed["head_b"], zz, dx, H, C
+        ),
+        0.0, 1.0, z,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_rk4_interval(
+            packed["trunk"], packed["head_w"], packed["head_b"], z, dx, H, C
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
 @pytest.mark.parametrize("adjoint", [False, True])
 def test_ncde_fused_flag_equivalence(adjoint):
     """NeuralCDE(fused=True) must produce the same forward and gradients as
