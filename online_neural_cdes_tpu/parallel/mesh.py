@@ -25,6 +25,14 @@ __all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding"]
 DATA_AXIS = "data"
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Join a multi-host TPU slice: call once per process before any mesh
+    construction; afterwards ``jax.devices()`` spans all hosts and the same
+    sharded train steps run collectives over ICI within a slice and DCN
+    across slices (SURVEY.md §2.8 TPU-native equivalent)."""
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     """A 1-D data-parallel mesh over the first ``n_devices`` devices."""
     if devices is None:

