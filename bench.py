@@ -185,13 +185,15 @@ def bench_flagship_step(n=10):
     for _ in range(n):
         params, opt_state, loss = step(params, opt_state, (static, coeffs), labels, 1.0)
     float(loss)
-    return (time.perf_counter() - t0) / n * 1000.0
+    ms = (time.perf_counter() - t0) / n * 1000.0
+    fwd_nfe = (2 * L - 2) * 4  # vector-field evaluations per forward solve
+    return ms, fwd_nfe / (ms / 1000.0)
 
 
 def main():
     x, y = _make_data()
     jax_epoch_s, jax_loss = bench_jax(x, y)
-    flagship_ms = bench_flagship_step()
+    flagship_ms, flagship_nfe_s = bench_flagship_step()
     try:
         torch_epoch_s, _ = bench_torch(x, y)
     except Exception:
@@ -212,6 +214,7 @@ def main():
                     "identical algorithm; reference published no GPU numbers"
                 ),
                 "flagship_mimic_scale_step_ms": round(flagship_ms, 2),
+                "flagship_vector_field_nfe_per_s": round(flagship_nfe_s, 1),
             }
         )
     )
