@@ -24,7 +24,6 @@ import numpy as np
 from online_neural_cdes_tpu.data.common import (
     add_time,
     process_all_interpolations,
-    reduce_tensor_samples,
     save_processed,
 )
 

@@ -15,7 +15,7 @@ ragged inputs are grouped by length so each distinct length compiles once.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

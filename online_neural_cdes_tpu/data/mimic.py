@@ -25,8 +25,6 @@ Everything here is host-side numpy (offline, run-once), like the reference.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
-
 import numpy as np
 
 from online_neural_cdes_tpu.data.common import process_all_interpolations, save_processed

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

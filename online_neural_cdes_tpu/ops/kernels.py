@@ -23,8 +23,6 @@ fused op composes with both direct autodiff and the interval adjoint.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

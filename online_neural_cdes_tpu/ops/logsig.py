@@ -21,7 +21,6 @@ wants (SURVEY.md §5 long-context).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Tuple
 
 import jax

@@ -29,8 +29,7 @@ Statistics: pass ``return_stats=True`` to also receive a dict with ``nfe``
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.flatten_util

@@ -8,9 +8,8 @@ DataFrames (CSV/LaTeX) — sourced from the local ledger instead of MongoDB.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 from online_neural_cdes_tpu.training.ledger import Ledger

@@ -9,7 +9,6 @@ share one path.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 from online_neural_cdes_tpu.data.loader import load_numpy_data
 from online_neural_cdes_tpu.training.harness import setup_model, train

@@ -10,7 +10,6 @@ npz-of-leaves format; both round-trip arbitrary pytrees of arrays.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Optional
 
