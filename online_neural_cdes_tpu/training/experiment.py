@@ -91,5 +91,6 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         seed=config.get("seed", 0),
         mesh=mesh,
         verbose=verbose,
+        checkpoint_dir=trainer_cfg.get("checkpoint_dir"),
     )
     return results

@@ -23,6 +23,7 @@ TPU memory_stats.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Optional
 
@@ -244,6 +245,7 @@ def train(
     seed: int = 0,
     mesh=None,
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics."""
@@ -307,6 +309,15 @@ def train(
                 break
 
     elapsed = time.perf_counter() - t_start
+
+    if checkpoint_dir is not None:
+        # Persist the best parameters (the reference only kept a transient
+        # tempdir checkpoint, trainer.py:437-443,211).
+        from online_neural_cdes_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(checkpoint_dir, "best_params"), best_params
+        )
 
     results = {
         "num_params": int(num_params),

@@ -182,3 +182,39 @@ def test_hyperopt_smoke(toy_dataset):
     assert "best_parameters" in results
     assert "model" in results["best_parameters"]
     assert 4 <= results["best_parameters"]["model"]["hidden_dim"] <= 8
+
+
+def test_train_persists_checkpoint(toy_dataset, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+    from online_neural_cdes_tpu.utils.checkpoint import load_checkpoint
+    from online_neural_cdes_tpu.training.harness import setup_model
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    cfg = {
+        "dataset_name": "ToyBM",
+        "seed": 0,
+        "dataset": {"data_loc": "Toy/BM", "problem": "online",
+                     "use_static": True, "interpolation": "linear",
+                     "batch_size": 128},
+        "model": {"model_string": "ncde", "hidden_dim": 8,
+                   "hidden_hidden_dim": 12, "num_layers": 1,
+                   "adjoint": False, "solver": "rk4"},
+        "trainer": {"loss_str": "bce", "metrics": ["loss"],
+                     "val_metric_to_monitor": "loss", "max_epochs": 2,
+                     "checkpoint_dir": ckpt_dir},
+    }
+    results = run_experiment(cfg, data_root=toy_dataset)
+    assert np.isfinite(results["test.loss"])
+    # Restore into a freshly initialised model of the same config.
+    bundle = setup_model("ncde", input_dim=3, output_dim=1, static_dim=4,
+                          hidden_dim=8, hidden_hidden_dim=12, num_layers=1,
+                          adjoint=False, solver="rk4",
+                          interpolation="linear", return_sequences=True)
+    like = bundle.init(jax.random.PRNGKey(1))
+    restored = load_checkpoint(os.path.join(ckpt_dir, "best_params"), like)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, restored, like)
+    )
