@@ -55,6 +55,8 @@ def _mean_std(series: pd.Series) -> str:
 def seed_averaged(frame: pd.DataFrame, value: str = "test_metric",
                   index=("model",), columns=("dataset_name",)) -> pd.DataFrame:
     """Seed-averaged mean+-std pivot (reference analyse.py:98-205)."""
+    if frame.empty or value not in frame.columns:
+        return pd.DataFrame()
     return pd.pivot_table(
         frame, values=value, index=list(index), columns=list(columns),
         aggfunc=_mean_std,
