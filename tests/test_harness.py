@@ -218,3 +218,15 @@ def test_train_persists_checkpoint(toy_dataset, tmp_path):
     assert jax.tree.all(
         jax.tree.map(lambda a, b: a.shape == b.shape, restored, like)
     )
+
+
+def test_cli_main(toy_dataset, tmp_path, capsys):
+    from online_neural_cdes_tpu.run import main
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    main(["toy", "--data-root", toy_dataset, "--ledger", ledger])
+    out = capsys.readouterr().out
+    assert "completed 1 configs" in out
+    main(["toy", "--analyse", "--ledger", ledger])
+    out = capsys.readouterr().out
+    assert "ncde" in out

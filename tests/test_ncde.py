@@ -169,3 +169,47 @@ def test_end_to_end_brownian_motion_training():
     acc = float(((jax.nn.sigmoid(logits[:, -1]) > 0.5) == (y[:, -1] > 0.5)).mean())
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
     assert acc > 0.85, acc
+
+
+def test_dopri5_matches_fine_rk4_at_tolerance():
+    """Numerics parity across solvers: the bounded-step dopri5 forward must
+    match a fine fixed-grid solve at its tolerances (the BASELINE.md
+    'numerics matching at solver tolerance' contract)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 8, C)) * 0.5, jnp.float32)
+    coeffs = linear_interpolation_coeffs(x)
+    kw = dict(input_dim=C, hidden_dim=H, output_dim=2, hidden_hidden_dim=16,
+              num_layers=2, adjoint=False, return_sequences=True)
+    m_fine = NeuralCDE(solver="rk4", **kw)
+    m_adpt = NeuralCDE(solver="dopri5", **kw)
+    params = m_fine.init(jax.random.PRNGKey(0))
+    # rk4 with 32 substeps as the truth.
+    import online_neural_cdes_tpu.ops.cdeint as cdeint_mod
+    from online_neural_cdes_tpu.models.ncde import make_spline
+
+    spline = make_spline("linear", coeffs)
+    field = m_fine.field
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    h0 = m_fine._setup_h0(params, coeffs)[1]
+    truth = cdeint_mod.cdeint(
+        spline, func, h0, spline.grid_points, params["field"], adjoint=False,
+        method="rk4", options={"substeps": 32},
+    )
+    # Unbounded dopri5 at tight tolerance: parity at solver tolerance.
+    tight = cdeint_mod.cdeint(
+        spline, func, h0, spline.grid_points, params["field"], adjoint=False,
+        method="dopri5", atol=1e-7, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tight), np.asarray(truth), rtol=1e-3, atol=1e-4
+    )
+    # The paper's bounded-step variant trades accuracy for a hard NFE cap
+    # (force-accepted steps at dt<=min_step): stays within a loose bound.
+    bounded = cdeint_mod.cdeint(
+        spline, func, h0, spline.grid_points, params["field"], adjoint=False,
+        method="dopri5", atol=1e-5, rtol=1e-3, options={"min_step": 0.5},
+    )
+    assert float(jnp.max(jnp.abs(bounded - truth))) < 0.2
