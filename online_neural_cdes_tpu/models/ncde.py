@@ -195,13 +195,13 @@ class NeuralCDE:
             packed = pack_fused_params(
                 params["field"], self.hidden_dim, self.input_dim
             )
-            # Pallas only where the head's minor axis tiles the 128-lane VPU
-            # and the batch tiles sublanes; tiny shapes stay on plain XLA.
+            # Pallas only where the in-kernel (B, I, H) reshape keeps H
+            # lane-aligned and the batch tiles sublanes; other shapes stay
+            # on plain XLA (identical math via the same custom_vjp).
             use_pallas = (
                 fused_field_available()
                 and h0.shape[0] % 8 == 0
-                and self.hidden_dim * self.input_dim >= 128
-                and self.hidden_dim % 8 == 0
+                and self.hidden_dim % 128 == 0
             )
 
             def func(t, z, dx, fp):
