@@ -21,11 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from online_neural_cdes_tpu.ops.interpolation import (
+    hermite_cubic_coefficients_with_backward_differences,
     linear_interpolation_coeffs,
     natural_cubic_coeffs,
 )
 
-INTERPOLATION_METHODS = ("linear", "rectilinear", "cubic", "linear_forward_fill")
+INTERPOLATION_METHODS = (
+    "linear",
+    "rectilinear",
+    "cubic",
+    "linear_forward_fill",
+    # Beyond the reference npz contract (common.py:93-123): the causal
+    # Hermite-cubic scheme the toy benchmark assumes exists
+    # (sim_bm_toy_example.py:164,189) is first-class end-to-end here.
+    "hermite",
+)
 
 
 def add_time(temporal_data: np.ndarray) -> np.ndarray:
@@ -77,6 +87,8 @@ def _coeff_fn(method: str):
         return lambda x: linear_interpolation_coeffs(x, forward_fill=True)
     if method == "cubic":
         return natural_cubic_coeffs
+    if method == "hermite":
+        return hermite_cubic_coefficients_with_backward_differences
     raise ValueError(method)
 
 

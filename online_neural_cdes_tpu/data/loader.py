@@ -155,7 +155,9 @@ def load_numpy_data(
 
     ragged = temporal.dtype == object
     first = np.asarray(temporal[0])
-    input_dim = first.shape[-1] // 4 if data_key == "cubic" else first.shape[-1]
+    input_dim = (
+        first.shape[-1] // 4 if data_key in ("cubic", "hermite") else first.shape[-1]
+    )
     static_dim = static.shape[-1] if use_static else None
     return_sequences = problem == "online"
 

@@ -447,9 +447,14 @@ def cdeint(
                 options=options, adjoint_options=adjoint_options,
             )
         else:
+            # Direct backprop through an adaptive solve: reverse-mode cannot
+            # cross the controller's while_loop, so the solver re-integrates
+            # the accepted-step grid as a differentiable scan (the
+            # discretize-then-optimize gradients of the reference's
+            # non-adjoint odeint, gradient_tests.py:34-104).
             zs, stats = solvers.odeint(
                 vf, z0, t, theta, rtol=rtol, atol=atol, method=method,
-                options=dict(options), return_stats=True,
+                options={**options, "differentiable": True}, return_stats=True,
             )
 
     # Solver output is time-major (T, ..., H); models want (..., T, H).

@@ -17,10 +17,14 @@ Architecture (deliberately *not* a translation):
   batch exactly as in the reference (one flat state tensor).
 - Functions receive explicit parameter pytrees: ``func(t, y, args)``.
 - Fixed-grid solvers are reverse-differentiable through the scan (with
-  optional per-step rematerialisation); adaptive solvers are used through
-  the adjoint method (see ``ops/cdeint.py``) because reverse-mode through a
-  data-dependent ``while_loop`` is not defined — the reference's adjoint
-  (adjoint.py:65-133) is likewise a second solve, so NFE semantics match.
+  optional per-step rematerialisation).  Adaptive solvers differentiate
+  either through the adjoint method (see ``ops/cdeint.py``) or, with
+  ``options={"differentiable": True}``, via a two-phase
+  discretize-then-optimize solve: the while_loop controller discovers the
+  accepted-step grid under stop_gradient, then the trajectory is
+  re-integrated over that grid as a fixed ``lax.scan`` with identical
+  stage arithmetic — reverse-mode AD crosses the scan, matching the
+  reference's direct backprop through dopri5 (gradient_tests.py:34-104).
 
 Statistics: pass ``return_stats=True`` to also receive a dict with ``nfe``
 (the paper's efficiency metric), accepted/rejected step counts.
@@ -489,12 +493,15 @@ class _RKState(NamedTuple):
     rejected: jax.Array
 
 
-def _adaptive_integrate(
+def _adaptive_machinery(
     func, y0, t, args, tableau: ButcherTableau,
     rtol, atol, min_step, max_step, first_step,
-    safety, ifactor, dfactor, max_num_steps, step_t=None, jump_t=None,
+    safety, ifactor, dfactor, step_t=None, jump_t=None,
     error_weights=None,
 ):
+    """Shared controller setup for the adaptive integrators: returns
+    ``(state0, adaptive_step)`` with the reference's accept/reject +
+    min/max-step semantics baked into ``adaptive_step``."""
     dtype = y0.dtype
     t = t.astype(dtype)
     rtol = jnp.asarray(rtol, dtype)
@@ -593,6 +600,21 @@ def _adaptive_integrate(
             rejected=s.rejected + (~accept).astype(jnp.int32),
         )
 
+    return state0, adaptive_step
+
+
+def _adaptive_integrate(
+    func, y0, t, args, tableau: ButcherTableau,
+    rtol, atol, min_step, max_step, first_step,
+    safety, ifactor, dfactor, max_num_steps, step_t=None, jump_t=None,
+    error_weights=None,
+):
+    state0, adaptive_step = _adaptive_machinery(
+        func, y0, t, args, tableau, rtol, atol, min_step, max_step,
+        first_step, safety, ifactor, dfactor, step_t, jump_t, error_weights,
+    )
+    t = t.astype(y0.dtype)
+
     def advance_to(state: _RKState, t_out):
         def cond(s):
             return (t_out > s.t1) & (s.accepted + s.rejected < max_num_steps)
@@ -611,6 +633,128 @@ def _adaptive_integrate(
         "rejected": state_final.rejected,
     }
     return ys, stats
+
+
+def _adaptive_integrate_diff(
+    func, y0, t, args, tableau: ButcherTableau,
+    rtol, atol, min_step, max_step, first_step,
+    safety, ifactor, dfactor, max_num_steps, max_steps,
+    step_t=None, jump_t=None, error_weights=None,
+):
+    """Reverse-differentiable adaptive solve (discretize-then-optimize).
+
+    Reverse-mode AD is undefined through a data-dependent ``while_loop``,
+    so this runs in two phases: (1) the standard accept/reject controller
+    discovers the accepted-step time grid under ``stop_gradient``; (2) the
+    trajectory is *re-integrated* over that grid as a fixed ``lax.scan``
+    of at most ``max_steps`` RK steps (identical stage arithmetic, so the
+    values match phase 1), through which autodiff works.  This matches the
+    reference's direct-backprop-through-dopri5 capability (gradient tests
+    torchdiffeq tests/gradient_tests.py:34-104) with the standard caveat
+    that step *sizes* are treated as constants — the same approximation the
+    adjoint makes, and within solver tolerance of the reference's gradients.
+
+    If phase 1 needs more than ``max_steps`` accepted steps, outputs beyond
+    the reached time extrapolate the final step (finite but inaccurate);
+    size ``max_steps`` from ``min_step`` to avoid this.
+    """
+    sg = jax.lax.stop_gradient
+
+    def discover_grid(y0_, t_, args_):
+        state0, adaptive_step = _adaptive_machinery(
+            func, y0_, t_, args_, tableau, rtol, atol, min_step, max_step,
+            first_step, safety, ifactor, dfactor, step_t, jump_t,
+            error_weights,
+        )
+        t_end = t_.astype(y0_.dtype)[-1]
+        buf0 = jnp.full((max_steps,), t_end, state0.t1.dtype)
+
+        def cond(carry):
+            s, _, idx = carry
+            return (
+                (s.t1 < t_end)
+                & (s.accepted + s.rejected < max_num_steps)
+                & (idx < max_steps)
+            )
+
+        def body(carry):
+            s, buf, idx = carry
+            s2 = adaptive_step(s)
+            acc = s2.accepted > s.accepted
+            buf = buf.at[idx].set(jnp.where(acc, s2.t1, buf[idx]))
+            return (s2, buf, idx + acc.astype(jnp.int32))
+
+        s, buf, idx = jax.lax.while_loop(
+            cond, body, (state0, buf0, jnp.asarray(0, jnp.int32))
+        )
+        # Pad unused slots with the final time reached so padded steps have
+        # dt == 0 (the re-integration treats them as identity steps).
+        pad = jnp.maximum(s.t1, t_end)
+        buf = jnp.where(jnp.arange(max_steps) < idx, buf, pad)
+        stats = {
+            "nfe": s.nfe,
+            "accepted": s.accepted,
+            "rejected": s.rejected,
+            # True if the step budget ran out before reaching t[-1]; outputs
+            # beyond s.t1 then extrapolate the final step.
+            "grid_exhausted": (idx >= max_steps) & (s.t1 < t_end),
+        }
+        return buf, stats
+
+    grid_rest, stats = discover_grid(sg(y0), sg(t), sg(args))
+    grid_rest = sg(grid_rest)
+    ts_full = jnp.concatenate([sg(t[:1]).astype(y0.dtype), grid_rest])
+
+    # Phase 2: fixed re-integration over the discovered grid.
+    f0 = func(ts_full[0], y0, args)
+
+    def step(carry, tt):
+        y, f = carry
+        a, b = tt
+        dt = b - a
+        y1, f1, _, k = _runge_kutta_step(func, y, f, a, dt, tableau, args)
+        interp = _fit_from_stages(y, y1, k, dt, tableau)
+        return (y1, f1), interp
+
+    _, interps = jax.lax.scan(step, (y0, f0), (ts_full[:-1], ts_full[1:]))
+
+    def out_at(t_out):
+        t_out = t_out.astype(y0.dtype)
+        idx = jnp.clip(
+            jnp.searchsorted(ts_full, t_out, side="left") - 1, 0, max_steps - 1
+        )
+        t0_, t1_ = ts_full[idx], ts_full[idx + 1]
+        denom = t1_ - t0_
+        x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(y0.dtype)
+        coeffs = interps[idx]
+        out = coeffs[0]
+        for i in range(1, coeffs.shape[0]):
+            out = out * x + coeffs[i]
+        return jnp.where(t_out <= ts_full[0], y0, out)
+
+    ys_rest = jax.vmap(out_at)(t[1:])
+    ys = jnp.concatenate([y0[None], ys_rest], axis=0)
+    return ys, stats
+
+
+def _resolve_max_steps(max_steps_opt, t, min_step, step_t, jump_t):
+    """Static accepted-step budget for the differentiable adaptive solve.
+    With a bounded step (``min_step > 0``) and concrete times, the exact
+    worst case is span/min_step plus one clamped landing per declared
+    discontinuity; otherwise a length-based heuristic."""
+    if max_steps_opt is not None:
+        return int(max_steps_opt)
+    n_special = 0
+    for extra in (step_t, jump_t):
+        if extra is not None:
+            n_special += int(np.asarray(extra).shape[0])
+    if min_step > 0 and not isinstance(t, jax.core.Tracer):
+        span = float(np.asarray(t)[-1] - np.asarray(t)[0])
+        return int(np.ceil(span / min_step + 1e-9)) + n_special + 4
+    # Unbounded step: no exact bound exists — budget generously and surface
+    # overflow through stats["grid_exhausted"].  Pass options["max_steps"]
+    # for tight-tolerance work.
+    return 16 * int(t.shape[0]) + n_special + 64
 
 
 # ---------------------------------------------------------------------------
@@ -674,8 +818,9 @@ def odeint(
     elif method == "scipy_solver":
         ys, stats = _scipy_integrate(func, y0, t, args, rtol, atol, options)
     elif method in ADAPTIVE_METHODS:
-        ys, stats = _adaptive_integrate(
-            func, y0, t, args, ADAPTIVE_METHODS[method],
+        differentiable = bool(options.pop("differentiable", False))
+        max_steps_opt = options.pop("max_steps", None)
+        kwargs = dict(
             rtol=rtol, atol=atol,
             min_step=float(options.pop("min_step", 0.0)),
             max_step=float(options.pop("max_step", float("inf"))),
@@ -688,6 +833,23 @@ def odeint(
             jump_t=options.pop("jump_t", None),
             error_weights=options.pop("error_weights", None),
         )
+        if differentiable:
+            tab = ADAPTIVE_METHODS[method]
+            # DOP853 lands exactly on every output time (see
+            # _adaptive_machinery), costing up to len(t)-1 extra steps.
+            n_landings = t.shape[0] - 1 if (tab.mid is None and tab.order > 4) else 0
+            max_steps = _resolve_max_steps(
+                max_steps_opt, t, kwargs["min_step"],
+                kwargs["step_t"], kwargs["jump_t"],
+            ) + (0 if max_steps_opt is not None else n_landings)
+            ys, stats = _adaptive_integrate_diff(
+                func, y0, t, args, ADAPTIVE_METHODS[method],
+                max_steps=max_steps, **kwargs,
+            )
+        else:
+            ys, stats = _adaptive_integrate(
+                func, y0, t, args, ADAPTIVE_METHODS[method], **kwargs,
+            )
     else:
         raise ValueError(f"Unknown method {method!r}")
 

@@ -133,6 +133,9 @@ def update_hyperparams(configs: List[dict], ledger=None, run_name: str = "hypero
             "linear_forward_fill", "cubic_forward_fill",
         ):
             interpolation = "linear"
+        elif interpolation == "hermite":
+            # Hermite is the causal cubic; reuse the cubic search result.
+            interpolation = "cubic"
         matches = [
             h for h in hyperopt_runs
             if h["config"]["dataset"].get("interpolation") == interpolation

@@ -133,6 +133,24 @@ def test_adjoint_dopri5_gradients_match_rk4_fine():
                                    atol=1e-4, err_msg=name)
 
 
+def test_direct_backprop_dopri5_gradients(  # reference gradient_tests.py:34-104
+):
+    """Direct (non-adjoint) backprop through the adaptive solver: gradients
+    flow to z0/params/coeffs via the two-phase discretize-then-optimize
+    re-integration and agree with a fine fixed-grid solve."""
+    loss_ref, args = _loss_fn(adjoint=False, method="rk4", options={"substeps": 32})
+    loss_d, _ = _loss_fn(adjoint=False, method="dopri5")
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    g_d = jax.jit(jax.grad(loss_d, argnums=(0, 1, 2)))(*args)
+    for r, d, name in zip(g_ref, g_d, ["z0", "W", "coeffs"]):
+        np.testing.assert_allclose(np.asarray(d), np.asarray(r), rtol=2e-2,
+                                   atol=1e-4, err_msg=name)
+    # Forward values of the two-phase solve match the while-loop solve.
+    loss_w, _ = _loss_fn(adjoint=True, method="dopri5")
+    np.testing.assert_allclose(float(loss_d(*args)), float(loss_w(*args)),
+                               rtol=1e-6)
+
+
 def test_adjoint_under_jit():
     loss_a, args = _loss_fn(adjoint=True, method="rk4")
     g = jax.jit(jax.grad(loss_a))(*args)

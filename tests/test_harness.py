@@ -101,10 +101,12 @@ def test_builder_npz_contract(toy_dataset):
         "static_data", "labels", "train_idxs", "val_idxs", "test_idxs",
         "temporal_data_raw", "temporal_data_linear", "temporal_data_rectilinear",
         "temporal_data_cubic", "temporal_data_linear_forward_fill",
+        "temporal_data_hermite",
     ):
         assert key in npz.files, key
     assert npz["temporal_data_rectilinear"].shape[1] == 2 * 8 - 1
     assert npz["temporal_data_cubic"].shape[-1] == 4 * 3
+    assert npz["temporal_data_hermite"].shape == (160, 8 - 1, 4 * 3)
 
 
 def test_loader_roundtrip(toy_dataset):
@@ -182,6 +184,37 @@ def test_hyperopt_smoke(toy_dataset):
     assert "best_parameters" in results
     assert "model" in results["best_parameters"]
     assert 4 <= results["best_parameters"]["model"]["hidden_dim"] <= 8
+
+
+def test_hermite_dopri5_end_to_end(toy_dataset):
+    """BASELINE.json driver config #3's scheme: Hermite-cubic coefficients
+    from the npz pipeline driving an adaptive bounded-step NCDE."""
+    from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+
+    path = os.path.join(toy_dataset, "Toy/BM/improved-neural-cdes_data.npz")
+    splits = load_numpy_data(path, "hermite", use_static=True, problem="online")
+    train = splits[0]
+    assert train.model_interpolation == "hermite"
+    assert train.input_dim == 3
+    (static, temporal), labels = next(iter(Batches(train, batch_size=64)))
+    assert temporal.shape[1] == 8 - 1 and temporal.shape[2] == 4 * 3
+
+    cfg = {
+        "dataset_name": "ToyBM",
+        "seed": 0,
+        "dataset": {"data_loc": "Toy/BM", "problem": "online",
+                     "use_static": True, "interpolation": "hermite",
+                     "batch_size": 128},
+        "model": {"model_string": "ncde", "hidden_dim": 8,
+                   "hidden_hidden_dim": 12, "num_layers": 1,
+                   "adjoint": False, "solver": "dopri5"},
+        "trainer": {"loss_str": "bce", "metrics": ["loss", "auc"],
+                     "val_metric_to_monitor": "auc", "max_epochs": 2},
+    }
+    results = run_experiment(cfg, data_root=toy_dataset)
+    assert np.isfinite(results["test.loss"])
+    assert results["nfe_per_epoch"] > 0
 
 
 def test_train_persists_checkpoint(toy_dataset, tmp_path):
