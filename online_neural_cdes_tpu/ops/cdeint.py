@@ -359,6 +359,29 @@ def odeint_adjoint(
 # cdeint
 # ---------------------------------------------------------------------------
 
+def _t_matches_grid(t, grid_t) -> bool:
+    """True iff the requested times are exactly the spline's interval
+    endpoints (2-point form) or its full knot grid — the piece-scan fast
+    path's contract.  The piece scan always integrates the whole knot grid,
+    so any other ``t`` (e.g. t=[0, 3] on a [0, 10] spline) must use the
+    generic solver.  When either array is traced the values cannot be
+    inspected; the shapes already matched, so the documented contract (the
+    model layer passes ``grid_points`` / ``interval``) is trusted — the
+    value check guards concrete misuse without deoptimising jitted code."""
+    if t is grid_t:
+        return True
+    if isinstance(t, jax.core.Tracer) or isinstance(grid_t, jax.core.Tracer):
+        return True
+    import numpy as np
+
+    t_np, g_np = np.asarray(t), np.asarray(grid_t)
+    if t_np.shape[0] == g_np.shape[0] and np.array_equal(t_np, g_np):
+        return True
+    return bool(
+        t_np.shape[0] == 2 and t_np[0] == g_np[0] and t_np[1] == g_np[-1]
+    )
+
+
 def _resolve_substeps(options: dict, grid_t) -> int:
     substeps = int(options.get("substeps", 0))
     if substeps:
@@ -407,6 +430,7 @@ def cdeint(
         method in solvers.FIXED_METHODS
         and hasattr(X, "piece_data")
         and t.shape[0] in (2, n_knots)
+        and _t_matches_grid(t, grid_t)
     )
 
     if use_piece_scan:

@@ -214,13 +214,21 @@ def _select_initial_step(func, t0, y0, order, rtol, atol, f0, args):
 # Runge-Kutta single step + 4th-order dense output (interp.py:1-48)
 # ---------------------------------------------------------------------------
 
-def _runge_kutta_step(func, y0, f0, t0, dt, tableau: ButcherTableau, args):
-    """One explicit RK step.  Returns (y1, f1, error, k_stages)."""
+def _runge_kutta_step(func, y0, f0, t0, dt, tableau: ButcherTableau, args,
+                      t1_eval=None):
+    """One explicit RK step.  Returns (y1, f1, error, k_stages).
+
+    ``t1_eval``, when given, replaces the evaluation time of stages with
+    alpha == 1 (the step's right endpoint) — used to evaluate the *left*
+    limit when the step lands on a declared discontinuity (the reference's
+    Perturb.PREV, rk_common.py:41-86)."""
     dtype = y0.dtype
     n_stages = len(tableau.c_sol)
     k = [f0]
     for i, (alpha_i, beta_row) in enumerate(zip(tableau.alpha, tableau.beta)):
         ti = t0 + dt * alpha_i
+        if alpha_i == 1.0 and t1_eval is not None:
+            ti = t1_eval
         yi = y0 + dt * sum(b * kj for b, kj in zip(beta_row, k) if b != 0)
         k.append(func(ti, yi, args))
     assert len(k) == n_stages
@@ -551,14 +559,22 @@ def _adaptive_machinery(
         t0, dt = s.t1, s.dt
         t1 = t0 + dt
         # Clamp onto the next prescribed discontinuity if we'd step past it.
+        t1_eval = None
         if has_special:
             nxt_i = jnp.searchsorted(special_t, t0, side="right")
             nxt = special_t[jnp.minimum(nxt_i, special_t.shape[0] - 1)]
             hit = (nxt_i < special_t.shape[0]) & (t0 < nxt) & (nxt < t1)
             t1 = jnp.where(hit, nxt, t1)
             dt = t1 - t0
+            # A step landing on a declared discontinuity evaluates its
+            # endpoint stages at the LEFT limit (reference Perturb.PREV).
+            lands = jnp.any(special_t == t1)
+            t1_eval = jnp.where(
+                lands, jnp.nextafter(t1, t0.astype(t1.dtype)), t1
+            )
 
-        y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t0, dt, tableau, args)
+        y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t0, dt, tableau,
+                                           args, t1_eval=t1_eval)
         if tableau.c_error_alt is None:
             ratio = _error_ratio(err, rtol, atol, s.y1, y1, error_weights)
         else:
@@ -588,6 +604,18 @@ def _adaptive_machinery(
         dt_next = _optimal_step_size(dt, ratio, safety, ifactor, dfactor, tableau.order)
         dt_next = jnp.clip(dt_next, min_step_a, max_step_a)
 
+        nfe_inc = jnp.asarray(n_stages - 1, jnp.int32)
+        if jump_t.shape[0] > 0:
+            # An accepted step ending exactly on a declared jump must not
+            # seed the next step's FSAL stage with the left-side derivative;
+            # re-evaluate just past the discontinuity (the reference's
+            # Perturb.NEXT, rk_common.py:295-297).
+            hit_jump = accept & jnp.any(jump_t == t1)
+            t1_next = jnp.nextafter(t1, t1 + jnp.asarray(1, t1.dtype))
+            f1_re = func(jnp.where(hit_jump, t1_next, t1), y1, args)
+            f1 = jnp.where(hit_jump, f1_re, f1)
+            nfe_inc = nfe_inc + hit_jump.astype(jnp.int32)
+
         return _RKState(
             y1=jnp.where(accept, y1, s.y1),
             f1=jnp.where(accept, f1, s.f1),
@@ -595,12 +623,12 @@ def _adaptive_machinery(
             t1=jnp.where(accept, t1, s.t1),
             dt=dt_next,
             interp=jnp.where(accept, interp, s.interp),
-            nfe=s.nfe + n_stages - 1,
+            nfe=s.nfe + nfe_inc,
             accepted=s.accepted + accept.astype(jnp.int32),
             rejected=s.rejected + (~accept).astype(jnp.int32),
         )
 
-    return state0, adaptive_step
+    return state0, adaptive_step, special_t, jump_t
 
 
 def _adaptive_integrate(
@@ -609,7 +637,7 @@ def _adaptive_integrate(
     safety, ifactor, dfactor, max_num_steps, step_t=None, jump_t=None,
     error_weights=None,
 ):
-    state0, adaptive_step = _adaptive_machinery(
+    state0, adaptive_step, _, _ = _adaptive_machinery(
         func, y0, t, args, tableau, rtol, atol, min_step, max_step,
         first_step, safety, ifactor, dfactor, step_t, jump_t, error_weights,
     )
@@ -661,7 +689,7 @@ def _adaptive_integrate_diff(
     sg = jax.lax.stop_gradient
 
     def discover_grid(y0_, t_, args_):
-        state0, adaptive_step = _adaptive_machinery(
+        state0, adaptive_step, _, _ = _adaptive_machinery(
             func, y0_, t_, args_, tableau, rtol, atol, min_step, max_step,
             first_step, safety, ifactor, dfactor, step_t, jump_t,
             error_weights,
@@ -705,15 +733,32 @@ def _adaptive_integrate_diff(
     grid_rest = sg(grid_rest)
     ts_full = jnp.concatenate([sg(t[:1]).astype(y0.dtype), grid_rest])
 
-    # Phase 2: fixed re-integration over the discovered grid.
+    # Phase 2: fixed re-integration over the discovered grid, mirroring
+    # phase 1's discontinuity handling (left-limit endpoint stages on
+    # special landings; FSAL reseed past jumps).
+    _, _, special_arr, jump_arr = _adaptive_machinery(
+        func, sg(y0), sg(t), sg(args), tableau, rtol, atol, min_step,
+        max_step, 1.0, safety, ifactor, dfactor, step_t, jump_t,
+        error_weights,
+    )
     f0 = func(ts_full[0], y0, args)
 
     def step(carry, tt):
         y, f = carry
         a, b = tt
         dt = b - a
-        y1, f1, _, k = _runge_kutta_step(func, y, f, a, dt, tableau, args)
+        t1_eval = None
+        if special_arr.shape[0] > 0:
+            lands = jnp.any(special_arr == b) & (dt > 0)
+            t1_eval = jnp.where(lands, jnp.nextafter(b, a), b)
+        y1, f1, _, k = _runge_kutta_step(func, y, f, a, dt, tableau, args,
+                                         t1_eval=t1_eval)
         interp = _fit_from_stages(y, y1, k, dt, tableau)
+        if jump_arr.shape[0] > 0:
+            hit = jnp.any(jump_arr == b) & (dt > 0)
+            b_next = jnp.nextafter(b, b + jnp.asarray(1, b.dtype))
+            f1_re = func(jnp.where(hit, b_next, b), y1, args)
+            f1 = jnp.where(hit, f1_re, f1)
         return (y1, f1), interp
 
     _, interps = jax.lax.scan(step, (y0, f0), (ts_full[:-1], ts_full[1:]))

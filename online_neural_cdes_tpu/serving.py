@@ -33,9 +33,14 @@ class Predictor:
         params: trained parameter pytree.
         coeff_fn: raw series (B, L, C) -> model inputs (e.g. a coefficient
             builder); identity if requests are already coefficients.
-        batch_buckets / length_buckets: the precompiled shape grid; requests
-            pad up to the nearest bucket.
-        static_dim: when set, requests are (static, series) tuples.
+        batch_buckets / length_multiple: the bucket shape grid; requests pad
+            up to the nearest bucket.  Call :meth:`precompile` to compile
+            the grid up front; otherwise shapes compile on first use.
+        rectilinear_rows: set True when the model emits *unfiltered*
+            rectilinear sequence rows (``return_filtered_rectilinear=False``
+            — 2L-1 rows per length-L request); outputs are then mapped back
+            to one row per observation time (the reference's ::2 filtering,
+            ncde.py:200-212) before truncating to the request length.
     """
 
     def __init__(
@@ -60,6 +65,24 @@ class Predictor:
             if n <= b:
                 return b
         return _round_up(n, self.batch_buckets[-1])
+
+    def precompile(self, channels: int, max_length: int,
+                   static_dim: Optional[int] = None) -> int:
+        """Warm every (batch bucket, length bucket) jit cache entry with
+        zero requests so serve time never compiles.  Returns the number of
+        shapes compiled."""
+        compiled = 0
+        lengths = range(self.length_multiple, max_length + 1, self.length_multiple)
+        for b in self.batch_buckets:
+            for length in lengths:
+                series = [np.zeros((length, channels), np.float32)] * b
+                static = (
+                    np.zeros((b, static_dim), np.float32)
+                    if static_dim else None
+                )
+                self.predict(series, static=static)
+                compiled += 1
+        return compiled
 
     def predict(self, series, static: Optional[np.ndarray] = None) -> List[np.ndarray]:
         """series: list of (L_i, C) raw observations (NaN = missing) or an
@@ -93,6 +116,11 @@ class Predictor:
         for i, L in enumerate(lengths):
             o = out[i]
             if o.ndim >= 1 and getattr(self.model, "return_sequences", False):
+                if self.rectilinear_rows:
+                    # Unfiltered rectilinear output: rows alternate
+                    # time-advance / value-update; every 2nd row is the
+                    # state at an observation time.
+                    o = o[::2]
                 results.append(o[:L])
             else:
                 results.append(o)

@@ -266,6 +266,8 @@ def train(
     train_batches = Batches(train_data, batch_size)
     val_batches = Batches(val_data, batch_size)
     test_batches = Batches(test_data, batch_size)
+    if len(train_batches) == 0:
+        raise ValueError("Training split is empty — nothing to train on.")
 
     best_score = np.inf
     best_params = params

@@ -8,10 +8,12 @@ scored with a sentinel so the search continues (hyperoptimize.py:65-78),
 and ``best_parameters`` stored for later injection into sweeps.
 
 The reference drives Facebook Ax (Bayesian); that service-grade dependency
-is replaced by quasi-random search (scrambled Halton-style sampling) —
-equally budget-bounded, fully deterministic under the config seed, and
-with no external dependency.  The trial loop and result contract are
-identical, so Ax could be slotted back in behind ``suggest``.
+is replaced by scrambled-Sobol quasi-random search (scipy.stats.qmc) —
+equally budget-bounded, fully deterministic under the config seed, with
+provably lower star discrepancy than uniform sampling at the reference's
+20-trial budget, and no external service.  The trial loop and result
+contract are identical, so Ax could be slotted back in behind
+``sobol_parameterizations``.
 """
 
 from __future__ import annotations
@@ -24,35 +26,56 @@ import numpy as np
 
 from online_neural_cdes_tpu.training.experiment import run_experiment
 
-__all__ = ["run_hyperopt", "sample_parameterization", "decode_dunder"]
+__all__ = ["run_hyperopt", "sample_parameterization", "sobol_parameterizations",
+           "decode_dunder"]
 
 logger = logging.getLogger(__name__)
 FAILURE_SENTINEL = 1000.0
 
 
+def _decode_unit(param: dict, u: float):
+    """Map a unit-interval draw onto one Ax-style parameter."""
+    if param["type"] == "choice":
+        values = param["values"]
+        return values[min(int(u * len(values)), len(values) - 1)]
+    if param["type"] == "range":
+        lo, hi = param["bounds"]
+        if param.get("log_scale"):
+            return float(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
+        val = lo + u * (hi - lo)
+        if isinstance(lo, int) and isinstance(hi, int):
+            return int(np.clip(round(val), lo, hi))
+        return float(val)
+    if param["type"] == "fixed":
+        return param["value"]
+    raise ValueError(f"Unknown parameter type {param['type']}")
+
+
+def sobol_parameterizations(space: List[dict], n: int, seed: int = 0) -> List[dict]:
+    """``n`` scrambled-Sobol points over an Ax-style space, deterministic
+    under ``seed``.  Low-discrepancy: every 1-D projection of a 2^k-point
+    draw lands exactly one point in each of the 2^k dyadic bins."""
+    from scipy.stats import qmc
+
+    dims = [p for p in space if p["type"] != "fixed"]
+    fixed = [p for p in space if p["type"] == "fixed"]
+    if dims:
+        sampler = qmc.Sobol(d=len(dims), scramble=True, seed=seed)
+        unit = sampler.random(n)
+    else:
+        unit = np.zeros((n, 0))
+    points = []
+    for row in unit:
+        point = {p["name"]: _decode_unit(p, u) for p, u in zip(dims, row)}
+        point.update({p["name"]: p["value"] for p in fixed})
+        points.append(point)
+    return points
+
+
 def sample_parameterization(space: List[dict], rng: np.random.Generator) -> dict:
-    """Draw one point from an Ax-style parameter space."""
-    out = {}
-    for param in space:
-        name = param["name"]
-        if param["type"] == "choice":
-            out[name] = param["values"][rng.integers(len(param["values"]))]
-        elif param["type"] == "range":
-            lo, hi = param["bounds"]
-            if param.get("log_scale"):
-                val = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
-            else:
-                val = rng.uniform(lo, hi)
-                if isinstance(lo, int) and isinstance(hi, int):
-                    val = int(round(val))
-                else:
-                    val = float(val)
-            out[name] = val
-        elif param["type"] == "fixed":
-            out[name] = param["value"]
-        else:
-            raise ValueError(f"Unknown parameter type {param['type']}")
-    return out
+    """One uniform draw from an Ax-style space (kept for ad-hoc sampling;
+    the search itself uses :func:`sobol_parameterizations`)."""
+    return {p["name"]: _decode_unit(p, float(rng.uniform())) for p in space}
 
 
 def decode_dunder(parameterization: dict) -> dict:
@@ -84,11 +107,11 @@ def run_hyperopt(
     metric = config.get("evaluation_metric", "loss")
     minimize = bool(config.get("minimize", metric == "loss"))
     sign = 1.0 if minimize else -1.0
-    rng = np.random.default_rng(config.get("seed", 0))
+    points = sobol_parameterizations(space, total_trials,
+                                     seed=int(config.get("seed", 0)))
 
     best = (math.inf, None, None)
-    for trial in range(total_trials):
-        point = sample_parameterization(space, rng)
+    for trial, point in enumerate(points):
         trial_cfg = {k: v for k, v in config.items()
                      if k not in ("parameterization", "total_trials")}
         trial_cfg = _merge(trial_cfg, decode_dunder(point))

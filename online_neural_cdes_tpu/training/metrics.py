@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_loss", "masked_temporal_loss", "accuracy", "auc", "auprc", "METRICS"]
+__all__ = ["make_loss", "masked_temporal_loss", "accuracy", "auc", "auprc",
+           "precision", "f1", "METRICS"]
 
 
 def _bce_logits(logits, labels):
@@ -103,4 +104,31 @@ def auprc(preds, labels) -> float:
     return float(average_precision_score(l, scores))
 
 
-METRICS = {"acc": accuracy, "auc": auc, "auprc": auprc}
+def _predicted_classes(p: np.ndarray, like_dtype):
+    if p.shape[-1] == 1:
+        return (1 / (1 + np.exp(-p[:, 0])) > 0.5).astype(like_dtype)
+    return p.argmax(-1).astype(like_dtype)
+
+
+def precision(preds, labels) -> float:
+    """NaN-masked precision (reference ingredients/metrics.py:61-141)."""
+    from sklearn.metrics import precision_score
+
+    p, l = _flat_mask(preds, labels)
+    avg = "binary" if p.shape[-1] == 1 else "macro"
+    return float(precision_score(l, _predicted_classes(p, l.dtype),
+                                 average=avg, zero_division=0))
+
+
+def f1(preds, labels) -> float:
+    """NaN-masked F1 (reference ingredients/metrics.py:61-141)."""
+    from sklearn.metrics import f1_score
+
+    p, l = _flat_mask(preds, labels)
+    avg = "binary" if p.shape[-1] == 1 else "macro"
+    return float(f1_score(l, _predicted_classes(p, l.dtype),
+                          average=avg, zero_division=0))
+
+
+METRICS = {"acc": accuracy, "auc": auc, "auprc": auprc,
+           "precision": precision, "f1": f1}

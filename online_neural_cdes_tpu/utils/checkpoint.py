@@ -60,5 +60,13 @@ def load_checkpoint(path: str, like: Any) -> Any:
     file_path = path if path.endswith(".npz") else path + ".npz"
     npz = np.load(file_path, allow_pickle=False)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in npz.files:
+        saved = bytes(np.asarray(npz["__treedef__"])).decode()
+        if saved != str(treedef):
+            raise ValueError(
+                "Checkpoint pytree structure does not match `like`: restoring "
+                "by leaf index would silently reassign arrays to the wrong "
+                f"fields.\n  saved: {saved}\n  like:  {treedef}"
+            )
     leaves = [np.asarray(npz[f"leaf_{i}"]) for i in range(len(leaves_like))]
     return jax.tree_util.tree_unflatten(treedef, leaves)

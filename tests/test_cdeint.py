@@ -151,6 +151,33 @@ def test_direct_backprop_dopri5_gradients(  # reference gradient_tests.py:34-104
                                rtol=1e-6)
 
 
+def test_partial_interval_t_uses_generic_solver():
+    """t=[0, 3] on a spline spanning [0, 10] must integrate to t=3, not
+    silently run the full knot grid (the piece-scan fast path's contract)."""
+    rng = np.random.default_rng(5)
+    B, L, C, H = 2, 11, 2, 3
+    x = rng.normal(size=(B, L, C))
+    X = LinearInterpolation.create(linear_interpolation_coeffs(jnp.asarray(x)))
+    z0 = jnp.asarray(rng.normal(size=(B, H)))
+    W = jnp.asarray(rng.normal(size=(H, H * C)) * 0.1)
+
+    def func(t, z, args):
+        return jnp.tanh(z @ args).reshape(z.shape[:-1] + (H, C))
+
+    t_partial = jnp.asarray([0.0, 3.0])
+    zs = cdeint(X, func, z0, t_partial, W, adjoint=False, method="rk4",
+                options={"substeps": 64})
+    # Truth: full grid solve, state at knot 3.  (The generic solver's steps
+    # straddle the spline kinks, so agreement is first-order at the kinks.)
+    zs_full = cdeint(X, func, z0, X.grid_points, W, adjoint=False,
+                     method="rk4", options={"substeps": 8})
+    np.testing.assert_allclose(np.asarray(zs[:, -1]), np.asarray(zs_full[:, 3]),
+                               rtol=2e-2, atol=2e-3)
+    # And it must NOT equal the state at t=10.
+    assert not np.allclose(np.asarray(zs[:, -1]), np.asarray(zs_full[:, -1]),
+                           atol=1e-3)
+
+
 def test_adjoint_under_jit():
     loss_a, args = _loss_fn(adjoint=True, method="rk4")
     g = jax.jit(jax.grad(loss_a))(*args)

@@ -24,6 +24,21 @@ def test_npz_roundtrip(tmp_path):
     )
 
 
+def test_npz_structure_mismatch_raises(tmp_path):
+    import pytest
+
+    from online_neural_cdes_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"w": np.ones((2, 3)), "b": np.zeros((3,))}
+    path = save_checkpoint(str(tmp_path / "ckpt"), state, use_orbax=False)
+    wrong_like = {"weights": np.ones((2, 3)), "bias": np.zeros((3,))}
+    with pytest.raises(ValueError, match="structure"):
+        load_checkpoint(path, wrong_like)
+
+
 def test_orbax_roundtrip(tmp_path):
     _, params = _params()
     path = save_checkpoint(str(tmp_path / "ckpt_orbax"), params)

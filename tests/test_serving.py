@@ -58,3 +58,36 @@ def test_padding_does_not_change_results():
     solo = pred.predict(reqs[:1])[0]
     batched = pred.predict(reqs)[0]
     np.testing.assert_allclose(solo, batched, rtol=1e-5, atol=1e-6)
+
+
+def test_rectilinear_rows_maps_to_observation_times():
+    """A model emitting unfiltered rectilinear rows (2L-1 per request) is
+    served back as one row per observation time, equal to the filtered
+    model's output."""
+    kw = dict(input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+              interpolation="rectilinear", return_sequences=True,
+              adjoint=False, solver="rk4")
+    unfiltered = NeuralCDE(return_filtered_rectilinear=False, **kw)
+    filtered = NeuralCDE(**kw)
+    params = unfiltered.init(jax.random.PRNGKey(0))
+
+    def coeff_fn(x):
+        return linear_interpolation_coeffs(x, rectilinear=0)
+
+    pred_u = Predictor(unfiltered, params, coeff_fn=coeff_fn,
+                       batch_buckets=(4,), length_multiple=8,
+                       rectilinear_rows=True)
+    pred_f = Predictor(filtered, params, coeff_fn=coeff_fn,
+                       batch_buckets=(4,), length_multiple=8)
+    reqs = _requests(3, seed=2)
+    outs_u = pred_u.predict(reqs)
+    outs_f = pred_f.predict(reqs)
+    for r, ou, of in zip(reqs, outs_u, outs_f):
+        assert ou.shape == (len(r), 2)
+        np.testing.assert_allclose(ou, of, rtol=1e-5, atol=1e-6)
+
+
+def test_precompile_covers_bucket_grid():
+    pred = _predictor(return_sequences=False)
+    n = pred.precompile(channels=3, max_length=16)
+    assert n == 2 * 2  # batch buckets (4, 16) x lengths (8, 16)

@@ -152,6 +152,27 @@ def test_jump_t_lands_on_discontinuity():
     np.testing.assert_allclose(float(ys[-1, 0]), 0.0, atol=1e-4)
 
 
+def test_jump_t_reseeds_fsal_stage():
+    """After an accepted step landing ON a jump, the next step's FSAL stage
+    must be the right-side derivative (reference Perturb.NEXT,
+    rk_common.py:295-297).  min_step forces acceptance so the error
+    controller cannot mask a stale left-side stage."""
+    y0 = jnp.array([0.0])
+
+    def piecewise(t, y, args):
+        return jnp.where(t < 1.0, jnp.ones_like(y), -jnp.ones_like(y))
+
+    t = jnp.linspace(0.0, 2.0, 2)
+    ys, stats = odeint(
+        piecewise, y0, t, method="dopri5", rtol=1e-2, atol=1e-2,
+        options={"jump_t": jnp.array([1.0]), "min_step": 2.0, "first_step": 2.0},
+        return_stats=True,
+    )
+    # Exact: +1 over [0,1], -1 over [1,2].  A stale FSAL stage leaves an
+    # O(dt * b1) = O(0.18) error here.
+    np.testing.assert_allclose(float(ys[-1, 0]), 0.0, atol=1e-5)
+
+
 def test_pytree_state():
     y0 = {"a": jnp.array([1.0]), "b": jnp.array([[2.0, 3.0]])}
 
