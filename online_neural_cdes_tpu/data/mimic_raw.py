@@ -6,9 +6,10 @@ below), re-written with vectorised pandas groupbys — the reference's
 row-wise ``groupby().apply`` merge is self-described as "~4 hours"
 (build_raw.py:183); the cumsum-group formulation here is minutes.
 
-The BigQuery step itself (query.sql over ``physionet-data.mimic_derived``)
-requires credentialed network access and cannot run in this image: this
-module consumes its CSV exports from ``data/raw/mimic-iv/*.csv``.
+The BigQuery step itself requires credentialed network access and cannot
+run in this image; the extraction SQL ships as ``mimic_query.sql`` next to
+this module (role parity with reference query.sql:1-416) and this module
+consumes its CSV exports from ``data/raw/mimic-iv/*.csv``.
 """
 
 from __future__ import annotations

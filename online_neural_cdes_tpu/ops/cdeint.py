@@ -237,6 +237,152 @@ _fixed_cde_adjoint.defvjp(_fixed_cde_adjoint_fwd, _fixed_cde_adjoint_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Paired rectilinear piece-scan.
+#
+# Rectilinear coefficients alternate structurally: even intervals advance
+# ONLY the time channel (all value deltas are exactly 0 by construction —
+# forward-fill + interleave-lag, reference interpolation_linear.py:87-128),
+# odd intervals update values with zero time delta.  On even intervals the
+# field/control contraction needs only the time column of the field matrix,
+# so the caller supplies a cheap ``even_func`` (e.g. the fused head sliced
+# to the time channel: ~1/input_dim of the head matmul + tanh + contraction
+# work).  Pairing consecutive intervals inside one scan step makes the
+# even/odd dispatch static.  This roughly halves the hot-path FLOPs of the
+# paper's online (rectilinear) configuration — a TPU-first optimisation
+# with no reference counterpart.
+# ---------------------------------------------------------------------------
+
+def _split_pairs(tree):
+    even = jax.tree.map(lambda x: x[0::2], tree)
+    odd = jax.tree.map(lambda x: x[1::2], tree)
+    return even, odd
+
+
+def _one_interval(step, pf, piece, t0, t1, z, args, substeps):
+    dt = (t1 - t0) / substeps
+
+    def f(tt, zz):
+        return pf(piece, tt, tt - t0, zz, args)
+
+    if substeps == 1:
+        return step(f, t0, dt, z)
+
+    def sub(zz, k):
+        return step(f, t0 + k * dt, dt, zz), None
+
+    z, _ = jax.lax.scan(sub, z, jnp.arange(substeps))
+    return z
+
+
+def _fixed_scan_forward_paired(pf_even, pf_odd, z0, grid_t, pieces, args,
+                               method, substeps, remat, unroll=1):
+    step = solvers.tree_fixed_step(method)
+    pieces_e, pieces_o = _split_pairs(pieces)
+
+    def pair(z, inp):
+        pe, po, ta, tb, tc = inp
+        z_mid = _one_interval(step, pf_even, pe, ta, tb, z, args, substeps)
+        z_end = _one_interval(step, pf_odd, po, tb, tc, z_mid, args, substeps)
+        return z_end, (z_mid, z_end)
+
+    if remat:
+        pair = jax.checkpoint(pair)
+
+    xs = (pieces_e, pieces_o, grid_t[0:-2:2], grid_t[1:-1:2], grid_t[2::2])
+    _, (z_mids, z_ends) = jax.lax.scan(pair, z0, xs, unroll=unroll)
+    zs = jnp.stack([z_mids, z_ends], axis=1)
+    zs = zs.reshape((-1,) + z_mids.shape[1:])
+    return jnp.concatenate([z0[None], zs], axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fixed_cde_adjoint_paired(bundle, cfg, z0, grid_t, pieces, args):
+    spline_cls, func, even_func = bundle
+    vf_type, method, substeps, unroll = cfg
+    pf_o = _piece_field(spline_cls, func, vf_type)
+    pf_e = _piece_field(spline_cls, even_func, vf_type)
+    return _fixed_scan_forward_paired(pf_e, pf_o, z0, grid_t, pieces, args,
+                                      method, substeps, False, unroll)
+
+
+def _fixed_cde_adjoint_paired_fwd(bundle, cfg, z0, grid_t, pieces, args):
+    zs = _fixed_cde_adjoint_paired(bundle, cfg, z0, grid_t, pieces, args)
+    return zs, (zs, grid_t, pieces, args)
+
+
+def _fixed_cde_adjoint_paired_bwd(bundle, cfg, residuals, grad_zs):
+    spline_cls, func, even_func = bundle
+    vf_type, method, substeps, unroll = cfg
+    pf_o = _piece_field(spline_cls, func, vf_type)
+    pf_e = _piece_field(spline_cls, even_func, vf_type)
+    zs, grid_t, pieces, args = residuals
+    step = solvers.tree_fixed_step(method)
+
+    def interval_bwd(pf, piece, t0, t1, z_end, a, args_bar):
+        """Reverse one interval: returns (a at t0, args_bar', piece_bar)."""
+        aug0 = (z_end, a, jax.tree.map(jnp.zeros_like, piece), args_bar)
+        dt = (t1 - t0) / substeps
+
+        def aug_f(s, aug):
+            z, a_, _, _ = aug
+            tau = -s
+            f, vjp = jax.vjp(
+                lambda z_, p_, ar_: pf(p_, tau, tau - t0, z_, ar_),
+                z, piece, args,
+            )
+            vz, vp, va = vjp(a_)
+            return (-f, vz, vp, va)
+
+        def sub(aug, k):
+            return step(aug_f, -t1 + k * dt, dt, aug), None
+
+        aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
+        _, a_new, piece_bar, args_bar_new = aug
+        return a_new, args_bar_new, piece_bar
+
+    pieces_e, pieces_o = _split_pairs(pieces)
+    z_knots = jax.tree.map(lambda x: x[1:], zs)       # (P, ...) states
+    g_knots = jax.tree.map(lambda x: x[1:], grad_zs)
+    z_mids = jax.tree.map(lambda x: x[0::2], z_knots)
+    z_ends = jax.tree.map(lambda x: x[1::2], z_knots)
+    g_mids = jax.tree.map(lambda x: x[0::2], g_knots)
+    g_ends = jax.tree.map(lambda x: x[1::2], g_knots)
+
+    zero_args = jax.tree.map(jnp.zeros_like, args)
+
+    def pair_bwd(carry, inp):
+        a, args_bar = carry
+        pe, po, ta, tb, tc, z_m, z_e, g_m, g_e = inp
+        a = a + g_e
+        a, args_bar, pb_o = interval_bwd(pf_o, po, tb, tc, z_e, a, args_bar)
+        a = a + g_m
+        a, args_bar, pb_e = interval_bwd(pf_e, pe, ta, tb, z_m, a, args_bar)
+        return (a, args_bar), (pb_e, pb_o)
+
+    xs = (
+        pieces_e, pieces_o,
+        grid_t[0:-2:2], grid_t[1:-1:2], grid_t[2::2],
+        z_mids, z_ends, g_mids, g_ends,
+    )
+    a0 = jnp.zeros_like(zs[0])
+    (a_final, args_bar), (pb_e, pb_o) = jax.lax.scan(
+        pair_bwd, (a0, zero_args), xs, reverse=True, unroll=unroll
+    )
+    a_final = a_final + grad_zs[0]
+    # Interleave the even/odd piece cotangents back to (P, ...).
+    piece_bars = jax.tree.map(
+        lambda e, o: jnp.stack([e, o], axis=1).reshape((-1,) + e.shape[1:]),
+        pb_e, pb_o,
+    )
+    return a_final, jnp.zeros_like(grid_t), piece_bars, args_bar
+
+
+_fixed_cde_adjoint_paired.defvjp(
+    _fixed_cde_adjoint_paired_fwd, _fixed_cde_adjoint_paired_bwd
+)
+
+
+# ---------------------------------------------------------------------------
 # Adjoint odeint (generic; used by the adaptive path and exposed publicly —
 # the analogue of reference torchdiffeq adjoint.py:148-215)
 # ---------------------------------------------------------------------------
@@ -269,9 +415,13 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
     adj_rtol = adj.pop("rtol", rtol)
     adj_atol = adj.pop("atol", atol)
     # 'seminorm': adapt steps on the (y, a_y) blocks only, ignoring the
-    # parameter-gradient block (reference adjoint.py:235-281).
-    seminorm = adj.pop("norm", None) == "seminorm"
+    # parameter-gradient block (reference adjoint.py:235-281).  Other norm
+    # values ('rms'/'mixed') pass through to the backward solver.
+    norm_opt = adj.pop("norm", None)
+    seminorm = norm_opt == "seminorm"
     adj_options = adj or dict(opt_items)
+    if norm_opt is not None and not seminorm:
+        adj_options = {**adj_options, "norm": norm_opt}
 
     ys, t, args = residuals
 
@@ -410,6 +560,7 @@ def cdeint(
     options: Optional[dict] = None,
     adjoint_options: Optional[dict] = None,
     return_stats: bool = False,
+    even_func: Optional[Callable] = None,
 ):
     """Solve dz = f(t, z) dX(t), returning z at the requested times with the
     time axis at position -2: ``(..., len(t), hidden)``.
@@ -419,6 +570,17 @@ def cdeint(
     and is either the spline's full knot grid (return-sequences) or its
     2-point interval (final state only) for the fixed-grid fast path; any
     other ``t`` falls back to the generic solver.
+
+    ``even_func``: optional cheap field used on EVEN knot intervals of the
+    fixed-grid piece scan (the rectilinear time-advance intervals, whose
+    control derivative is nonzero only in the time channel).  Same
+    signature as ``func``.  Requires an even piece count; ignored on the
+    adaptive path.  Gradient contract: w.r.t. the raw coefficient array the
+    d(out)/d(dx) components that even_func ignores are dropped; they cancel
+    exactly when differentiating through the rectilinear *construction*
+    (the tied value rows), so source-data and parameter gradients are
+    exact.  Do not pass even_func for controls whose even intervals are not
+    structurally constant in the ignored channels.
     """
     options = dict(options or {})
     t = jnp.asarray(t)
@@ -439,7 +601,19 @@ def cdeint(
         unroll = int(options.get("unroll", 1))
         pieces = X.piece_data()
         cfg = (vector_field_type, method, substeps, unroll)
-        if adjoint:
+        paired = even_func is not None and (n_knots - 1) % 2 == 0 and n_knots > 2
+        if paired and adjoint:
+            zs = _fixed_cde_adjoint_paired(
+                (type(X), func, even_func), cfg, z0, grid_t, pieces, args
+            )
+        elif paired:
+            pf_o = _piece_field(type(X), func, vector_field_type)
+            pf_e = _piece_field(type(X), even_func, vector_field_type)
+            zs = _fixed_scan_forward_paired(
+                pf_e, pf_o, z0, grid_t, pieces, args, method, substeps,
+                remat, unroll,
+            )
+        elif adjoint:
             zs = _fixed_cde_adjoint((type(X), func), cfg, z0, grid_t, pieces, args)
         else:
             pf = _piece_field(type(X), func, vector_field_type)

@@ -50,36 +50,73 @@ def fused_field_available(backend: str | None = None) -> bool:
     return backend in ("tpu",)
 
 
-def pack_fused_params(field_params: dict, hidden_dim: int, input_dim: int) -> dict:
+def lane_pad(hidden_dim: int, lanes: int = 128) -> int:
+    """Hidden padded up to a full lane register so the in-kernel
+    (B, I*Hp) -> (B, I, Hp) reshape is layout-free."""
+    return ((hidden_dim + lanes - 1) // lanes) * lanes
+
+
+def pack_fused_params(field_params: dict, hidden_dim: int, input_dim: int,
+                      pad: bool = True) -> dict:
     """Re-layout an 'original' VectorField's parameters for the fused kernel:
-    the head weight (HH, H*I) becomes contraction-major (HH, I*H)."""
+    the head weight (HH, H*I) becomes contraction-major (HH, I*Hp) with the
+    hidden axis zero-padded to a full 128-lane register.  Padded columns
+    produce tanh(0) = 0 and contribute nothing to the contraction; the
+    caller slices the (B, Hp) output back to (B, H).  This is what lets the
+    kernel fire for the hyperopt-sampled hidden sizes (32..256,
+    configurations.json5:32-37) instead of only multiples of 128."""
     w = field_params["out"]["w"]  # (HH, H*I)
     hh = w.shape[0]
-    w_ihl = (
-        w.reshape(hh, hidden_dim, input_dim)
-        .transpose(0, 2, 1)
-        .reshape(hh, input_dim * hidden_dim)
-    )
-    b = field_params["out"]["b"].reshape(hidden_dim, input_dim).T.reshape(-1)
+    hp = lane_pad(hidden_dim) if pad else hidden_dim
+    w_ih = w.reshape(hh, hidden_dim, input_dim).transpose(0, 2, 1)
+    b_ih = field_params["out"]["b"].reshape(hidden_dim, input_dim).T
+    if hp != hidden_dim:
+        pad_cols = ((0, 0), (0, 0), (0, hp - hidden_dim))
+        w_ih = jnp.pad(w_ih, pad_cols)
+        b_ih = jnp.pad(b_ih, pad_cols[1:])
     return {
         "trunk": field_params["trunk"],
-        "head_w": w_ihl,
-        "head_b": b,
+        "head_w": w_ih.reshape(hh, input_dim * hp),
+        "head_b": b_ih.reshape(-1),
     }
 
 
-def _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
+def _mm(a, b, precision):
+    """MXU matmul with optional bf16 inputs and f32 accumulation (params
+    stay f32 in HBM; the cast is a VPU op amortised by the matmul)."""
+    if precision == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim, input_dim,
+                       precision="float32"):
     """Pure-XLA forward with identical semantics (non-TPU fallback and the
-    backward-pass recomputation)."""
+    backward-pass recomputation).  Handles lane-padded heads: the padded
+    hidden width is derived from the head shape and sliced off."""
+    hp = head_w.shape[-1] // input_dim
     u = z
     for layer in trunk:
-        u = jax.nn.relu(u @ layer["w"] + layer["b"])
-    a = jnp.tanh(u @ head_w + head_b)  # (B, I*H)
-    a = a.reshape(a.shape[:-1] + (input_dim, hidden_dim))
-    return jnp.sum(a * dx[..., :, None], axis=-2)
+        u = jax.nn.relu(_mm(u, layer["w"], precision) + layer["b"])
+    a = jnp.tanh(_mm(u, head_w, precision) + head_b)  # (B, I*Hp)
+    a = a.reshape(a.shape[:-1] + (input_dim, hp))
+    out = jnp.sum(a * dx[..., :, None], axis=-2)
+    return out[..., :hidden_dim]
 
 
-def _make_kernel(n_trunk: int, hidden_dim: int, input_dim: int):
+def _kernel_mm(a, b, precision):
+    if precision == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _make_kernel(n_trunk: int, hidden_pad: int, input_dim: int,
+                 precision: str):
     def kernel(*refs):
         z_ref, dx_ref = refs[0], refs[1]
         trunk_refs = refs[2: 2 + 2 * n_trunk]
@@ -89,15 +126,12 @@ def _make_kernel(n_trunk: int, hidden_dim: int, input_dim: int):
         for i in range(n_trunk):
             w = trunk_refs[2 * i][:]
             b = trunk_refs[2 * i + 1][:]
-            u = jnp.maximum(
-                jnp.dot(u, w, preferred_element_type=jnp.float32) + b, 0.0
-            )
+            u = jnp.maximum(_kernel_mm(u, w, precision) + b, 0.0)
         a = jnp.tanh(
-            jnp.dot(u, head_w_ref[:], preferred_element_type=jnp.float32)
-            + head_b_ref[:]
-        )  # (Bt, I*H) in f32
+            _kernel_mm(u, head_w_ref[:], precision) + head_b_ref[:]
+        )  # (Bt, I*Hp) in f32
         bt = a.shape[0]
-        a = a.reshape(bt, input_dim, hidden_dim)
+        a = a.reshape(bt, input_dim, hidden_pad)
         dx = dx_ref[:].astype(jnp.float32)  # (Bt, I)
         out = jnp.sum(a * dx[:, :, None], axis=1)
         out_ref[:] = out.astype(out_ref.dtype)
@@ -105,10 +139,12 @@ def _make_kernel(n_trunk: int, hidden_dim: int, input_dim: int):
     return kernel
 
 
-def _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
+def _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim, input_dim,
+                    precision="float32"):
     batch = z.shape[0]
     hh = head_w.shape[0]
     head_cols = head_w.shape[1]
+    hidden_pad = head_cols // input_dim
     tile = _pick_batch_tile(batch, head_cols, hh)
     n_trunk = len(trunk)
 
@@ -131,47 +167,56 @@ def _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
         + hh * head_cols
         + head_cols
     )
-    return pl.pallas_call(
-        _make_kernel(n_trunk, hidden_dim, input_dim),
+    out = pl.pallas_call(
+        _make_kernel(n_trunk, hidden_pad, input_dim, precision),
         grid=(batch // tile,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (tile, hidden_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, hidden_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, hidden_dim), z.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, hidden_pad), z.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * (z.size + dx.size + hh * head_cols + batch * hidden_dim),
+            bytes_accessed=4 * (z.size + dx.size + hh * head_cols + batch * hidden_pad),
             transcendentals=batch * head_cols,
         ),
     )(*operands)
+    return out[:, :hidden_dim]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_matmul_field(trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_matmul_field(trunk, head_w, head_b, z, dx, hidden_dim, input_dim,
+                       use_pallas, precision="float32"):
     """out = einsum('bih,bi->bh', tanh(trunk(z) @ head_w + head_b), dx).
 
-    trunk: list of {'w','b'} relu layers; head_w: (HH, I*H)
-    contraction-major; z: (B, H_in); dx: (B, I).  Returns (B, H).
+    trunk: list of {'w','b'} relu layers; head_w: (HH, I*Hp)
+    contraction-major (Hp = lane-padded hidden); z: (B, H_in); dx: (B, I).
+    Returns (B, H).  ``precision='bfloat16'`` runs the MXU passes in bf16
+    with f32 accumulation (params stay f32).
     """
     if use_pallas:
-        return _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim, input_dim)
-    return _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim, input_dim)
+        return _forward_pallas(trunk, head_w, head_b, z, dx, hidden_dim,
+                               input_dim, precision)
+    return _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim,
+                              input_dim, precision)
 
 
-def _fused_fwd(trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas):
+def _fused_fwd(trunk, head_w, head_b, z, dx, hidden_dim, input_dim,
+               use_pallas, precision="float32"):
     out = fused_matmul_field(
-        trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas
+        trunk, head_w, head_b, z, dx, hidden_dim, input_dim, use_pallas,
+        precision,
     )
     return out, (trunk, head_w, head_b, z, dx)
 
 
-def _fused_bwd(hidden_dim, input_dim, use_pallas, residuals, g):
+def _fused_bwd(hidden_dim, input_dim, use_pallas, precision, residuals, g):
     trunk, head_w, head_b, z, dx = residuals
 
     def ref(trunk_, head_w_, head_b_, z_, dx_):
         return _forward_reference(
-            trunk_, head_w_, head_b_, z_, dx_, hidden_dim, input_dim
+            trunk_, head_w_, head_b_, z_, dx_, hidden_dim, input_dim,
+            precision,
         )
 
     _, vjp = jax.vjp(ref, trunk, head_w, head_b, z, dx)
@@ -239,6 +284,12 @@ def fused_rk4_interval(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
     batch = z.shape[0]
     hh = head_w.shape[0]
     head_cols = head_w.shape[1]
+    # The in-kernel state updates need H == Hp: pack with pad=False and use
+    # this op only for lane-aligned hidden sizes.
+    assert head_cols == input_dim * hidden_dim, (
+        "fused_rk4_interval requires unpadded packing "
+        "(pack_fused_params(..., pad=False))"
+    )
     # Four live stages need headroom on the Mosaic VMEM stack.
     tile = _pick_batch_tile(batch, head_cols, hh, budget_bytes=6 * 1024 * 1024)
     n_trunk = len(trunk)

@@ -171,9 +171,25 @@ def _weighted_rms_norm(x: jax.Array, weights: Optional[jax.Array]) -> jax.Array:
     return jnp.sqrt(total / count)
 
 
-def _error_ratio(error, rtol, atol, y0, y1, weights=None):
+def _error_ratio(error, rtol, atol, y0, y1, weights=None, blocks=None):
+    """Scaled error norm for step control.  With ``blocks`` (static leaf
+    sizes of a ravelled pytree state) each block is normed separately and
+    the blocks max-combine — the reference's ``_mixed_norm`` for tuple
+    states (misc.py:18-29, wired at misc.py:194-305).  This matters when
+    state / adjoint / parameter-gradient blocks have wildly different
+    scales: a flat RMS lets a large block drown out another's error."""
     tol = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return _weighted_rms_norm(error / tol, weights)
+    r = error / tol
+    if blocks is None:
+        return _weighted_rms_norm(r, weights)
+    out = jnp.zeros((), r.dtype)
+    start = 0
+    for size in blocks:
+        seg = jax.lax.slice_in_dim(r, start, start + size)
+        w = None if weights is None else jax.lax.slice_in_dim(weights, start, start + size)
+        out = jnp.maximum(out, _weighted_rms_norm(seg, w))
+        start += size
+    return out
 
 
 def _optimal_step_size(last_step, error_ratio, safety, ifactor, dfactor, order):
@@ -505,7 +521,7 @@ def _adaptive_machinery(
     func, y0, t, args, tableau: ButcherTableau,
     rtol, atol, min_step, max_step, first_step,
     safety, ifactor, dfactor, step_t=None, jump_t=None,
-    error_weights=None,
+    error_weights=None, error_blocks=None,
 ):
     """Shared controller setup for the adaptive integrators: returns
     ``(state0, adaptive_step)`` with the reference's accept/reject +
@@ -576,7 +592,8 @@ def _adaptive_machinery(
         y1, f1, err, k = _runge_kutta_step(func, s.y1, s.f1, t0, dt, tableau,
                                            args, t1_eval=t1_eval)
         if tableau.c_error_alt is None:
-            ratio = _error_ratio(err, rtol, atol, s.y1, y1, error_weights)
+            ratio = _error_ratio(err, rtol, atol, s.y1, y1, error_weights,
+                                 error_blocks)
         else:
             # DOP853 blended 5th/3rd-order error (Hairer; scipy semantics).
             scale = atol + rtol * jnp.maximum(jnp.abs(s.y1), jnp.abs(y1))
@@ -635,11 +652,12 @@ def _adaptive_integrate(
     func, y0, t, args, tableau: ButcherTableau,
     rtol, atol, min_step, max_step, first_step,
     safety, ifactor, dfactor, max_num_steps, step_t=None, jump_t=None,
-    error_weights=None,
+    error_weights=None, error_blocks=None,
 ):
     state0, adaptive_step, _, _ = _adaptive_machinery(
         func, y0, t, args, tableau, rtol, atol, min_step, max_step,
         first_step, safety, ifactor, dfactor, step_t, jump_t, error_weights,
+        error_blocks,
     )
     t = t.astype(y0.dtype)
 
@@ -667,7 +685,7 @@ def _adaptive_integrate_diff(
     func, y0, t, args, tableau: ButcherTableau,
     rtol, atol, min_step, max_step, first_step,
     safety, ifactor, dfactor, max_num_steps, max_steps,
-    step_t=None, jump_t=None, error_weights=None,
+    step_t=None, jump_t=None, error_weights=None, error_blocks=None,
 ):
     """Reverse-differentiable adaptive solve (discretize-then-optimize).
 
@@ -692,7 +710,7 @@ def _adaptive_integrate_diff(
         state0, adaptive_step, _, _ = _adaptive_machinery(
             func, y0_, t_, args_, tableau, rtol, atol, min_step, max_step,
             first_step, safety, ifactor, dfactor, step_t, jump_t,
-            error_weights,
+            error_weights, error_blocks,
         )
         t_end = t_.astype(y0_.dtype)[-1]
         buf0 = jnp.full((max_steps,), t_end, state0.t1.dtype)
@@ -832,7 +850,12 @@ def odeint(
     # analogue of the reference's tuple-state flattening, misc.py:194-305)
     # are ravelled to one flat vector so the solver core sees a single array.
     unravel = None
+    error_blocks = None
     if not isinstance(y0, (jax.Array, np.ndarray)):
+        # Per-leaf error blocks: the reference norms each tuple component
+        # separately and max-combines (_mixed_norm, misc.py:18-29); pass
+        # options={"norm": "rms"} for a flat RMS over the ravelled state.
+        error_blocks = tuple(int(np.prod(l.shape)) for l in jax.tree.leaves(y0))
         y0_flat, unravel = jax.flatten_util.ravel_pytree(y0)
         inner_func = func
 
@@ -842,6 +865,8 @@ def odeint(
 
         y0 = y0_flat
     y0 = jnp.asarray(y0)
+    if options.pop("norm", None) == "rms":
+        error_blocks = None
 
     if method in FIXED_METHODS:
         substeps = int(options.pop("substeps", 0))
@@ -877,6 +902,7 @@ def odeint(
             step_t=options.pop("step_t", None),
             jump_t=options.pop("jump_t", None),
             error_weights=options.pop("error_weights", None),
+            error_blocks=error_blocks,
         )
         if differentiable:
             tab = ADAPTIVE_METHODS[method]

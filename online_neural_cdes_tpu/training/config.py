@@ -30,10 +30,23 @@ DEFAULT_CONFIG_DIR = os.path.join(_HERE, "configurations")
 
 
 def load_json(path: str) -> dict:
+    """json5 parsing is pure Python and slow (~100 ms/file); suites and the
+    dataset registry are static, so cache by absolute path + mtime."""
+    path = os.path.abspath(path)
+    return copy.deepcopy(_load_json_cached(path, os.path.getmtime(path)))
+
+
+def _load_json_cached(path: str, _mtime: float) -> dict:
     import json5
 
-    with open(path) as f:
-        return json5.load(f)
+    key = (path, _mtime)
+    if key not in _JSON_CACHE:
+        with open(path) as f:
+            _JSON_CACHE[key] = json5.load(f)
+    return _JSON_CACHE[key]
+
+
+_JSON_CACHE: dict = {}
 
 
 def _flatten(d: dict, prefix: str = "") -> dict:

@@ -276,7 +276,15 @@ def train(
     stall_count = 0
     lr_scale = 1.0
     history = []
-    nfe_per_epoch = _static_nfe_per_epoch(bundle, train_batches)
+    # Fixed-grid NFE is parameter-independent: probe once.  Adaptive NFE is
+    # state/parameter-dependent: re-probe with the trained params each epoch
+    # and accumulate (the reference reads the field's counter during
+    # training, trainer.py:464-468).
+    nfe_adaptive = _nfe_is_adaptive(bundle.model)
+    nfe_per_epoch = (
+        None if nfe_adaptive else _probe_nfe(bundle, params, train_batches)
+    )
+    nfe_total = 0
 
     t_start = time.perf_counter()
     epochs_run = 0
@@ -288,6 +296,10 @@ def train(
             )
         jax.block_until_ready(loss_val)
         epochs_run += 1
+        if nfe_adaptive:
+            epoch_nfe = _probe_nfe(bundle, params, train_batches)
+            if epoch_nfe is not None:
+                nfe_total += epoch_nfe
 
         val_results = _evaluate(bundle, params, val_batches, loss_str, metrics)
         score = sign * val_results[val_metric_to_monitor]
@@ -321,6 +333,11 @@ def train(
             os.path.join(checkpoint_dir, "best_params"), best_params
         )
 
+    if nfe_adaptive and nfe_total > 0:
+        nfe = nfe_total
+        nfe_per_epoch = nfe_total / max(epochs_run, 1)
+    else:
+        nfe = None if nfe_per_epoch is None else nfe_per_epoch * epochs_run
     results = {
         "num_params": int(num_params),
         "elapsed_time": elapsed,
@@ -328,7 +345,7 @@ def train(
         "epochs_run": epochs_run,
         "best_epoch": best_epoch,
         "nfe_per_epoch": nfe_per_epoch,
-        "nfe": None if nfe_per_epoch is None else nfe_per_epoch * epochs_run,
+        "nfe": nfe,
         "memory_usage": _device_peak_memory_mb(),
         "history": history,
     }
@@ -341,18 +358,25 @@ def train(
     return results
 
 
-def _static_nfe_per_epoch(bundle, train_batches) -> Optional[int]:
-    """NFE per epoch for NCDE models (the paper's efficiency metric).  For
-    fixed-grid solvers this is static; adaptive solvers report the first
-    batch's measured NFE x batch count."""
+def _nfe_is_adaptive(model) -> bool:
+    from online_neural_cdes_tpu.ops.solvers import ADAPTIVE_METHODS
+
+    return getattr(model, "solver", None) in ADAPTIVE_METHODS
+
+
+def _probe_nfe(bundle, params, train_batches) -> Optional[int]:
+    """Epoch NFE for NCDE models (the paper's efficiency metric): the first
+    batch's measured NFE at ``params`` x batch count.  Exact for fixed-grid
+    solvers; for adaptive solvers NFE is state/parameter-dependent, so the
+    caller re-probes with the *trained* params each epoch (the reference
+    accumulates the field's counter during training, trainer.py:464-468)."""
     model = bundle.model
     if not isinstance(model, NeuralCDE):
         return None
     try:
         inputs, _ = next(iter(train_batches))
         prepared = bundle.prepare_batch(inputs)
-        probe_params = model.init(jax.random.PRNGKey(0))
-        _, stats = model.apply(probe_params, prepared, return_stats=True)
+        _, stats = model.apply(params, prepared, return_stats=True)
         return int(stats["nfe"]) * len(train_batches)
     except Exception:
         return None

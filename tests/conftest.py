@@ -22,5 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-bound (many distinct
+# jitted shapes x 8 virtual devices); repeat runs hit the cache on disk.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()

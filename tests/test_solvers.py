@@ -173,6 +173,35 @@ def test_jump_t_reseeds_fsal_stage():
     np.testing.assert_allclose(float(ys[-1, 0]), 0.0, atol=1e-5)
 
 
+def test_mixed_norm_controls_badly_scaled_pytree_blocks():
+    """Per-leaf (mixed) error norms, reference misc.py:18-29: a huge smooth
+    block must not drown a small fast block's error out of the flat RMS.
+    The same mechanism protects the adjoint's (y, a_y, a_params) augmented
+    state when parameter-gradient blocks dwarf the state block."""
+    y0 = {"osc": jnp.array([1.0]), "big": 1e3 * jnp.ones(4096)}
+
+    def f(t, y, args):
+        return {"osc": 10.0 * jnp.cos(10.0 * t) * jnp.ones_like(y["osc"]),
+                "big": -1e-3 * y["big"]}
+
+    t = jnp.linspace(0.0, 3.0, 2)
+    exact = 1.0 + jnp.sin(30.0)
+
+    kw = dict(rtol=1e-6, atol=1e-8, method="dopri5", return_stats=True)
+    # Per-leaf norms are the default for pytree states.
+    ys_mixed, st_mixed = odeint(f, y0, t, **kw)
+    err_mixed = abs(float(ys_mixed["osc"][-1, 0]) - float(exact))
+
+    ys_flat, st_flat = odeint(f, y0, t, options={"norm": "rms"}, **kw)
+    err_flat = abs(float(ys_flat["osc"][-1, 0]) - float(exact))
+
+    assert err_mixed < 1e-5, err_mixed
+    # Flat RMS dilutes the osc block's error over the 4096 big elements,
+    # accepting larger steps and a larger error.
+    assert err_flat > 2 * err_mixed, (err_flat, err_mixed)
+    assert int(st_mixed["accepted"]) > 1.5 * int(st_flat["accepted"])
+
+
 def test_pytree_state():
     y0 = {"a": jnp.array([1.0]), "b": jnp.array([[2.0, 3.0]])}
 
