@@ -33,6 +33,7 @@ Statistics: pass ``return_stats=True`` to also receive a dict with ``nfe``
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -414,46 +415,143 @@ def _fixed_grid_integrate(func, y0, t, args, method, substeps=1, remat=False):
 
 
 # ---------------------------------------------------------------------------
-# Adams-Bashforth(-Moulton) multistep (reference fixed_adams.py's role:
-# fixed-step predictor/corrector; order 4 with RK4 bootstrap, uniform grid)
+# Adams-Bashforth(-Moulton) multistep (reference fixed_adams.py: fixed-grid
+# predictor/corrector whose order GROWS with the history, order 3 predictor /
+# order 4 corrector after an RK4 bootstrap, up to max_order=12; the corrector
+# iterates functionally up to max_iters=4 with an L-inf error-ratio
+# convergence test, fixed_adams.py:157-217).  Coefficient tables are
+# generated here by exact Lagrange-basis integration over the uniform node
+# stencil (Fraction arithmetic), not retyped from published tables.
 # ---------------------------------------------------------------------------
 
-def _adams_integrate(func, y0, t, args, substeps: int, correct: bool):
+_ADAMS_MIN_ORDER = 4
+_ADAMS_MAX_ORDER = 12
+_ADAMS_MAX_ITERS = 4
+
+
+def _lagrange_quadrature_row(nodes):
+    """Exact ``b_j = integral_0^1 l_j(s) ds`` for the Lagrange basis on
+    ``nodes``, via Fraction polynomial arithmetic (lowest degree first)."""
+    from fractions import Fraction
+
+    row = []
+    for j, xj in enumerate(nodes):
+        coeffs = [Fraction(1)]
+        denom = Fraction(1)
+        for m, xm in enumerate(nodes):
+            if m == j:
+                continue
+            # multiply the running polynomial by (s - x_m)
+            shifted = [Fraction(0)] + coeffs
+            coeffs = [
+                shifted[i] - Fraction(xm) * (coeffs[i] if i < len(coeffs) else 0)
+                for i in range(len(shifted))
+            ]
+            denom *= Fraction(xj) - Fraction(xm)
+        integral = sum(c / (i + 1) for i, c in enumerate(coeffs))
+        row.append(float(integral / denom))
+    return row
+
+
+@functools.lru_cache(maxsize=4)
+def _adams_coefficient_tables(max_order: int):
+    """(bashforth, moulton) coefficient rows.  ``bashforth[k]`` multiplies
+    the k most recent derivative values f_n, f_{n-1}, ... (nodes 0,-1,...);
+    ``moulton[k]`` has its first entry on the implicit f_{n+1} (nodes
+    1,0,-1,...).  Matches the reference's _BASHFORTH/_MOULTON_COEFFICIENTS
+    (e.g. bashforth[4] = [55,-59,37,-9]/24, moulton[3] = [5,8,-1]/12)."""
+    bashforth = [np.zeros(0)]
+    moulton = [np.zeros(0)]
+    for k in range(1, max_order + 1):
+        bashforth.append(
+            np.asarray(_lagrange_quadrature_row([-m for m in range(k)]))
+        )
+        moulton.append(
+            np.asarray(_lagrange_quadrature_row([1 - m for m in range(k)]))
+        )
+    return bashforth, moulton
+
+
+def _adams_integrate(
+    func, y0, t, args, substeps: int, correct: bool,
+    rtol: float = 1e-3, atol: float = 1e-4,
+    max_order: int = _ADAMS_MAX_ORDER, max_iters: int = _ADAMS_MAX_ITERS,
+):
+    max_order = int(max(max_order, _ADAMS_MIN_ORDER))
+    hist_len = max_order - 1
     n_out = t.shape[0]
     n_steps = (n_out - 1) * substeps
     h_t = (t[-1] - t[0]) / n_steps          # assumes uniform output grid
     h = jnp.asarray(h_t).astype(y0.dtype)
 
-    def rk4_step(tt, y):
-        y_new, _ = _rk4_38_step(func, tt, h_t, y, args)
-        return y_new
+    # Order schedule is a pure function of the step index (the history deque
+    # gains one entry per step, reference fixed_adams.py:184-187), so the
+    # per-step predictor/corrector coefficient rows are precomputed on host
+    # and streamed through the scan as inputs.
+    bash_tab, moul_tab = _adams_coefficient_tables(max_order)
+    orders = np.minimum(np.arange(n_steps) + 1, hist_len)
+    bash_rows = np.zeros((n_steps, hist_len))
+    moul_rows = np.zeros((n_steps, hist_len + 1))
+    for i, o in enumerate(orders):
+        bash_rows[i, :o] = bash_tab[o]
+        moul_rows[i, : o + 1] = moul_tab[o + 1]
+    bash_rows = jnp.asarray(bash_rows, y0.dtype)
+    moul_rows = jnp.asarray(moul_rows, y0.dtype)
 
-    def body(carry, i):
-        y, hist = carry                      # hist: (4, ...) latest first
+    def body(carry, xs):
+        y, hist, nfe = carry                 # hist: (hist_len, ...) latest first
+        i, brow, mrow = xs
         tt = t[0] + i * h_t
         f_n = func(tt, y, args)
         hist = jnp.concatenate([f_n[None], hist[:-1]], axis=0)
+        nfe = nfe + 1
 
         def bootstrap(_):
-            return rk4_step(tt, y)
+            y_new, _ = _rk4_38_step(func, tt, h_t, y, args)
+            return y_new, jnp.asarray(4, jnp.int32)
 
         def adams(_):
-            f0, f1, f2, f3 = hist[0], hist[1], hist[2], hist[3]
-            y_pred = y + h / 24.0 * (55.0 * f0 - 59.0 * f1 + 37.0 * f2 - 9.0 * f3)
+            dy_pred = h * jnp.tensordot(brow, hist, axes=1)
             if not correct:
-                return y_pred
-            f_pred = func(tt + h_t, y_pred, args)
-            return y + h / 24.0 * (9.0 * f_pred + 19.0 * f0 - 5.0 * f1 + f2)
+                return y + dy_pred, jnp.asarray(0, jnp.int32)
+            # Adams-Moulton corrector: functional iteration with the
+            # reference's L-inf error-ratio stop (fixed_adams.py:165-169).
+            # Run as a fixed-length scan with convergence-frozen updates
+            # (reverse-mode differentiable; a data-dependent early exit
+            # saves nothing on TPU where the batch shares the iteration) —
+            # values match the reference's early-exit behaviour exactly,
+            # NFE reports the physical max_iters evaluations.
+            m0 = mrow[0]
+            delta = h * jnp.tensordot(mrow[1:], hist, axes=1)
 
-        y_new = jax.lax.cond(i < 3, bootstrap, adams, None)
-        return (y_new, hist), y_new
+            def iter_fn(state, _):
+                dy, done = state
+                f_c = func(tt + h_t, y + dy, args)
+                dy_new = h * m0 * f_c + delta
+                scale = atol + rtol * jnp.maximum(jnp.abs(dy), jnp.abs(dy_new))
+                ratio = jnp.max(jnp.abs(dy - dy_new) / scale)
+                dy_out = jnp.where(done, dy, dy_new)
+                return (dy_out, done | (ratio < 1.0)), None
 
-    hist0 = jnp.zeros((4,) + y0.shape, y0.dtype)
-    (_, _), ys = jax.lax.scan(body, (y0, hist0), jnp.arange(n_steps))
+            (dy_fin, _), _ = jax.lax.scan(
+                iter_fn, (dy_pred, jnp.asarray(False)), None, length=max_iters
+            )
+            return y + dy_fin, jnp.asarray(max_iters, jnp.int32)
+
+        # Reference boots with RK4 while order < _MIN_ORDER - 1
+        # (fixed_adams.py:183-188): steps 0 and 1 only.
+        y_new, extra = jax.lax.cond(i < _ADAMS_MIN_ORDER - 2, bootstrap, adams, None)
+        return (y_new, hist, nfe + extra), y_new
+
+    hist0 = jnp.zeros((hist_len,) + y0.shape, y0.dtype)
+    (_, _, nfe), ys = jax.lax.scan(
+        body,
+        (y0, hist0, jnp.asarray(0, jnp.int32)),
+        (jnp.arange(n_steps), bash_rows, moul_rows),
+    )
     ys = jnp.concatenate([y0[None], ys], axis=0)[::substeps]
-    nfe = n_steps * ((2 if correct else 1) + 1) + 3 * 3  # approx: bootstrap extra
     stats = {
-        "nfe": jnp.asarray(nfe, jnp.int32),
+        "nfe": nfe,
         "accepted": jnp.asarray(n_steps, jnp.int32),
         "rejected": jnp.asarray(0, jnp.int32),
     }
@@ -883,7 +981,10 @@ def odeint(
     elif method in ("explicit_adams", "implicit_adams"):
         substeps = int(options.pop("substeps", 1))
         ys, stats = _adams_integrate(
-            func, y0, t, args, substeps, correct=method == "implicit_adams"
+            func, y0, t, args, substeps, correct=method == "implicit_adams",
+            rtol=float(rtol), atol=float(atol),
+            max_order=int(options.pop("max_order", _ADAMS_MAX_ORDER)),
+            max_iters=int(options.pop("max_iters", _ADAMS_MAX_ITERS)),
         )
     elif method == "scipy_solver":
         ys, stats = _scipy_integrate(func, y0, t, args, rtol, atol, options)

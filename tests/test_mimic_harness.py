@@ -70,6 +70,7 @@ def test_grud_on_sepsis(mimic_root):
 def test_odernn_on_mortality(mimic_root):
     cfg = _base_config("odernn", None, dataset="Mortality")
     cfg["model"]["adjoint"] = False
+    cfg["trainer"]["max_epochs"] = 1
     results = run_experiment(cfg, data_root=mimic_root)
     assert np.isfinite(results["test.loss"])
 
@@ -77,5 +78,6 @@ def test_odernn_on_mortality(mimic_root):
 @pytest.mark.parametrize("model_string", ["ncde-stacked", "ncde-attention"])
 def test_composite_models_on_mortality(mimic_root, model_string):
     cfg = _base_config(model_string, "linear", dataset="Mortality")
+    cfg["trainer"]["max_epochs"] = 1
     results = run_experiment(cfg, data_root=mimic_root)
     assert np.isfinite(results["test.loss"])
