@@ -153,8 +153,6 @@ def bench_torch(x, y, epochs=1):
         return readout(torch.stack(zs, 1))[:, ::2, 0]
 
     t0 = time.perf_counter()
-    with torch.no_grad():
-        pass
     for _ in range(epochs):
         for i in range(STEPS_PER_EPOCH):
             xb = xt[i * BATCH:(i + 1) * BATCH]

@@ -55,7 +55,10 @@ def main():
         field = VectorField(input_dim=I, hidden_dim=H, hidden_hidden_dim=HH,
                             num_layers=2, kind="original")
         params = field.init(jax.random.PRNGKey(0))
-        packed = pack_fused_params(params, H, I)
+        # Production packs unpadded for the XLA path and lane-padded for
+        # Pallas (ncde.py: pad=use_pallas) — probe both the same way.
+        packed = pack_fused_params(params, H, I, pad=True)
+        packed_x = pack_fused_params(params, H, I, pad=False)
         z = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
         dx = jnp.asarray(rng.normal(size=(B, I)), jnp.float32)
         # FLOPs per field eval (trunk + head matmuls).
@@ -87,8 +90,8 @@ def main():
             "unfused XLA": lambda zz: jnp.einsum(
                 "bhi,bi->bh", field.apply(params, 0.0, zz), dx),
             "xla-fused": lambda zz: fused_matmul_field(
-                packed["trunk"], packed["head_w"], packed["head_b"], zz, dx,
-                H, I, False, "float32"),
+                packed_x["trunk"], packed_x["head_w"], packed_x["head_b"],
+                zz, dx, H, I, False, "float32"),
             "pallas/f32": lambda zz: fused_matmul_field(
                 packed["trunk"], packed["head_w"], packed["head_b"], zz, dx,
                 H, I, True, "float32"),

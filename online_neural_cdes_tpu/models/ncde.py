@@ -76,6 +76,12 @@ class NeuralCDE:
     return_sequences: bool = False
     apply_final_linear: bool = True
     return_filtered_rectilinear: bool = True
+    # Control channel that carries time in rectilinear coefficients (the
+    # ``rectilinear=<idx>`` argument of linear_interpolation_coeffs).  The
+    # fused paired scan contracts only this channel on time-advance
+    # intervals; it MUST match the builder or those intervals are silently
+    # integrated against a zero-derivative channel.
+    rectilinear_time_channel: int = 0
     # Use the fused Pallas trunk->head->contraction kernel on TPU for the
     # original/matmul field (ops/kernels.py); identical math elsewhere.
     fused: bool = True
@@ -220,14 +226,19 @@ class NeuralCDE:
 
             even_func = None
             if self.interpolation == "rectilinear":
-                # Rectilinear time-advance intervals move only channel 0 of
-                # the control: contract against the head's time column only
-                # (~1/input_dim of the head work; see cdeint paired scan).
+                # Rectilinear time-advance intervals move only the time
+                # channel of the control: contract against that channel's
+                # head columns only (~1/input_dim of the head work; see
+                # cdeint paired scan).  The packed head is contraction-major
+                # (HH, I*Hp): channel k occupies columns [k*hp, (k+1)*hp).
+                k = self.rectilinear_time_channel
 
                 def even_func(t, z, dx, fp):
                     return fused_matmul_field(
-                        fp["trunk"], fp["head_w"][:, :hp], fp["head_b"][:hp],
-                        z, dx[..., :1], self.hidden_dim, 1, False,
+                        fp["trunk"],
+                        fp["head_w"][:, k * hp:(k + 1) * hp],
+                        fp["head_b"][k * hp:(k + 1) * hp],
+                        z, dx[..., k:k + 1], self.hidden_dim, 1, False,
                     )
 
             field_args = packed

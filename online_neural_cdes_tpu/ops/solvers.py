@@ -304,16 +304,18 @@ def _midpoint_step(func, t0, dt, y0, args):
     return y0 + h * func(t0 + 0.5 * dt, y_mid, args), 2
 
 
-def _rk4_38_step(func, t0, dt, y0, args):
+def _rk4_38_step(func, t0, dt, y0, args, f0=None):
     """RK4 3/8-rule — the variant the reference uses for method='rk4'
-    (rk_common.py:106-114 ``rk4_alt_step_func``)."""
+    (rk_common.py:106-114 ``rk4_alt_step_func``).  ``f0`` reuses an
+    already-computed derivative at (t0, y0) as k1 (the reference passes
+    f0=prev_f[0] from the Adams bootstrap, fixed_adams.py:188)."""
     h = jnp.asarray(dt).astype(y0.dtype)
     third = h / 3.0
-    k1 = func(t0, y0, args)
+    k1 = func(t0, y0, args) if f0 is None else f0
     k2 = func(t0 + dt / 3.0, y0 + third * k1, args)
     k3 = func(t0 + 2.0 * dt / 3.0, y0 + h * (k2 - k1 / 3.0), args)
     k4 = func(t0 + dt, y0 + h * (k1 - k2 + k3), args)
-    return y0 + h * (k1 + 3.0 * (k2 + k3) + k4) * 0.125, 4
+    return y0 + h * (k1 + 3.0 * (k2 + k3) + k4) * 0.125, (4 if f0 is None else 3)
 
 
 _FIXED_STEPS = {
@@ -507,8 +509,10 @@ def _adams_integrate(
         nfe = nfe + 1
 
         def bootstrap(_):
-            y_new, _ = _rk4_38_step(func, tt, h_t, y, args)
-            return y_new, jnp.asarray(4, jnp.int32)
+            # Reuse f_n as k1 (reference passes f0=prev_f[0],
+            # fixed_adams.py:188): 3 extra evals, 4 total for the step.
+            y_new, _ = _rk4_38_step(func, tt, h_t, y, args, f0=f_n)
+            return y_new, jnp.asarray(3, jnp.int32)
 
         def adams(_):
             dy_pred = h * jnp.tensordot(brow, hist, axes=1)
@@ -699,17 +703,34 @@ def _adaptive_machinery(
             err3 = sum(
                 c * kj for c, kj in zip(tableau.c_error_alt, k) if c != 0
             ) / scale
-            w = error_weights if error_weights is not None else jnp.ones_like(err5)
-            n = jnp.maximum(jnp.sum(w != 0), 1).astype(err5.dtype)
-            e5 = jnp.sum(jnp.square(err5 * w))
-            e3 = jnp.sum(jnp.square(err3 * w))
-            denom = e5 + 0.01 * e3
-            ratio = jnp.where(
-                denom > 0.0,
-                jnp.abs(dt).astype(err5.dtype) * e5
-                / jnp.sqrt(jnp.maximum(denom, 1e-30) * n),
-                jnp.zeros_like(e5),
-            )
+            w_all = error_weights if error_weights is not None else jnp.ones_like(err5)
+
+            def blended(e5v, e3v, wv):
+                n = jnp.maximum(jnp.sum(wv != 0), 1).astype(e5v.dtype)
+                e5 = jnp.sum(jnp.square(e5v * wv))
+                e3 = jnp.sum(jnp.square(e3v * wv))
+                denom = e5 + 0.01 * e3
+                return jnp.where(
+                    denom > 0.0,
+                    jnp.abs(dt).astype(e5v.dtype) * e5
+                    / jnp.sqrt(jnp.maximum(denom, 1e-30) * n),
+                    jnp.zeros_like(e5),
+                )
+
+            if error_blocks is None:
+                ratio = blended(err5, err3, w_all)
+            else:
+                # Per-leaf mixed norm (reference _mixed_norm, misc.py:18-29):
+                # blend within each pytree block, max-combine across blocks.
+                ratio = jnp.zeros((), err5.dtype)
+                start = 0
+                for size in error_blocks:
+                    ratio = jnp.maximum(ratio, blended(
+                        jax.lax.slice_in_dim(err5, start, start + size),
+                        jax.lax.slice_in_dim(err3, start, start + size),
+                        jax.lax.slice_in_dim(w_all, start, start + size),
+                    ))
+                    start += size
         accept = ratio <= 1.0
         # Reference min/max-step semantics (rk_common.py:272-276):
         accept = jnp.where(dt > max_step_a, False, accept)
@@ -727,8 +748,16 @@ def _adaptive_machinery(
             # Perturb.NEXT, rk_common.py:295-297).
             hit_jump = accept & jnp.any(jump_t == t1)
             t1_next = jnp.nextafter(t1, t1 + jnp.asarray(1, t1.dtype))
-            f1_re = func(jnp.where(hit_jump, t1_next, t1), y1, args)
-            f1 = jnp.where(hit_jump, f1_re, f1)
+            # hit_jump is a scalar predicate (dt is shared across the
+            # batch), so lax.cond genuinely skips the re-evaluation on
+            # non-landing steps — the extra eval is paid, and counted,
+            # only when a jump is actually hit.
+            f1 = jax.lax.cond(
+                hit_jump,
+                lambda _: func(t1_next, y1, args),
+                lambda _: f1,
+                None,
+            )
             nfe_inc = nfe_inc + hit_jump.astype(jnp.int32)
 
         return _RKState(
@@ -785,36 +814,77 @@ def _adaptive_integrate_diff(
     safety, ifactor, dfactor, max_num_steps, max_steps,
     step_t=None, jump_t=None, error_weights=None, error_blocks=None,
 ):
-    """Reverse-differentiable adaptive solve (discretize-then-optimize).
+    """Reverse-differentiable adaptive solve (discretize-then-optimize),
+    packaged as a ``jax.custom_vjp``:
 
-    Reverse-mode AD is undefined through a data-dependent ``while_loop``,
-    so this runs in two phases: (1) the standard accept/reject controller
-    discovers the accepted-step time grid under ``stop_gradient``; (2) the
-    trajectory is *re-integrated* over that grid as a fixed ``lax.scan``
-    of at most ``max_steps`` RK steps (identical stage arithmetic, so the
-    values match phase 1), through which autodiff works.  This matches the
-    reference's direct-backprop-through-dopri5 capability (gradient tests
-    torchdiffeq tests/gradient_tests.py:34-104) with the standard caveat
-    that step *sizes* are treated as constants — the same approximation the
-    adjoint makes, and within solver tolerance of the reference's gradients.
+    * **primal (inference / no differentiation)**: the standard
+      accept/reject ``while_loop`` solve — identical cost to the
+      non-differentiable path; no step buffers, no re-integration.
+    * **fwd (under reverse differentiation)**: the same controller
+      additionally records each accepted step's end time and dense-output
+      coefficients into static ``max_steps`` buffers; outputs are
+      evaluated from those recorded interpolants, so values are
+      phase-1-exact.
+    * **bwd**: the trajectory is *re-integrated* over the recorded grid as
+      a fixed ``lax.scan`` with identical stage arithmetic, and cotangents
+      are pulled back through that scan (``jax.vjp``).  Step *sizes* are
+      treated as constants — the same approximation the adjoint makes.
+      This matches the reference's direct-backprop-through-dopri5
+      capability (gradient tests torchdiffeq tests/gradient_tests.py:34-104).
 
-    If phase 1 needs more than ``max_steps`` accepted steps, outputs beyond
-    the reached time extrapolate the final step (finite but inaccurate);
-    size ``max_steps`` from ``min_step`` to avoid this.
+    If the controller accepts more than ``max_steps`` steps under
+    differentiation, outputs past the reached time are **NaN-poisoned**
+    (and ``stats["grid_exhausted"]`` is set) instead of being silently
+    extrapolated; pass ``options={"max_steps": ...}`` to raise the budget.
+    Output-time gradients are zero (documented divergence from the
+    reference's vjp_t rerouting).
     """
-    sg = jax.lax.stop_gradient
+    machinery_kwargs = dict(
+        rtol=rtol, atol=atol, min_step=min_step, max_step=max_step,
+        first_step=first_step, safety=safety, ifactor=ifactor,
+        dfactor=dfactor, step_t=step_t, jump_t=jump_t,
+        error_weights=error_weights, error_blocks=error_blocks,
+    )
 
-    def discover_grid(y0_, t_, args_):
-        state0, adaptive_step, _, _ = _adaptive_machinery(
-            func, y0_, t_, args_, tableau, rtol, atol, min_step, max_step,
-            first_step, safety, ifactor, dfactor, step_t, jump_t,
-            error_weights, error_blocks,
+    # custom_vjp only differentiates through its explicit arguments, but
+    # callers routinely close the vector field over traced parameters
+    # (e.g. model weights).  closure_convert hoists those captures into an
+    # explicit ``consts`` pytree that rides through the custom_vjp.  The
+    # converted jaxpr is dtype-specialised, while solver internals call
+    # ``func`` with times of varying dtype (f64 grid constants vs
+    # state-dtype arithmetic) — pin the time argument to the state dtype at
+    # the conversion boundary.
+    _t_dtype = y0.dtype
+    f_conv, consts = jax.closure_convert(
+        lambda tt, yy, aa: func(tt, yy, aa),
+        jnp.asarray(t[0]).astype(_t_dtype), y0, args,
+    )
+
+    def _mkfunc(consts_):
+        return lambda tt, yy, aa: f_conv(
+            jnp.asarray(tt).astype(_t_dtype), yy, aa, *consts_
         )
-        t_end = t_.astype(y0_.dtype)[-1]
-        buf0 = jnp.full((max_steps,), t_end, state0.t1.dtype)
+
+    def _primal(y0_, t_, args_, consts_):
+        ys, stats = _adaptive_integrate(
+            _mkfunc(consts_), y0_, t_, args_, tableau,
+            max_num_steps=max_num_steps, **machinery_kwargs,
+        )
+        stats = dict(stats, grid_exhausted=jnp.asarray(False))
+        return ys, stats
+
+    def _fwd(y0_, t_, args_, consts_):
+        """Phase 1 with accepted-step grid + dense-output capture."""
+        state0, adaptive_step, _, _ = _adaptive_machinery(
+            _mkfunc(consts_), y0_, t_, args_, tableau, **machinery_kwargs,
+        )
+        t_ = t_.astype(y0_.dtype)
+        t_end = t_[-1]
+        buf_t0 = jnp.zeros((max_steps,), state0.t1.dtype)
+        buf_i0 = jnp.zeros((max_steps,) + state0.interp.shape, y0_.dtype)
 
         def cond(carry):
-            s, _, idx = carry
+            s, _, _, idx = carry
             return (
                 (s.t1 < t_end)
                 & (s.accepted + s.rejected < max_num_steps)
@@ -822,80 +892,130 @@ def _adaptive_integrate_diff(
             )
 
         def body(carry):
-            s, buf, idx = carry
+            s, buf_t, buf_i, idx = carry
             s2 = adaptive_step(s)
             acc = s2.accepted > s.accepted
-            buf = buf.at[idx].set(jnp.where(acc, s2.t1, buf[idx]))
-            return (s2, buf, idx + acc.astype(jnp.int32))
+            buf_t = buf_t.at[idx].set(jnp.where(acc, s2.t1, buf_t[idx]))
+            buf_i = buf_i.at[idx].set(
+                jnp.where(acc, s2.interp, buf_i[idx])
+            )
+            return (s2, buf_t, buf_i, idx + acc.astype(jnp.int32))
 
-        s, buf, idx = jax.lax.while_loop(
-            cond, body, (state0, buf0, jnp.asarray(0, jnp.int32))
+        s, buf_t, buf_i, idx = jax.lax.while_loop(
+            cond, body, (state0, buf_t0, buf_i0, jnp.asarray(0, jnp.int32))
         )
-        # Pad unused slots with the final time reached so padded steps have
-        # dt == 0 (the re-integration treats them as identity steps).
-        pad = jnp.maximum(s.t1, t_end)
-        buf = jnp.where(jnp.arange(max_steps) < idx, buf, pad)
+        exhausted = (idx >= max_steps) & (s.t1 < t_end)
+        t_reached = s.t1
+        # Pad unused slots with the final time reached: padded steps have
+        # dt == 0, so the bwd re-integration treats them as identity steps
+        # and out-of-range interpolation clamps to the last real step.
+        buf_t = jnp.where(jnp.arange(max_steps) < idx, buf_t, t_reached)
+        ts_full = jnp.concatenate([t_[:1], buf_t])
+
+        def out_at(t_out):
+            t_out = t_out.astype(y0_.dtype)
+            i = jnp.clip(
+                jnp.searchsorted(ts_full, t_out, side="left") - 1,
+                0, max_steps - 1,
+            )
+            t0_, t1_ = ts_full[i], ts_full[i + 1]
+            denom = t1_ - t0_
+            x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(
+                y0_.dtype
+            )
+            coeffs = buf_i[i]
+            out = coeffs[0]
+            for j in range(1, coeffs.shape[0]):
+                out = out * x + coeffs[j]
+            return jnp.where(t_out <= ts_full[0], y0_, out)
+
+        ys_rest = jax.vmap(out_at)(t_[1:])
+        ys = jnp.concatenate([y0_[None], ys_rest], axis=0)
+        # Budget exhaustion: poison outputs past the reached time so the
+        # failure is loud (NaN loss) rather than silently wrong.
+        bad = exhausted & (t_ > t_reached)
+        ys = jnp.where(bad.reshape((-1,) + (1,) * (ys.ndim - 1)),
+                       jnp.asarray(jnp.nan, ys.dtype), ys)
         stats = {
             "nfe": s.nfe,
             "accepted": s.accepted,
             "rejected": s.rejected,
-            # True if the step budget ran out before reaching t[-1]; outputs
-            # beyond s.t1 then extrapolate the final step.
-            "grid_exhausted": (idx >= max_steps) & (s.t1 < t_end),
+            "grid_exhausted": exhausted,
         }
-        return buf, stats
+        residuals = (y0_, t_, args_, consts_, jax.lax.stop_gradient(ts_full))
+        return (ys, stats), residuals
 
-    grid_rest, stats = discover_grid(sg(y0), sg(t), sg(args))
-    grid_rest = sg(grid_rest)
-    ts_full = jnp.concatenate([sg(t[:1]).astype(y0.dtype), grid_rest])
+    def _bwd(residuals, cotangents):
+        y0_, t_, args_, consts_, ts_full = residuals
+        ct_ys, _ = cotangents
+        sg = jax.lax.stop_gradient
 
-    # Phase 2: fixed re-integration over the discovered grid, mirroring
-    # phase 1's discontinuity handling (left-limit endpoint stages on
-    # special landings; FSAL reseed past jumps).
-    _, _, special_arr, jump_arr = _adaptive_machinery(
-        func, sg(y0), sg(t), sg(args), tableau, rtol, atol, min_step,
-        max_step, 1.0, safety, ifactor, dfactor, step_t, jump_t,
-        error_weights,
-    )
-    f0 = func(ts_full[0], y0, args)
-
-    def step(carry, tt):
-        y, f = carry
-        a, b = tt
-        dt = b - a
-        t1_eval = None
-        if special_arr.shape[0] > 0:
-            lands = jnp.any(special_arr == b) & (dt > 0)
-            t1_eval = jnp.where(lands, jnp.nextafter(b, a), b)
-        y1, f1, _, k = _runge_kutta_step(func, y, f, a, dt, tableau, args,
-                                         t1_eval=t1_eval)
-        interp = _fit_from_stages(y, y1, k, dt, tableau)
-        if jump_arr.shape[0] > 0:
-            hit = jnp.any(jump_arr == b) & (dt > 0)
-            b_next = jnp.nextafter(b, b + jnp.asarray(1, b.dtype))
-            f1_re = func(jnp.where(hit, b_next, b), y1, args)
-            f1 = jnp.where(hit, f1_re, f1)
-        return (y1, f1), interp
-
-    _, interps = jax.lax.scan(step, (y0, f0), (ts_full[:-1], ts_full[1:]))
-
-    def out_at(t_out):
-        t_out = t_out.astype(y0.dtype)
-        idx = jnp.clip(
-            jnp.searchsorted(ts_full, t_out, side="left") - 1, 0, max_steps - 1
+        # Discontinuity grids for the replay (host constants).
+        _, _, special_arr, jump_arr = _adaptive_machinery(
+            _mkfunc(sg(consts_)), sg(y0_), sg(t_),
+            sg(args_), tableau, **machinery_kwargs,
         )
-        t0_, t1_ = ts_full[idx], ts_full[idx + 1]
-        denom = t1_ - t0_
-        x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(y0.dtype)
-        coeffs = interps[idx]
-        out = coeffs[0]
-        for i in range(1, coeffs.shape[0]):
-            out = out * x + coeffs[i]
-        return jnp.where(t_out <= ts_full[0], y0, out)
 
-    ys_rest = jax.vmap(out_at)(t[1:])
-    ys = jnp.concatenate([y0[None], ys_rest], axis=0)
-    return ys, stats
+        def replay(y0__, args__, consts__):
+            """Fixed re-integration over the recorded grid, mirroring
+            phase 1's discontinuity handling (left-limit endpoint stages
+            on special landings; FSAL reseed past jumps)."""
+            func_ = _mkfunc(consts__)
+            f0 = func_(ts_full[0], y0__, args__)
+
+            def step(carry, tt):
+                y, f = carry
+                a, b = tt
+                dt = b - a
+                t1_eval = None
+                if special_arr.shape[0] > 0:
+                    lands = jnp.any(special_arr == b) & (dt > 0)
+                    t1_eval = jnp.where(lands, jnp.nextafter(b, a), b)
+                y1, f1, _, k = _runge_kutta_step(
+                    func_, y, f, a, dt, tableau, args__, t1_eval=t1_eval
+                )
+                interp = _fit_from_stages(y, y1, k, dt, tableau)
+                if jump_arr.shape[0] > 0:
+                    hit = jnp.any(jump_arr == b) & (dt > 0)
+                    b_next = jnp.nextafter(b, b + jnp.asarray(1, b.dtype))
+                    f1_re = func_(jnp.where(hit, b_next, b), y1, args__)
+                    f1 = jnp.where(hit, f1_re, f1)
+                return (y1, f1), interp
+
+            _, interps = jax.lax.scan(
+                step, (y0__, f0), (ts_full[:-1], ts_full[1:])
+            )
+
+            def out_at(t_out):
+                t_out = t_out.astype(y0__.dtype)
+                i = jnp.clip(
+                    jnp.searchsorted(ts_full, t_out, side="left") - 1,
+                    0, max_steps - 1,
+                )
+                t0_, t1_ = ts_full[i], ts_full[i + 1]
+                denom = t1_ - t0_
+                x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(
+                    y0__.dtype
+                )
+                coeffs = interps[i]
+                out = coeffs[0]
+                for j in range(1, coeffs.shape[0]):
+                    out = out * x + coeffs[j]
+                return jnp.where(t_out <= ts_full[0], y0__, out)
+
+            ys_rest = jax.vmap(out_at)(t_[1:])
+            return jnp.concatenate([y0__[None], ys_rest], axis=0)
+
+        _, pullback = jax.vjp(replay, y0_, args_, consts_)
+        # NaN rows in the cotangent (poisoned outputs) would corrupt every
+        # parameter gradient; zero them — the loss is already NaN-loud.
+        ct_clean = jnp.where(jnp.isnan(ct_ys), 0.0, ct_ys)
+        ct_y0, ct_args, ct_consts = pullback(ct_clean)
+        return ct_y0, jnp.zeros_like(t_), ct_args, ct_consts
+
+    solve = jax.custom_vjp(_primal)
+    solve.defvjp(_fwd, _bwd)
+    return solve(y0, t, args, consts)
 
 
 def _resolve_max_steps(max_steps_opt, t, min_step, step_t, jump_t):

@@ -72,7 +72,10 @@ class Predictor:
         zero requests so serve time never compiles.  Returns the number of
         shapes compiled."""
         compiled = 0
-        lengths = range(self.length_multiple, max_length + 1, self.length_multiple)
+        # Requests of max_length pad UP to the next multiple (pad_ragged
+        # rounds up), so the warm range must include that top bucket.
+        top = _round_up(max_length, self.length_multiple)
+        lengths = range(self.length_multiple, top + 1, self.length_multiple)
         for b in self.batch_buckets:
             for length in lengths:
                 series = [np.zeros((length, channels), np.float32)] * b

@@ -172,3 +172,27 @@ def test_ncde_fused_flag_equivalence(adjoint):
         ),
         gf, gp,
     )
+
+
+def test_rectilinear_nonzero_time_channel_paired_scan():
+    """The paired scan's cheap even-interval field must contract the
+    DECLARED time channel (NeuralCDE.rectilinear_time_channel), not
+    channel 0: with time in channel 1, fused and plain models must agree."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    x = x.at[:, :, 1].set(jnp.arange(L, dtype=jnp.float32))
+    coeffs = linear_interpolation_coeffs(x, rectilinear=1)
+    kw = dict(input_dim=C, hidden_dim=H, output_dim=2, hidden_hidden_dim=HH,
+              num_layers=2, adjoint=False, solver="rk4",
+              return_sequences=True, interpolation="rectilinear",
+              rectilinear_time_channel=1)
+    m_pair = NeuralCDE(fused=True, **kw)
+    m_plain = NeuralCDE(fused=False, **kw)
+    params = m_pair.init(jax.random.PRNGKey(2))
+    out_pair = m_pair.apply(params, coeffs)
+    out_plain = m_plain.apply(params, coeffs)
+    np.testing.assert_allclose(np.asarray(out_pair), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
+    # The outputs must actually depend on the hidden dynamics (sanity that
+    # the cheap path did not zero the even intervals).
+    assert float(jnp.std(out_pair)) > 1e-4

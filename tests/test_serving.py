@@ -91,3 +91,12 @@ def test_precompile_covers_bucket_grid():
     pred = _predictor(return_sequences=False)
     n = pred.precompile(channels=3, max_length=16)
     assert n == 2 * 2  # batch buckets (4, 16) x lengths (8, 16)
+
+
+def test_precompile_covers_top_bucket_for_non_multiple_max_length():
+    """max_length=20 pads UP to bucket 24 (length_multiple=8), so the warm
+    range must include it — otherwise a length-20 request compiles at serve
+    time, exactly the latency spike precompile exists to prevent."""
+    pred = _predictor(return_sequences=False)
+    n = pred.precompile(channels=3, max_length=20)
+    assert n == 2 * 3  # batch buckets (4, 16) x lengths (8, 16, 24)

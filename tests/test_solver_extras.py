@@ -237,3 +237,60 @@ def test_tuple_control_cdeint():
     zs_cat = cdeint(Xc, func_cat, z0, Xc.grid_points, (W1, W2), adjoint=False,
                     method="dopri5")
     np.testing.assert_allclose(np.asarray(zs), np.asarray(zs_cat), rtol=1e-4, atol=1e-6)
+
+
+def test_differentiable_adaptive_inference_uses_while_loop_values():
+    """The custom_vjp primal (no differentiation) is the plain adaptive
+    while_loop — accurate regardless of the fwd/bwd step budget."""
+    def osc(t, y, args):
+        return jnp.stack([y[1], -25.0 * y[0]])
+
+    y0 = jnp.array([1.0, 0.0])
+    ys = odeint(osc, y0, jnp.array([0.0, 100.0]), method="dopri5",
+                rtol=1e-6, atol=1e-9, options={"differentiable": True})
+    np.testing.assert_allclose(float(ys[-1, 0]), np.cos(500.0), atol=2e-2)
+
+
+def test_differentiable_adaptive_exhaustion_poisons_not_extrapolates():
+    """When the accepted-step budget runs out under differentiation, outputs
+    past the reached time must be NaN (loud) — never silently wrong."""
+    def osc(t, y, args):
+        return jnp.stack([y[1], -25.0 * y[0]])
+
+    y0 = jnp.array([1.0, 0.0])
+
+    def loss(y0_):
+        ys = odeint(osc, y0_, jnp.array([0.0, 100.0]), method="dopri5",
+                    rtol=1e-6, atol=1e-9, options={"differentiable": True})
+        return ys[-1, 0]
+
+    val = jax.value_and_grad(loss)(y0)[0]
+    assert np.isnan(float(val))
+    # With an explicit adequate budget the same gradient pass is accurate.
+    def loss_ok(y0_):
+        ys = odeint(osc, y0_, jnp.array([0.0, 100.0]), method="dopri5",
+                    rtol=1e-6, atol=1e-9,
+                    options={"differentiable": True, "max_steps": 3000})
+        return ys[-1, 0]
+
+    val_ok, g_ok = jax.value_and_grad(loss_ok)(y0)
+    np.testing.assert_allclose(float(val_ok), np.cos(500.0), atol=2e-2)
+    assert np.isfinite(np.asarray(g_ok)).all()
+
+
+def test_differentiable_adaptive_closure_captured_params():
+    """Gradients flow to parameters captured in the vector-field closure
+    (closure_convert hoists them through the custom_vjp)."""
+    y0 = jnp.array([1.0, 0.0])
+    t = jnp.linspace(0.0, 1.0, 3)
+
+    def loss(a):
+        f = lambda tt, y, args: jnp.stack([y[1], -a * y[0]])
+        ys = odeint(f, y0, t, method="dopri5", rtol=1e-8, atol=1e-10,
+                    options={"differentiable": True})
+        return ys[-1, 0]
+
+    g = jax.grad(loss)(25.0)
+    eps = 1e-5
+    fd = (loss(25.0 + eps) - loss(25.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
