@@ -90,7 +90,14 @@ class NeuralCDE:
 
     def __post_init__(self):
         assert self.interpolation in SPLINES, self.interpolation
-        assert self.solver in ("rk4", "dopri5", "euler", "midpoint", "bosh3")
+        from online_neural_cdes_tpu.ops import solvers as _solvers
+
+        valid = (
+            tuple(_solvers.FIXED_METHODS)
+            + tuple(_solvers.ADAPTIVE_METHODS)
+            + ("explicit_adams", "implicit_adams")
+        )
+        assert self.solver in valid, self.solver
 
     @property
     def field(self) -> VectorField:
@@ -115,9 +122,22 @@ class NeuralCDE:
 
     @property
     def solver_settings(self):
-        """Reference presets, ncde.py:129-134."""
+        """Reference presets, ncde.py:129-134 (rk4: one step per knot;
+        adaptive: bounded min_step=0.5), generalised across the registry."""
+        from online_neural_cdes_tpu.ops import solvers as _solvers
+
         if self.solver == "dopri5":
+            # The paper's bounded-step online preset applies to dopri5 only
+            # (reference ncde.py:132-134); other adaptive methods run with
+            # plain tolerances.
             return dict(atol=1e-5, rtol=1e-3, options={"min_step": 0.5})
+        if self.solver in _solvers.ADAPTIVE_METHODS:
+            return dict(atol=1e-5, rtol=1e-3, options={})
+        if self.solver in ("explicit_adams", "implicit_adams"):
+            # One multistep step per knot interval, like rk4's step_size=1
+            # (critical for 2-point interval solves, where substeps=1 would
+            # mean a single step across the whole grid).
+            return dict(atol=1e-5, rtol=1e-3, options={"step_size": 1})
         return dict(
             atol=1e-5, rtol=1e-3,
             options={"step_size": 1, "unroll": self.solver_unroll},

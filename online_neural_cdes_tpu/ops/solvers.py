@@ -124,17 +124,19 @@ def _dop853_tableau() -> ButcherTableau:
     from scipy.integrate._ivp import dop853_coefficients as dc
 
     n = dc.N_STAGES  # 12
-    alpha = tuple(dc.C[1:n]) + (1.0,)
-    beta = tuple(tuple(dc.A[i][:i]) for i in range(1, n))
+    # Plain Python floats (weak types): numpy f64 scalars would promote
+    # f32 solver states to f64 in the stage combinations.
+    alpha = tuple(map(float, dc.C[1:n])) + (1.0,)
+    beta = tuple(tuple(map(float, dc.A[i][:i])) for i in range(1, n))
     # 13th stage at t1 with the solution weights: k[12] = f(t1, y1).
-    beta = beta + (tuple(dc.B),)
-    c_sol = tuple(dc.B) + (0.0,)
+    beta = beta + (tuple(map(float, dc.B)),)
+    c_sol = tuple(map(float, dc.B)) + (0.0,)
     return ButcherTableau(
         alpha=alpha,
         beta=beta,
         c_sol=c_sol,
-        c_error=tuple(dc.E5),
-        c_error_alt=tuple(dc.E3),
+        c_error=tuple(map(float, dc.E5)),
+        c_error_alt=tuple(map(float, dc.E3)),
         order=8,
     )
 
@@ -1099,7 +1101,16 @@ def odeint(
                 substeps = 1
         ys, stats = _fixed_grid_integrate(func, y0, t, args, method, substeps, remat)
     elif method in ("explicit_adams", "implicit_adams"):
-        substeps = int(options.pop("substeps", 1))
+        substeps = int(options.pop("substeps", 0))
+        step_size = options.pop("step_size", None)
+        if not substeps:
+            # Same grid-from-step_size contract as the fixed-grid branch
+            # (reference solvers.py:77-88): substeps per output interval.
+            if step_size is not None and not isinstance(t, jax.core.Tracer):
+                spacing = float(np.max(np.diff(np.asarray(t))))
+                substeps = max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
+            else:
+                substeps = 1
         ys, stats = _adams_integrate(
             func, y0, t, args, substeps, correct=method == "implicit_adams",
             rtol=float(rtol), atol=float(atol),
