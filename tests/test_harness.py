@@ -263,3 +263,76 @@ def test_cli_main(toy_dataset, tmp_path, capsys):
     main(["toy", "--analyse", "--ledger", ledger])
     out = capsys.readouterr().out
     assert "ncde" in out
+
+
+def test_epoch_step_matches_sequential_train_steps():
+    """make_epoch_step (one lax.scan dispatch per epoch) must produce the
+    same params/losses as iterating make_train_step over the batches."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.training.loop import make_epoch_step, make_train_step
+
+    rng = np.random.default_rng(0)
+    S, B, L, C = 3, 4, 5, 3
+    x = jnp.asarray(rng.normal(size=(S * B, L, C)), jnp.float32)
+    y = jnp.asarray((rng.normal(size=(S * B, 1)) > 0).astype(np.float32))
+    coeffs = linear_interpolation_coeffs(x)
+    model = NeuralCDE(input_dim=C, hidden_dim=6, output_dim=1,
+                      hidden_hidden_dim=8, num_layers=1, adjoint=False,
+                      solver="rk4")
+    params0 = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+
+    step = make_train_step(model, optimizer=opt, loss="bce", donate=False)
+    p_seq = params0
+    s_seq = opt.init(params0)
+    losses_seq = []
+    for i in range(S):
+        p_seq, s_seq, v = step(p_seq, s_seq, coeffs[i * B:(i + 1) * B],
+                               y[i * B:(i + 1) * B])
+        losses_seq.append(float(v))
+
+    epoch = make_epoch_step(model, optimizer=opt, loss="bce", donate=False)
+    cs = coeffs.reshape(S, B, *coeffs.shape[1:])
+    ls = y.reshape(S, B, *y.shape[1:])
+    p_ep, s_ep, losses_ep = epoch(params0, opt.init(params0), cs, ls)
+
+    np.testing.assert_allclose(np.asarray(losses_ep), np.asarray(losses_seq),
+                               rtol=1e-6, atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        p_ep, p_seq,
+    )
+
+
+def test_epoch_step_dynamic_lr_on_mesh():
+    """Dynamic-lr epoch step compiles and runs under a data-sharded mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.mesh import make_mesh
+    from online_neural_cdes_tpu.training.loop import init_adam_state, make_epoch_step
+
+    rng = np.random.default_rng(1)
+    S, B, L, C = 2, 8, 5, 3
+    x = jnp.asarray(rng.normal(size=(S * B, L, C)), jnp.float32)
+    y = jnp.asarray((rng.normal(size=(S * B, 1)) > 0).astype(np.float32))
+    coeffs = linear_interpolation_coeffs(x)
+    model = NeuralCDE(input_dim=C, hidden_dim=6, output_dim=1,
+                      hidden_hidden_dim=8, num_layers=1, adjoint=False,
+                      solver="rk4")
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    epoch = make_epoch_step(model, loss="bce", mesh=mesh, donate=False)
+    cs = coeffs.reshape(S, B, *coeffs.shape[1:])
+    ls = y.reshape(S, B, *y.shape[1:])
+    p, s, losses = epoch(params, init_adam_state(params), cs, ls, 1.0)
+    assert losses.shape == (S,)
+    assert np.isfinite(np.asarray(losses)).all()
