@@ -3,3 +3,7 @@ from online_neural_cdes_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from online_neural_cdes_tpu.parallel.sequence import (  # noqa: F401
+    make_sequence_mesh,
+    pipelined_cde_solve,
+)

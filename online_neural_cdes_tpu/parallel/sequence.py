@@ -1,0 +1,180 @@
+"""Sequence-sharded CDE solve over ICI: time-pipelined piece scan.
+
+The genuinely TPU-new long-context capability (SURVEY.md §5): a Neural CDE
+solve is a *sequential* recurrence over knot intervals, so classic sequence
+parallelism (associative scan, ring attention) does not apply.  What does
+apply is a **pipeline over time**: shard the knot axis of the per-piece
+coefficients across the mesh's ``seq`` axis, split the batch into
+microbatches, and stream each microbatch's hidden state through the
+devices with ``lax.ppermute`` — device k integrates knot chunk k.  While
+device k advances microbatch m through chunk k, device k+1 advances
+microbatch m-1 through chunk k+1 (GPipe over time).
+
+What this buys on hardware:
+
+- **Memory**: each chip holds only ``1/n`` of the control's coefficient
+  arrays — sequences n× longer fit (the rectilinear 2L−1 blow-up on long
+  MIMIC stays feasible).
+- **Wall-clock**: the sequential scan is latency-bound at small per-step
+  batch; with M microbatches the pipeline runs ``(M + n − 1)`` ticks of
+  ``L/n`` intervals each, i.e. ≈ ``n×`` fewer sequential interval-latencies
+  than the plain scan for ``M ≫ n``.
+
+Utilisation is ``M / (M + n − 1)``: devices compute masked garbage during
+fill/drain ticks (values are ignored; a ``jnp.where`` selects real
+injections).  Reverse-mode AD crosses ``shard_map``/``ppermute``
+transparently, so the solve is trainable.
+
+No reference counterpart: the reference handles long sequences only
+algorithmically (adjoint, log-ODE windows — SURVEY §5 'long-context').
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from online_neural_cdes_tpu.ops import solvers
+from online_neural_cdes_tpu.ops.cdeint import _piece_field
+
+__all__ = ["make_sequence_mesh", "pipelined_cde_solve"]
+
+
+def make_sequence_mesh(n_seq: Optional[int] = None, axis: str = "seq") -> Mesh:
+    import numpy as np
+
+    devices = jax.devices()
+    n = n_seq or len(devices)
+    return Mesh(np.array(devices[:n]).reshape(n), (axis,))
+
+
+def pipelined_cde_solve(
+    X,
+    func: Callable,
+    z0: jax.Array,
+    args: Any = None,
+    *,
+    mesh: Mesh,
+    axis: str = "seq",
+    method: str = "rk4",
+    substeps: int = 1,
+    microbatches: Optional[int] = None,
+    vector_field_type: str = "matmul",
+) -> jax.Array:
+    """Terminal state of dz = f(t, z) dX over ``X.interval``, with the knot
+    axis pipelined across ``mesh[axis]``.
+
+    Args:
+        X: a piece-scan-capable spline (``piece_data`` API) built from
+           ``(B, L, C)`` observations.
+        func: vector field, same contract as :func:`ops.cdeint.cdeint` for
+           the given ``vector_field_type``.
+        z0: ``(B, H)`` initial hidden state.
+        mesh: mesh whose ``axis`` dimension (size n) shards the knot axis.
+        microbatches: M, the batch split streamed through the pipeline
+           (default n).  ``B % M == 0``; utilisation is M/(M+n−1).
+
+    Returns:
+        ``(B, H)`` terminal states — bitwise-comparable to the plain
+        piece-scan solve at matching method/substeps.
+    """
+    shard_map = jax.shard_map
+
+    n = mesh.shape[axis]
+    spline_cls = type(X)
+    pf = _piece_field(spline_cls, func, vector_field_type)
+    step = solvers.tree_fixed_step(method)
+
+    grid_t = X.grid_points.astype(z0.dtype)
+    pieces = X.piece_data()
+    n_pieces = grid_t.shape[0] - 1
+    if n_pieces % n != 0:
+        raise ValueError(
+            f"knot pieces ({n_pieces}) must divide evenly over the {n}-way "
+            f"'{axis}' mesh axis — pad the series to a multiple."
+        )
+    B = z0.shape[0]
+    M = microbatches or n
+    if B % M != 0:
+        raise ValueError(f"batch {B} must split into {M} microbatches.")
+    b = B // M
+
+    t0s, t1s = grid_t[:-1], grid_t[1:]
+    z0_mb = z0.reshape(M, b, *z0.shape[1:])
+
+    def local(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
+        # Shapes on each device: t0s_l/t1s_l (Tc,), pieces_l leaves
+        # (Tc, B, ..., C), z0_mb (M, b, H) replicated.
+        k = jax.lax.axis_index(axis)
+
+        def chunk_solve(z, mb_start):
+            """Integrate one microbatch's (b, H) state through this
+            device's Tc intervals, slicing its batch columns out of the
+            chunk-local pieces."""
+            p_mb = jax.tree.map(
+                lambda leaf: jax.lax.dynamic_slice_in_dim(leaf, mb_start, b, axis=1),
+                pieces_l,
+            )
+
+            def interval(zz, inp):
+                piece, t0, t1 = inp
+                dt = (t1 - t0) / substeps
+
+                def f(tt, zzz):
+                    return pf(piece, tt, tt - t0, zzz, args_l)
+
+                if substeps == 1:
+                    zz = step(f, t0, dt, zz)
+                else:
+                    def sub(zc, j):
+                        return step(f, t0 + j * dt, dt, zc), None
+
+                    zz, _ = jax.lax.scan(sub, zz, jnp.arange(substeps))
+                return zz, None
+
+            z, _ = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
+            return z
+
+        fwd_perm = [(i, i + 1) for i in range(n - 1)]
+
+        def tick(carry, s):
+            buf, outs = carry
+            inject = z0_mb[jnp.clip(s, 0, M - 1)]
+            x_in = jnp.where(k == 0, inject, buf)
+            # Microbatch index this device holds at tick s is (s - k);
+            # clamp for the fill/drain ticks (garbage, masked below).
+            mb = jnp.clip(s - k, 0, M - 1) * b
+            y = chunk_solve(x_in, mb)
+            buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
+            # Device n-1 finishes microbatch (s - (n-1)) at this tick.
+            m_out = s - (n - 1)
+            slot = jnp.clip(m_out, 0, M - 1)
+            valid = (m_out >= 0) & (k == n - 1)
+            current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
+            upd = jnp.where(valid, y, current)
+            outs = jax.lax.dynamic_update_slice_in_dim(outs, upd[None], slot, 0)
+            return (buf, outs), None
+
+        buf0 = jnp.zeros_like(z0_mb[0])                # carry from device k-1
+        outs0 = jnp.zeros_like(z0_mb)                  # final states (device n-1)
+        (_, outs), _ = jax.lax.scan(
+            tick, (buf0, outs0), jnp.arange(M + n - 1)
+        )
+        # Only device n-1 holds real outputs; sum-broadcast to all.
+        outs = jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis)
+        return outs
+
+    seq_spec = P(axis)
+    repl = P()
+    solve = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(repl, seq_spec, seq_spec, seq_spec, repl),
+        out_specs=repl,
+        check_vma=False,
+    )
+    outs = solve(z0_mb, t0s, t1s, pieces, args)
+    return outs.reshape(B, *z0.shape[1:])
