@@ -35,9 +35,12 @@ def main(argv=None):
         from online_neural_cdes_tpu.training.analyse import metric_table, nfe_table
         from online_neural_cdes_tpu.training.ledger import Ledger
 
+        # Test-mode sweeps are recorded under the prefixed run name
+        # (config.py: run_name = f"test_{run_name}") — match it here too.
+        name = f"test_{args.run_name}" if args.test_mode else args.run_name
         ledger = Ledger(args.ledger)
-        print(metric_table(ledger, args.run_name))
-        print(nfe_table(ledger, args.run_name))
+        print(metric_table(ledger, name))
+        print(nfe_table(ledger, name))
         return
 
     from online_neural_cdes_tpu.training.sweep import run

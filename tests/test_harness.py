@@ -265,6 +265,19 @@ def test_cli_main(toy_dataset, tmp_path, capsys):
     assert "ncde" in out
 
 
+def test_cli_analyse_matches_test_mode_run_name(toy_dataset, tmp_path, capsys):
+    """--analyse with --test-mode must look up the prefixed 'test_<name>'
+    ledger entries that a test-mode sweep records."""
+    from online_neural_cdes_tpu.run import main
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    main(["toy", "--test-mode", "--data-root", toy_dataset, "--ledger", ledger])
+    capsys.readouterr()
+    main(["toy", "--analyse", "--test-mode", "--ledger", ledger])
+    out = capsys.readouterr().out
+    assert "ncde" in out and "Empty DataFrame" not in out
+
+
 def test_epoch_step_matches_sequential_train_steps():
     """make_epoch_step (one lax.scan dispatch per epoch) must produce the
     same params/losses as iterating make_train_step over the batches."""
