@@ -63,9 +63,13 @@ def pipelined_cde_solve(
     substeps: int = 1,
     microbatches: Optional[int] = None,
     vector_field_type: str = "matmul",
+    return_sequences: bool = False,
 ) -> jax.Array:
-    """Terminal state of dz = f(t, z) dX over ``X.interval``, with the knot
-    axis pipelined across ``mesh[axis]``.
+    """Solve dz = f(t, z) dX over ``X.interval`` with the knot axis
+    pipelined across ``mesh[axis]``.  Returns the ``(B, H)`` terminal
+    states, or with ``return_sequences=True`` the ``(B, L, H)`` states at
+    every knot (the online-task output; per-knot rows are computed
+    chunk-locally and gathered by the out-sharding).
 
     Args:
         X: a piece-scan-capable spline (``piece_data`` API) built from
@@ -113,7 +117,7 @@ def pipelined_cde_solve(
         def chunk_solve(z, mb_start):
             """Integrate one microbatch's (b, H) state through this
             device's Tc intervals, slicing its batch columns out of the
-            chunk-local pieces."""
+            chunk-local pieces.  Returns (final state, per-knot states)."""
             p_mb = jax.tree.map(
                 lambda leaf: jax.lax.dynamic_slice_in_dim(leaf, mb_start, b, axis=1),
                 pieces_l,
@@ -133,22 +137,31 @@ def pipelined_cde_solve(
                         return step(f, t0 + j * dt, dt, zc), None
 
                     zz, _ = jax.lax.scan(sub, zz, jnp.arange(substeps))
-                return zz, None
+                return zz, zz
 
-            z, _ = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
-            return z
+            z, zs = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
+            return z, zs
 
         fwd_perm = [(i, i + 1) for i in range(n - 1)]
 
+        Tc = t0s_l.shape[0]
+
         def tick(carry, s):
-            buf, outs = carry
+            buf, outs, seq = carry
             inject = z0_mb[jnp.clip(s, 0, M - 1)]
             x_in = jnp.where(k == 0, inject, buf)
             # Microbatch index this device holds at tick s is (s - k);
             # clamp for the fill/drain ticks (garbage, masked below).
-            mb = jnp.clip(s - k, 0, M - 1) * b
-            y = chunk_solve(x_in, mb)
+            m_here = jnp.clip(s - k, 0, M - 1)
+            y, zs = chunk_solve(x_in, m_here * b)
             buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
+            # This device computed chunk k of microbatch (s - k): keep its
+            # per-knot rows when that index is real.
+            here_valid = (s - k >= 0) & (s - k < M)
+            cur_seq = jax.lax.dynamic_slice_in_dim(seq, m_here, 1, 0)[0]
+            seq = jax.lax.dynamic_update_slice_in_dim(
+                seq, jnp.where(here_valid, zs, cur_seq)[None], m_here, 0
+            )
             # Device n-1 finishes microbatch (s - (n-1)) at this tick.
             m_out = s - (n - 1)
             slot = jnp.clip(m_out, 0, M - 1)
@@ -156,16 +169,17 @@ def pipelined_cde_solve(
             current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
             upd = jnp.where(valid, y, current)
             outs = jax.lax.dynamic_update_slice_in_dim(outs, upd[None], slot, 0)
-            return (buf, outs), None
+            return (buf, outs, seq), None
 
         buf0 = jnp.zeros_like(z0_mb[0])                # carry from device k-1
         outs0 = jnp.zeros_like(z0_mb)                  # final states (device n-1)
-        (_, outs), _ = jax.lax.scan(
-            tick, (buf0, outs0), jnp.arange(M + n - 1)
+        seq0 = jnp.zeros((M, Tc) + z0_mb.shape[1:], z0_mb.dtype)
+        (_, outs, seq), _ = jax.lax.scan(
+            tick, (buf0, outs0, seq0), jnp.arange(M + n - 1)
         )
-        # Only device n-1 holds real outputs; sum-broadcast to all.
+        # Only device n-1 holds real terminal states; sum-broadcast to all.
         outs = jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis)
-        return outs
+        return outs, seq
 
     seq_spec = P(axis)
     repl = P()
@@ -173,8 +187,15 @@ def pipelined_cde_solve(
         local,
         mesh=mesh,
         in_specs=(repl, seq_spec, seq_spec, seq_spec, repl),
-        out_specs=repl,
+        # seq output: device-local (M, Tc, b, H) chunks concatenate over
+        # the knot axis -> global (M, n_pieces, b, H) sharded on axis 1.
+        out_specs=(repl, P(None, axis)),
         check_vma=False,
     )
-    outs = solve(z0_mb, t0s, t1s, pieces, args)
-    return outs.reshape(B, *z0.shape[1:])
+    outs, seq = solve(z0_mb, t0s, t1s, pieces, args)
+    if not return_sequences:
+        return outs.reshape(B, *z0.shape[1:])
+    # (M, n_pieces, b, H) -> (B, n_pieces, H), then prepend the z0 row so
+    # the layout matches the plain scan's (B, L, H).
+    seq = jnp.moveaxis(seq, 2, 1).reshape(B, n_pieces, *z0.shape[1:])
+    return jnp.concatenate([z0[:, None], seq], axis=1)

@@ -175,6 +175,15 @@ def test_sequence_pipelined_solve_matches_plain_scan():
         g, gr,
     )
 
+    # Online (per-knot) outputs: sharded over the seq axis, gathered to
+    # the plain scan's (B, L, H) layout.
+    ref_seq = cdeint(spline, func, z0, spline.grid_points, params,
+                     adjoint=False, method="rk4")
+    out_seq = pipelined_cde_solve(spline, func, z0, params, mesh=mesh,
+                                  microbatches=4, return_sequences=True)
+    np.testing.assert_allclose(np.asarray(out_seq), np.asarray(ref_seq),
+                               rtol=1e-6, atol=1e-6)
+
 
 def test_sequence_pipeline_rejects_uneven_chunks():
     from online_neural_cdes_tpu.models.ncde import make_spline
