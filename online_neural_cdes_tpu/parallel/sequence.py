@@ -64,6 +64,7 @@ def pipelined_cde_solve(
     microbatches: Optional[int] = None,
     vector_field_type: str = "matmul",
     return_sequences: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Solve dz = f(t, z) dX over ``X.interval`` with the knot axis
     pipelined across ``mesh[axis]``.  Returns the ``(B, H)`` terminal
@@ -80,6 +81,10 @@ def pipelined_cde_solve(
         mesh: mesh whose ``axis`` dimension (size n) shards the knot axis.
         microbatches: M, the batch split streamed through the pipeline
            (default n).  ``B % M == 0``; utilisation is M/(M+n−1).
+        remat: rematerialise each pipeline tick in the backward pass —
+           activation memory drops from O(ticks × chunk work) to
+           O(ticks × carries), the right trade for the long sequences
+           this pipeline exists for.
 
     Returns:
         ``(B, H)`` terminal states — bitwise-comparable to the plain
@@ -147,6 +152,7 @@ def pipelined_cde_solve(
         Tc = t0s_l.shape[0]
 
         def tick(carry, s):
+            # (wrapped in jax.checkpoint below when remat=True)
             buf, outs, seq = carry
             inject = z0_mb[jnp.clip(s, 0, M - 1)]
             x_in = jnp.where(k == 0, inject, buf)
@@ -174,8 +180,9 @@ def pipelined_cde_solve(
         buf0 = jnp.zeros_like(z0_mb[0])                # carry from device k-1
         outs0 = jnp.zeros_like(z0_mb)                  # final states (device n-1)
         seq0 = jnp.zeros((M, Tc) + z0_mb.shape[1:], z0_mb.dtype)
+        tick_fn = jax.checkpoint(tick) if remat else tick
         (_, outs, seq), _ = jax.lax.scan(
-            tick, (buf0, outs0, seq0), jnp.arange(M + n - 1)
+            tick_fn, (buf0, outs0, seq0), jnp.arange(M + n - 1)
         )
         # Only device n-1 holds real terminal states; sum-broadcast to all.
         outs = jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis)
@@ -192,7 +199,9 @@ def pipelined_cde_solve(
         out_specs=(repl, P(None, axis)),
         check_vma=False,
     )
-    outs, seq = solve(z0_mb, t0s, t1s, pieces, args)
+    # jit the shard_map (required for checkpoint-inside-shard_map; a no-op
+    # under an outer jit).
+    outs, seq = jax.jit(solve)(z0_mb, t0s, t1s, pieces, args)
     if not return_sequences:
         return outs.reshape(B, *z0.shape[1:])
     # (M, n_pieces, b, H) -> (B, n_pieces, H), then prepend the z0 row so

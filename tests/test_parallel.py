@@ -199,3 +199,39 @@ def test_sequence_pipeline_rejects_uneven_chunks():
     with pytest.raises(ValueError, match="divide evenly"):
         pipelined_cde_solve(spline, lambda t, z, a: z, jnp.zeros((4, 3)),
                             None, mesh=mesh)
+
+
+def test_sequence_pipeline_remat_gradients_identical():
+    """remat=True (per-tick rematerialisation) must not change gradients."""
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE, make_spline
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 17, 3)) * 0.3, jnp.float32)
+    spline = make_spline("linear", linear_interpolation_coeffs(x))
+    model = NeuralCDE(input_dim=3, hidden_dim=8, output_dim=2,
+                      hidden_hidden_dim=12, num_layers=1, adjoint=False)
+    field = model.field
+    params = model.init(jax.random.PRNGKey(0))["field"]
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    z0 = jnp.zeros((8, 8), jnp.float32)
+    mesh = make_sequence_mesh(8)
+
+    def loss(p, rm):
+        return jnp.sum(pipelined_cde_solve(
+            spline, func, z0, p, mesh=mesh, microbatches=4, remat=rm) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        g_plain, g_remat,
+    )
