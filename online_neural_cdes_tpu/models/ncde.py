@@ -95,7 +95,7 @@ class NeuralCDE:
         valid = (
             tuple(_solvers.FIXED_METHODS)
             + tuple(_solvers.ADAPTIVE_METHODS)
-            + ("explicit_adams", "implicit_adams")
+            + ("explicit_adams", "implicit_adams", "scipy_solver")
         )
         assert self.solver in valid, self.solver
 
@@ -138,6 +138,10 @@ class NeuralCDE:
             # (critical for 2-point interval solves, where substeps=1 would
             # mean a single step across the whole grid).
             return dict(atol=1e-5, rtol=1e-3, options={"step_size": 1})
+        if self.solver == "scipy_solver":
+            # Host fallback: eager only (not jittable), adjoint handled by
+            # the generic interval adjoint re-invoking scipy per interval.
+            return dict(atol=1e-5, rtol=1e-3, options={})
         return dict(
             atol=1e-5, rtol=1e-3,
             options={"step_size": 1, "unroll": self.solver_unroll},

@@ -631,6 +631,15 @@ def cdeint(
     else:
         vf = _make_cde_field(func, vector_field_type)
         theta = (X, args)
+        if method in ("explicit_adams", "implicit_adams") and "step_size" in options:
+            # Resolve grid-from-step_size against the CONCRETE output times
+            # HERE (substeps are per output interval: ceil(max spacing of t
+            # / step_size)): inside the adjoint's backward scan the interval
+            # span is a tracer, and the solver-level resolution would
+            # silently fall back to a single step across the whole span
+            # (wrong gradients).
+            options["substeps"] = _resolve_substeps(options, t)
+            options.pop("step_size")
         if adjoint:
             if return_stats:
                 # Adaptive NFE is data-dependent: costs one extra (no-grad)

@@ -1040,6 +1040,24 @@ def _resolve_max_steps(max_steps_opt, t, min_step, step_t, jump_t):
     return 16 * int(t.shape[0]) + n_special + 64
 
 
+
+def _substeps_from_options(options: dict, t) -> int:
+    """Grid-from-step_size contract shared by the fixed-grid and Adams
+    dispatch branches (reference solvers.py:77-88): an explicit
+    ``substeps`` wins; otherwise a concrete ``t`` resolves
+    ``ceil(max_spacing / step_size)`` steps per output interval; a traced
+    ``t`` falls back to one step per interval (callers that know the
+    concrete grid — e.g. cdeint — must pre-resolve)."""
+    substeps = int(options.pop("substeps", 0))
+    step_size = options.pop("step_size", None)
+    if substeps:
+        return substeps
+    if step_size is not None and not isinstance(t, jax.core.Tracer):
+        spacing = float(np.max(np.diff(np.asarray(t))))
+        return max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
@@ -1089,28 +1107,12 @@ def odeint(
         error_blocks = None
 
     if method in FIXED_METHODS:
-        substeps = int(options.pop("substeps", 0))
-        step_size = options.pop("step_size", None)
         remat = bool(options.pop("remat", False))
         options.pop("grid_constructor", None)
-        if not substeps:
-            if step_size is not None and not isinstance(t, jax.core.Tracer):
-                spacing = float(np.max(np.diff(np.asarray(t))))
-                substeps = max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
-            else:
-                substeps = 1
+        substeps = _substeps_from_options(options, t)
         ys, stats = _fixed_grid_integrate(func, y0, t, args, method, substeps, remat)
     elif method in ("explicit_adams", "implicit_adams"):
-        substeps = int(options.pop("substeps", 0))
-        step_size = options.pop("step_size", None)
-        if not substeps:
-            # Same grid-from-step_size contract as the fixed-grid branch
-            # (reference solvers.py:77-88): substeps per output interval.
-            if step_size is not None and not isinstance(t, jax.core.Tracer):
-                spacing = float(np.max(np.diff(np.asarray(t))))
-                substeps = max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
-            else:
-                substeps = 1
+        substeps = _substeps_from_options(options, t)
         ys, stats = _adams_integrate(
             func, y0, t, args, substeps, correct=method == "implicit_adams",
             rtol=float(rtol), atol=float(atol),

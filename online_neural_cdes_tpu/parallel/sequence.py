@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from online_neural_cdes_tpu.ops import solvers
-from online_neural_cdes_tpu.ops.cdeint import _piece_field
+from online_neural_cdes_tpu.ops.cdeint import _one_interval, _piece_field
 
 __all__ = ["make_sequence_mesh", "pipelined_cde_solve"]
 
@@ -89,6 +89,12 @@ def pipelined_cde_solve(
     Returns:
         ``(B, H)`` terminal states — bitwise-comparable to the plain
         piece-scan solve at matching method/substeps.
+
+    Compilation note: the shard_map is jitted at this call boundary
+    (required for ``remat``; a no-op inline under an outer jit).  Called
+    standalone in a loop it re-traces per call — wrap your train/eval step
+    in ``jax.jit`` (as ``make_train_step`` does) so the pipeline compiles
+    once.
     """
     shard_map = jax.shard_map
 
@@ -122,26 +128,19 @@ def pipelined_cde_solve(
         def chunk_solve(z, mb_start):
             """Integrate one microbatch's (b, H) state through this
             device's Tc intervals, slicing its batch columns out of the
-            chunk-local pieces.  Returns (final state, per-knot states)."""
+            chunk-local pieces.  Returns (final state, per-knot states).
+            Per-piece leaves carry batch at axis 1; <2-D leaves (e.g. the
+            smoothing splines' per-piece flags) are batch-free and pass
+            through unsliced."""
             p_mb = jax.tree.map(
-                lambda leaf: jax.lax.dynamic_slice_in_dim(leaf, mb_start, b, axis=1),
+                lambda leaf: leaf if leaf.ndim < 2 else
+                jax.lax.dynamic_slice_in_dim(leaf, mb_start, b, axis=1),
                 pieces_l,
             )
 
             def interval(zz, inp):
                 piece, t0, t1 = inp
-                dt = (t1 - t0) / substeps
-
-                def f(tt, zzz):
-                    return pf(piece, tt, tt - t0, zzz, args_l)
-
-                if substeps == 1:
-                    zz = step(f, t0, dt, zz)
-                else:
-                    def sub(zc, j):
-                        return step(f, t0 + j * dt, dt, zc), None
-
-                    zz, _ = jax.lax.scan(sub, zz, jnp.arange(substeps))
+                zz = _one_interval(step, pf, piece, t0, t1, zz, args_l, substeps)
                 return zz, zz
 
             z, zs = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))

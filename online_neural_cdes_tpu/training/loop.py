@@ -48,6 +48,65 @@ def _resolve_apply(model_or_fn) -> Callable:
     return model_or_fn.apply
 
 
+def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier, final_key):
+    """The un-jitted per-batch update shared by :func:`make_train_step`
+    (jitted directly) and :func:`make_epoch_step` (scanned over stacked
+    batches).  Returns ``(step, takes_lr_scale)``."""
+    apply_fn = _resolve_apply(model)
+    pointwise = make_loss(loss)
+    sqrt = loss == "rmse"
+
+    def loss_fn(params, inputs, labels):
+        preds = apply_fn(params, inputs)
+        return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
+
+    if optimizer is not None:
+
+        def step(params, opt_state, inputs, labels):
+            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, value
+
+        return step, False
+
+    adam = optax.scale_by_adam()
+
+    def step(params, opt_state, inputs, labels, lr_scale):
+        value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+        updates, opt_state = adam.update(grads, opt_state)
+        scaled = {
+            k: jax.tree.map(
+                lambda u: -(lr * (final_lr_multiplier if k == final_key else 1.0))
+                * lr_scale * u,
+                v,
+            )
+            for k, v in updates.items()
+        }
+        params = optax.apply_updates(params, scaled)
+        return params, opt_state, value
+
+    return step, True
+
+
+def _jit_with_mesh(fn, mesh, takes_lr_scale, batch_spec, donate):
+    """Shared jit/sharding scaffolding: params+opt replicated, batch data
+    sharded per ``batch_spec``, optional replicated lr_scale."""
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0, 1) if donate else ())
+    batch_sh = NamedSharding(mesh, batch_spec)
+    repl_sh = NamedSharding(mesh, P())
+    in_sh = [repl_sh, repl_sh, batch_sh, batch_sh]
+    if takes_lr_scale:
+        in_sh.append(repl_sh)
+    return jax.jit(
+        fn,
+        in_shardings=tuple(in_sh),
+        out_shardings=(repl_sh, repl_sh, repl_sh),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def make_train_step(
     model,
     optimizer: Optional[optax.GradientTransformation] = None,
@@ -72,56 +131,10 @@ def make_train_step(
     ``apply_fn(params, inputs)``.  NaN labels are masked (reference
     TemporalLossWrapper).
     """
-    apply_fn = _resolve_apply(model)
-    pointwise = make_loss(loss)
-    sqrt = loss == "rmse"
-
-    def loss_fn(params, inputs, labels):
-        preds = apply_fn(params, inputs)
-        return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
-
-    if optimizer is not None:
-
-        def step(params, opt_state, inputs, labels):
-            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, value
-
-        n_state = 2
-    else:
-        adam = optax.scale_by_adam()
-
-        def step(params, opt_state, inputs, labels, lr_scale):
-            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
-            updates, opt_state = adam.update(grads, opt_state)
-            scaled = {
-                k: jax.tree.map(
-                    lambda u: -(lr * (final_lr_multiplier if k == final_key else 1.0))
-                    * lr_scale * u,
-                    v,
-                )
-                for k, v in updates.items()
-            }
-            params = optax.apply_updates(params, scaled)
-            return params, opt_state, value
-
-        n_state = 2
-
-    if mesh is None:
-        return jax.jit(step, donate_argnums=tuple(range(n_state)) if donate else ())
-
-    batch_sh = NamedSharding(mesh, P("data"))
-    repl_sh = NamedSharding(mesh, P())
-    in_sh = [repl_sh, repl_sh, batch_sh, batch_sh]
-    if optimizer is None:
-        in_sh.append(repl_sh)
-    return jax.jit(
-        step,
-        in_shardings=tuple(in_sh),
-        out_shardings=(repl_sh, repl_sh, repl_sh),
-        donate_argnums=tuple(range(n_state)) if donate else (),
+    step, takes_lr_scale = _make_step_body(
+        model, optimizer, loss, lr, final_lr_multiplier, final_key
     )
+    return _jit_with_mesh(step, mesh, takes_lr_scale, P("data"), donate)
 
 
 def make_epoch_step(
@@ -135,13 +148,13 @@ def make_epoch_step(
     donate: bool = True,
 ) -> Callable:
     """One dispatch per EPOCH: ``inputs``/``labels`` carry a leading steps
-    axis ``(S, B, ...)`` and the jitted function ``lax.scan``s the train
-    step over it, returning per-step losses ``(S,)``.
+    axis ``(S, B, ...)`` and the jitted function ``lax.scan``s the shared
+    train-step body over it, returning per-step losses ``(S,)``.
 
     This removes per-step host dispatch latency entirely — on the tunneled
-    axon TPU backend each dispatch costs ~2 ms, which dominates small-model
-    epochs (the BM toy's 4-step epoch drops accordingly).  Same optimizer /
-    lr_scale semantics as :func:`make_train_step`:
+    axon TPU backend each dispatch costs milliseconds, which dominates
+    small-model epochs.  Same optimizer / lr_scale semantics as
+    :func:`make_train_step`:
 
         ``epoch(params, opt_state, inputs, labels[, lr_scale])
           -> (params, opt_state, losses)``
@@ -149,70 +162,23 @@ def make_epoch_step(
     Requires all steps to share one compiled shape (stack equal-size
     batches; use :func:`make_train_step` for ragged tails).
     """
-    apply_fn = _resolve_apply(model)
-    pointwise = make_loss(loss)
-    sqrt = loss == "rmse"
-
-    def loss_fn(params, inputs, labels):
-        preds = apply_fn(params, inputs)
-        return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
-
-    if optimizer is not None:
-
-        def epoch(params, opt_state, inputs, labels):
-            def body(carry, batch):
-                p, s = carry
-                b_in, b_lab = batch
-                value, grads = jax.value_and_grad(loss_fn)(p, b_in, b_lab)
-                updates, s = optimizer.update(grads, s, p)
-                return (optax.apply_updates(p, updates), s), value
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (inputs, labels)
-            )
-            return params, opt_state, losses
-
-        n_state = 2
-        extra_repl = 0
-    else:
-        adam = optax.scale_by_adam()
-
-        def epoch(params, opt_state, inputs, labels, lr_scale):
-            def body(carry, batch):
-                p, s = carry
-                b_in, b_lab = batch
-                value, grads = jax.value_and_grad(loss_fn)(p, b_in, b_lab)
-                updates, s = adam.update(grads, s)
-                scaled = {
-                    k: jax.tree.map(
-                        lambda u: -(lr * (final_lr_multiplier if k == final_key else 1.0))
-                        * lr_scale * u,
-                        v,
-                    )
-                    for k, v in updates.items()
-                }
-                return (optax.apply_updates(p, scaled), s), value
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (inputs, labels)
-            )
-            return params, opt_state, losses
-
-        n_state = 2
-        extra_repl = 1
-
-    if mesh is None:
-        return jax.jit(epoch, donate_argnums=tuple(range(n_state)) if donate else ())
-
-    batch_sh = NamedSharding(mesh, P(None, "data"))  # (steps, batch, ...)
-    repl_sh = NamedSharding(mesh, P())
-    in_sh = [repl_sh, repl_sh, batch_sh, batch_sh] + [repl_sh] * extra_repl
-    return jax.jit(
-        epoch,
-        in_shardings=tuple(in_sh),
-        out_shardings=(repl_sh, repl_sh, repl_sh),
-        donate_argnums=tuple(range(n_state)) if donate else (),
+    step, takes_lr_scale = _make_step_body(
+        model, optimizer, loss, lr, final_lr_multiplier, final_key
     )
+
+    def epoch(params, opt_state, inputs, labels, *extra):
+        def body(carry, batch):
+            p, s = carry
+            p, s, value = step(p, s, batch[0], batch[1], *extra)
+            return (p, s), value
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (inputs, labels)
+        )
+        return params, opt_state, losses
+
+    # (steps, batch, ...) — the batch axis shards at position 1.
+    return _jit_with_mesh(epoch, mesh, takes_lr_scale, P(None, "data"), donate)
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:

@@ -270,3 +270,19 @@ def test_cdeint_adams_converges_to_rk4_on_smooth_control():
         errs.append(float(jnp.max(jnp.abs(out - ref))))
     assert errs[1] < errs[0] / 4, errs      # converging (measured ~40x)
     assert errs[1] < 1e-2, errs             # and accurate at h=0.25 (f32)
+
+
+def test_ncde_scipy_solver_host_fallback():
+    """NeuralCDE(solver='scipy_solver') — eager host fallback, matching rk4
+    at tolerance (reference accepts any torchdiffeq method string)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 6, 3)) * 0.3, jnp.float32)
+    coeffs = natural_cubic_coeffs(x)
+    kw = dict(input_dim=3, hidden_dim=8, output_dim=2, hidden_hidden_dim=16,
+              num_layers=1, interpolation="cubic", adjoint=False)
+    m = NeuralCDE(solver="scipy_solver", **kw)
+    m_ref = NeuralCDE(solver="rk4", **kw)
+    params = m.init(jax.random.PRNGKey(0))
+    out = m.apply(params, coeffs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(m_ref.apply(params, coeffs)),
+                               rtol=5e-2, atol=1e-2)

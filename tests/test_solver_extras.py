@@ -294,3 +294,49 @@ def test_differentiable_adaptive_closure_captured_params():
     eps = 1e-5
     fd = (loss(25.0 + eps) - loss(25.0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+
+def test_adams_adjoint_substeps_resolved_from_concrete_grid():
+    """cdeint must resolve step_size->substeps against the concrete knot
+    grid BEFORE entering the adjoint: inside the backward scan the interval
+    span is a tracer, and the solver-level fallback would integrate the
+    whole span in one bootstrap step (wrong gradients that do not improve
+    with step_size).  Regression: adjoint gradients must converge to the
+    direct gradients as substeps refine."""
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE, make_spline
+    from online_neural_cdes_tpu.ops.interpolation import natural_cubic_coeffs
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 6, 3)) * 0.3, jnp.float32)
+    spline = make_spline("cubic", natural_cubic_coeffs(x))
+    model = NeuralCDE(input_dim=3, hidden_dim=8, output_dim=2,
+                      hidden_hidden_dim=16, num_layers=1,
+                      interpolation="cubic", adjoint=False)
+    field = model.field
+    params = model.init(jax.random.PRNGKey(0))["field"]
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    z0 = jnp.zeros((4, 8), jnp.float32)
+    t = spline.interval
+
+    def grads(adjoint, substeps):
+        def loss(p):
+            out = cdeint(spline, func, z0, t, p, adjoint=adjoint,
+                         method="implicit_adams",
+                         options={"substeps": substeps})
+            return jnp.sum(out[..., -1, :] ** 2)
+
+        return jax.grad(loss)(params)
+
+    def maxdiff(a, b):
+        return max(float(jnp.max(jnp.abs(x - y)))
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    coarse = maxdiff(grads(True, 5), grads(False, 5))
+    fine = maxdiff(grads(True, 80), grads(False, 80))
+    mag = max(float(jnp.max(jnp.abs(g)))
+              for g in jax.tree.leaves(grads(False, 80)))
+    assert fine < coarse / 4, (coarse, fine)
+    assert fine < 0.05 * mag, (fine, mag)
