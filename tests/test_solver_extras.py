@@ -268,13 +268,13 @@ def test_differentiable_adaptive_exhaustion_poisons_not_extrapolates():
     assert np.isnan(float(val))
     # With an explicit adequate budget the same gradient pass is accurate.
     def loss_ok(y0_):
-        ys = odeint(osc, y0_, jnp.array([0.0, 100.0]), method="dopri5",
+        ys = odeint(osc, y0_, jnp.array([0.0, 30.0]), method="dopri5",
                     rtol=1e-6, atol=1e-9,
-                    options={"differentiable": True, "max_steps": 3000})
+                    options={"differentiable": True, "max_steps": 900})
         return ys[-1, 0]
 
     val_ok, g_ok = jax.value_and_grad(loss_ok)(y0)
-    np.testing.assert_allclose(float(val_ok), np.cos(500.0), atol=2e-2)
+    np.testing.assert_allclose(float(val_ok), np.cos(150.0), atol=2e-2)
     assert np.isfinite(np.asarray(g_ok)).all()
 
 
@@ -290,9 +290,10 @@ def test_differentiable_adaptive_closure_captured_params():
                     options={"differentiable": True})
         return ys[-1, 0]
 
+    loss_j = jax.jit(loss)            # one compile for both fd evals
     g = jax.grad(loss)(25.0)
     eps = 1e-5
-    fd = (loss(25.0 + eps) - loss(25.0 - eps)) / (2 * eps)
+    fd = (loss_j(25.0 + eps) - loss_j(25.0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
 
 
@@ -307,10 +308,10 @@ def test_adams_adjoint_substeps_resolved_from_concrete_grid():
     from online_neural_cdes_tpu.ops.interpolation import natural_cubic_coeffs
 
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.normal(size=(4, 6, 3)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 5, 3)) * 0.3, jnp.float32)
     spline = make_spline("cubic", natural_cubic_coeffs(x))
-    model = NeuralCDE(input_dim=3, hidden_dim=8, output_dim=2,
-                      hidden_hidden_dim=16, num_layers=1,
+    model = NeuralCDE(input_dim=3, hidden_dim=6, output_dim=2,
+                      hidden_hidden_dim=8, num_layers=1,
                       interpolation="cubic", adjoint=False)
     field = model.field
     params = model.init(jax.random.PRNGKey(0))["field"]
@@ -318,7 +319,7 @@ def test_adams_adjoint_substeps_resolved_from_concrete_grid():
     def func(t, z, fp):
         return field.apply(fp, t, z)
 
-    z0 = jnp.zeros((4, 8), jnp.float32)
+    z0 = jnp.zeros((2, 6), jnp.float32)
     t = spline.interval
 
     def grads(adjoint, substeps):
@@ -334,9 +335,11 @@ def test_adams_adjoint_substeps_resolved_from_concrete_grid():
         return max(float(jnp.max(jnp.abs(x - y)))
                    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
-    coarse = maxdiff(grads(True, 5), grads(False, 5))
-    fine = maxdiff(grads(True, 80), grads(False, 80))
+    coarse = maxdiff(grads(True, 4), grads(False, 4))
+    fine = maxdiff(grads(True, 32), grads(False, 32))
     mag = max(float(jnp.max(jnp.abs(g)))
-              for g in jax.tree.leaves(grads(False, 80)))
+              for g in jax.tree.leaves(grads(False, 32)))
     assert fine < coarse / 4, (coarse, fine)
-    assert fine < 0.05 * mag, (fine, mag)
+    # The residual gap is the optimize-vs-discretize divergence, shrinking
+    # with h; before the fix it was O(1) and did not improve with substeps.
+    assert fine < 0.12 * mag, (fine, mag)
