@@ -5,5 +5,6 @@ from online_neural_cdes_tpu.parallel.mesh import (  # noqa: F401
 )
 from online_neural_cdes_tpu.parallel.sequence import (  # noqa: F401
     make_sequence_mesh,
+    ncde_apply_pipelined,
     pipelined_cde_solve,
 )

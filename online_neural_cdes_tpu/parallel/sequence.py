@@ -40,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from online_neural_cdes_tpu.ops import solvers
 from online_neural_cdes_tpu.ops.cdeint import _one_interval, _piece_field
 
-__all__ = ["make_sequence_mesh", "pipelined_cde_solve"]
+__all__ = ["make_sequence_mesh", "ncde_apply_pipelined", "pipelined_cde_solve"]
 
 
 def make_sequence_mesh(n_seq: Optional[int] = None, axis: str = "seq") -> Mesh:
@@ -207,3 +207,52 @@ def pipelined_cde_solve(
     # the layout matches the plain scan's (B, L, H).
     seq = jnp.moveaxis(seq, 2, 1).reshape(B, n_pieces, *z0.shape[1:])
     return jnp.concatenate([z0[:, None], seq], axis=1)
+
+
+def ncde_apply_pipelined(
+    model,
+    params: dict,
+    inputs,
+    *,
+    mesh: Mesh,
+    axis: str = "seq",
+    microbatches: Optional[int] = None,
+    remat: bool = False,
+):
+    """NeuralCDE forward with the solve routed through the time pipeline:
+    the model-zoo entry point for sequence-sharded long-context inference
+    and training.  Mirrors ``model.apply(params, inputs)`` — same h0 setup,
+    same output head and rectilinear ``::2`` filtering — but the knot axis
+    of the solve is pipelined across ``mesh[axis]``.
+
+    Constraints: fixed-grid solver (rk4/euler/midpoint), knot pieces
+    divisible by the mesh axis, batch divisible by ``microbatches``.
+    """
+    from online_neural_cdes_tpu.ops import solvers as _solvers
+
+    if model.solver not in _solvers.FIXED_METHODS:
+        raise ValueError(
+            f"pipelined NCDE forward requires a fixed-grid solver, got "
+            f"{model.solver!r}."
+        )
+    spline, h0 = model._setup_h0(params, inputs)
+    field = model.field
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    from online_neural_cdes_tpu.ops.cdeint import _resolve_substeps
+
+    substeps = _resolve_substeps(
+        dict(model.solver_settings["options"]), spline.grid_points
+    )
+    hidden = pipelined_cde_solve(
+        spline, func, h0, params["field"], mesh=mesh, axis=axis,
+        method=model.solver, substeps=substeps, microbatches=microbatches,
+        vector_field_type=model.vector_field_type,
+        return_sequences=model.return_sequences, remat=remat,
+    )
+    if not model.return_sequences:
+        # _make_outputs expects a time axis at -2.
+        hidden = hidden[..., None, :]
+    return model._make_outputs(params, hidden)

@@ -235,3 +235,39 @@ def test_sequence_pipeline_remat_gradients_identical():
                                                 rtol=1e-6, atol=1e-7),
         g_plain, g_remat,
     )
+
+
+def test_ncde_apply_pipelined_matches_model_apply():
+    """Model-zoo entry point: the pipelined NeuralCDE forward (h0 head,
+    rectilinear ::2 filtering) matches model.apply for online and
+    terminal outputs."""
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        ncde_apply_pipelined,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, C = 16, 9, 3                 # rectilinear -> 16 pieces / 8 devices
+    x = jnp.asarray(rng.normal(size=(B, L, C)) * 0.3, jnp.float32)
+    x = x.at[:, :, 0].set(jnp.arange(L, dtype=jnp.float32))
+    coeffs = linear_interpolation_coeffs(x, rectilinear=0)
+    mesh = make_sequence_mesh(8)
+
+    for rs in (True, False):
+        model = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
+                          hidden_hidden_dim=12, num_layers=1,
+                          interpolation="rectilinear", return_sequences=rs,
+                          adjoint=False, solver="rk4")
+        params = model.init(jax.random.PRNGKey(0))
+        ref = model.apply(params, coeffs)
+        out = ncde_apply_pipelined(model, params, coeffs, mesh=mesh,
+                                   microbatches=4)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="fixed-grid"):
+        bad = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
+                        num_layers=1, interpolation="rectilinear",
+                        adjoint=False, solver="dopri5")
+        ncde_apply_pipelined(bad, bad.init(jax.random.PRNGKey(0)), coeffs,
+                             mesh=mesh)
