@@ -18,7 +18,7 @@ import numpy as np
 
 from online_neural_cdes_tpu.data.loader import pad_ragged
 
-__all__ = ["Predictor"]
+__all__ = ["OnlineNCDEStepper", "Predictor"]
 
 
 def _round_up(n: int, m: int) -> int:
@@ -128,3 +128,107 @@ class Predictor:
             else:
                 results.append(o)
         return results
+
+
+class OnlineNCDEStepper:
+    """Streaming (stateful) inference for a **rectilinear** NeuralCDE: advance
+    the hidden state one observation at a time.
+
+    The training-side model consumes a whole precomputed coefficient array;
+    in production an *online* task receives observations incrementally.
+    Rectilinear interpolation makes incremental solving exact: each new
+    observation appends exactly two control pieces — a time-advance
+    (only the time channel moves) and a value-update (time held) — so the
+    hidden state can be advanced without re-solving the history.
+    After ``k`` steps the state equals the offline
+    ``model.apply(params, coeffs)[:, k]`` at the same observations
+    (tested to float tolerance).
+
+    Missing values (NaN) are held at their last observed value, matching
+    ``prepare_rectilinear_interpolation``'s forward fill; NaNs in the very
+    first observation are zeroed (the data pipeline's initial-NaN
+    convention, reference transformers.py:51-76).
+
+    Usage::
+
+        stepper = OnlineNCDEStepper(model, params)
+        state = stepper.init(x0)                # (B, C) first observations
+        state, y = stepper.step(state, x_new)   # per new (B, C) row
+    """
+
+    def __init__(self, model, params, static: Optional[jax.Array] = None):
+        from online_neural_cdes_tpu.ops import solvers as _solvers
+        from online_neural_cdes_tpu.utils.params import linear_apply
+
+        if model.interpolation != "rectilinear":
+            raise ValueError(
+                "OnlineNCDEStepper requires interpolation='rectilinear' "
+                f"(got {model.interpolation!r}); other schemes are non-causal "
+                "or need lookahead."
+            )
+        if model.solver not in _solvers.FIXED_METHODS:
+            raise ValueError("OnlineNCDEStepper requires a fixed-grid solver.")
+        if model.static_dim is not None and static is None:
+            raise ValueError("model has static_dim: pass static features.")
+        self.model = model
+        self.params = params
+        self.static = static
+        self._step_fn = jax.jit(self._make_step())
+        self._linear_apply = linear_apply
+
+    def _make_step(self):
+        model = self.model
+        params = self.params
+        field = model.field
+        step = __import__(
+            "online_neural_cdes_tpu.ops.solvers", fromlist=["tree_fixed_step"]
+        ).tree_fixed_step(model.solver)
+        ch = model.rectilinear_time_channel
+
+        def vf(dx):
+            def f(tt, zz):
+                mat = field.apply(params["field"], tt, zz)
+                return jnp.einsum("...hi,...i->...h", mat, dx)
+            return f
+
+        def one(z, dx):
+            # Grid spacing is 1 per rectilinear knot (the time CHANNEL
+            # carries real time), matching the offline builder's default
+            # grid — one solver step per piece (rk4 preset step_size=1).
+            return step(vf(dx), jnp.asarray(0.0, z.dtype), jnp.asarray(1.0, z.dtype), z)
+
+        def advance(z, x_prev, x_new):
+            filled = jnp.where(jnp.isnan(x_new), x_prev, x_new)
+            dx_time = jnp.zeros_like(filled).at[..., ch].set(
+                filled[..., ch] - x_prev[..., ch]
+            )
+            dx_vals = (filled - x_prev).at[..., ch].set(0.0)
+            z = one(z, dx_time)      # time-advance piece
+            z = one(z, dx_vals)      # value-update piece
+            return z, filled
+
+        return advance
+
+    def init(self, x0: jax.Array):
+        """State from the first (B, C) observations (NaN -> 0)."""
+        x0 = jnp.where(jnp.isnan(x0), 0.0, jnp.asarray(x0))
+        model, params = self.model, self.params
+        if model.use_initial:
+            inp = x0 if self.static is None else jnp.concatenate(
+                [self.static, x0], axis=-1
+            )
+            z = self._linear_apply(params["initial"], inp)
+        else:
+            z = jnp.zeros(x0.shape[:-1] + (model.hidden_dim,), x0.dtype)
+        return {"z": z, "last_obs": x0}
+
+    def step(self, state: dict, x_new: jax.Array):
+        """Advance by one observation; returns (new_state, outputs) where
+        outputs match the offline model's per-observation rows."""
+        z, filled = self._step_fn(state["z"], state["last_obs"], jnp.asarray(x_new))
+        return {"z": z, "last_obs": filled}, self.readout(z)
+
+    def readout(self, z: jax.Array):
+        if self.model.apply_final_linear:
+            return self._linear_apply(self.params["final"], z)
+        return z

@@ -2,7 +2,9 @@
 padding-stripped outputs, no-recompile on repeat shapes."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from online_neural_cdes_tpu.models.ncde import NeuralCDE
 from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
@@ -100,3 +102,43 @@ def test_precompile_covers_top_bucket_for_non_multiple_max_length():
     pred = _predictor(return_sequences=False)
     n = pred.precompile(channels=3, max_length=20)
     assert n == 2 * 3  # batch buckets (4, 16) x lengths (8, 16, 24)
+
+
+def test_online_stepper_matches_offline_apply():
+    """Streaming one-observation-at-a-time inference reproduces the offline
+    rectilinear NCDE outputs exactly (each observation = one time-advance
+    + one value-update piece), including held (NaN) values mid-stream."""
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    rng = np.random.default_rng(0)
+    B, L, C = 4, 7, 3
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    x[1, 3, 1] = np.nan
+    x[2, 5, 2] = np.nan
+
+    model = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
+                      hidden_hidden_dim=12, num_layers=1,
+                      interpolation="rectilinear", return_sequences=True,
+                      adjoint=False, solver="rk4")
+    params = model.init(jax.random.PRNGKey(0))
+    offline = np.asarray(model.apply(
+        params, linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)))
+
+    stepper = OnlineNCDEStepper(model, params)
+    state = stepper.init(jnp.asarray(x[:, 0]))
+    outs = [np.asarray(stepper.readout(state["z"]))]
+    for k in range(1, L):
+        state, y = stepper.step(state, jnp.asarray(x[:, k]))
+        outs.append(np.asarray(y))
+    online = np.stack(outs, axis=1)
+    np.testing.assert_allclose(online, offline, rtol=1e-5, atol=1e-6)
+
+
+def test_online_stepper_rejects_non_rectilinear():
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    model = NeuralCDE(input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+                      interpolation="linear", adjoint=False, solver="rk4")
+    with pytest.raises(ValueError, match="rectilinear"):
+        OnlineNCDEStepper(model, model.init(jax.random.PRNGKey(0)))
