@@ -98,6 +98,11 @@ class NeuralCDE:
             + ("explicit_adams", "implicit_adams", "scipy_solver")
         )
         assert self.solver in valid, self.solver
+        # scipy runs on host (not traceable): forward-only, eager.
+        assert not (self.solver == "scipy_solver" and self.adjoint), (
+            "scipy_solver is a host fallback: gradients cannot trace through "
+            "it — construct with adjoint=False and do not differentiate."
+        )
 
     @property
     def field(self) -> VectorField:
@@ -139,8 +144,8 @@ class NeuralCDE:
             # mean a single step across the whole grid).
             return dict(atol=1e-5, rtol=1e-3, options={"step_size": 1})
         if self.solver == "scipy_solver":
-            # Host fallback: eager only (not jittable), adjoint handled by
-            # the generic interval adjoint re-invoking scipy per interval.
+            # Host fallback: eager forward only (not jittable / not
+            # differentiable) — gated to adjoint=False in __post_init__.
             return dict(atol=1e-5, rtol=1e-3, options={})
         return dict(
             atol=1e-5, rtol=1e-3,

@@ -533,16 +533,9 @@ def _t_matches_grid(t, grid_t) -> bool:
 
 
 def _resolve_substeps(options: dict, grid_t) -> int:
-    substeps = int(options.get("substeps", 0))
-    if substeps:
-        return substeps
-    step_size = options.get("step_size")
-    if step_size is not None and not isinstance(grid_t, jax.core.Tracer):
-        import numpy as np
-
-        spacing = float(np.max(np.diff(np.asarray(grid_t))))
-        return max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
-    return 1
+    # Non-destructive wrapper over the solver-level helper (one shared
+    # implementation of the grid-from-step_size contract).
+    return solvers._substeps_from_options(dict(options), grid_t)
 
 
 def cdeint(
@@ -631,15 +624,20 @@ def cdeint(
     else:
         vf = _make_cde_field(func, vector_field_type)
         theta = (X, args)
-        if method in ("explicit_adams", "implicit_adams") and "step_size" in options:
+        if "step_size" in options:
             # Resolve grid-from-step_size against the CONCRETE output times
-            # HERE (substeps are per output interval: ceil(max spacing of t
-            # / step_size)): inside the adjoint's backward scan the interval
-            # span is a tracer, and the solver-level resolution would
-            # silently fall back to a single step across the whole span
-            # (wrong gradients).
+            # HERE, for ANY method on this generic path (substeps are per
+            # output interval: ceil(max spacing of t / step_size)): inside
+            # the adjoint's backward scan the interval span is a tracer,
+            # and the solver-level resolution would silently fall back to a
+            # single step across the whole span (wrong gradients).
+            # Adaptive methods ignore both keys, so this is a no-op there.
             options["substeps"] = _resolve_substeps(options, t)
             options.pop("step_size")
+        if adjoint_options and "step_size" in adjoint_options:
+            adjoint_options = dict(adjoint_options)
+            adjoint_options["substeps"] = _resolve_substeps(adjoint_options, t)
+            adjoint_options.pop("step_size")
         if adjoint:
             if return_stats:
                 # Adaptive NFE is data-dependent: costs one extra (no-grad)

@@ -168,6 +168,11 @@ class OnlineNCDEStepper:
             )
         if model.solver not in _solvers.FIXED_METHODS:
             raise ValueError("OnlineNCDEStepper requires a fixed-grid solver.")
+        if model.vector_field_type != "matmul":
+            raise ValueError(
+                "OnlineNCDEStepper supports vector_field_type='matmul' only "
+                f"(got {model.vector_field_type!r})."
+            )
         if model.static_dim is not None and static is None:
             raise ValueError("model has static_dim: pass static features.")
         self.model = model
@@ -179,10 +184,11 @@ class OnlineNCDEStepper:
     def _make_step(self):
         model = self.model
         params = self.params
+        from online_neural_cdes_tpu.ops import solvers as _solvers
+        from online_neural_cdes_tpu.utils.params import linear_apply
+
         field = model.field
-        step = __import__(
-            "online_neural_cdes_tpu.ops.solvers", fromlist=["tree_fixed_step"]
-        ).tree_fixed_step(model.solver)
+        step = _solvers.tree_fixed_step(model.solver)
         ch = model.rectilinear_time_channel
 
         def vf(dx):
@@ -197,6 +203,11 @@ class OnlineNCDEStepper:
             # grid — one solver step per piece (rk4 preset step_size=1).
             return step(vf(dx), jnp.asarray(0.0, z.dtype), jnp.asarray(1.0, z.dtype), z)
 
+        def readout(z):
+            if model.apply_final_linear:
+                return linear_apply(params["final"], z)
+            return z
+
         def advance(z, x_prev, x_new):
             filled = jnp.where(jnp.isnan(x_new), x_prev, x_new)
             dx_time = jnp.zeros_like(filled).at[..., ch].set(
@@ -205,28 +216,39 @@ class OnlineNCDEStepper:
             dx_vals = (filled - x_prev).at[..., ch].set(0.0)
             z = one(z, dx_time)      # time-advance piece
             z = one(z, dx_vals)      # value-update piece
-            return z, filled
+            # Readout inside the jitted step: one dispatch per observation.
+            return z, filled, readout(z)
 
         return advance
 
     def init(self, x0: jax.Array):
-        """State from the first (B, C) observations (NaN -> 0)."""
+        """State from the first (B, C) observations (NaN -> 0).  h0 mirrors
+        the offline _setup_h0 exactly (models/ncde.py:178-188), including
+        the static-only head when use_initial=False."""
         x0 = jnp.where(jnp.isnan(x0), 0.0, jnp.asarray(x0))
         model, params = self.model, self.params
-        if model.use_initial:
-            inp = x0 if self.static is None else jnp.concatenate(
-                [self.static, x0], axis=-1
-            )
-            z = self._linear_apply(params["initial"], inp)
+        if self.static is None:
+            if model.use_initial:
+                z = self._linear_apply(params["initial"], x0)
+            else:
+                z = jnp.zeros(x0.shape[:-1] + (model.hidden_dim,), x0.dtype)
         else:
-            z = jnp.zeros(x0.shape[:-1] + (model.hidden_dim,), x0.dtype)
+            if model.use_initial:
+                z = self._linear_apply(
+                    params["initial"],
+                    jnp.concatenate([self.static, x0], axis=-1),
+                )
+            else:
+                z = self._linear_apply(params["initial"], self.static)
         return {"z": z, "last_obs": x0}
 
     def step(self, state: dict, x_new: jax.Array):
         """Advance by one observation; returns (new_state, outputs) where
         outputs match the offline model's per-observation rows."""
-        z, filled = self._step_fn(state["z"], state["last_obs"], jnp.asarray(x_new))
-        return {"z": z, "last_obs": filled}, self.readout(z)
+        z, filled, y = self._step_fn(
+            state["z"], state["last_obs"], jnp.asarray(x_new)
+        )
+        return {"z": z, "last_obs": filled}, y
 
     def readout(self, z: jax.Array):
         if self.model.apply_final_linear:

@@ -169,3 +169,41 @@ def test_online_stepper_with_static_features():
         state, y = stepper.step(state, jnp.asarray(x[:, k]))
         outs.append(np.asarray(y))
     np.testing.assert_allclose(np.stack(outs, 1), offline, rtol=1e-5, atol=1e-6)
+
+
+def test_online_stepper_static_without_use_initial():
+    """use_initial=False + static: offline h0 = initial_linear(static)
+    (models/ncde.py:188) — the stepper must mirror it, not zero."""
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    rng = np.random.default_rng(2)
+    B, L, C, S = 3, 5, 3, 2
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    static = jnp.asarray(rng.normal(size=(B, S)).astype(np.float32))
+
+    model = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
+                      hidden_hidden_dim=12, num_layers=1, static_dim=S,
+                      use_initial=False, interpolation="rectilinear",
+                      return_sequences=True, adjoint=False, solver="rk4")
+    params = model.init(jax.random.PRNGKey(0))
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    offline = np.asarray(model.apply(params, (static, coeffs)))
+
+    stepper = OnlineNCDEStepper(model, params, static=static)
+    state = stepper.init(jnp.asarray(x[:, 0]))
+    outs = [np.asarray(stepper.readout(state["z"]))]
+    for k in range(1, L):
+        state, y = stepper.step(state, jnp.asarray(x[:, k]))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.stack(outs, 1), offline, rtol=1e-5, atol=1e-6)
+
+
+def test_online_stepper_rejects_non_matmul_field():
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    model = NeuralCDE(input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+                      interpolation="rectilinear", vector_field_type="evaluate",
+                      adjoint=False, solver="rk4")
+    with pytest.raises(ValueError, match="matmul"):
+        OnlineNCDEStepper(model, model.init(jax.random.PRNGKey(0)))
