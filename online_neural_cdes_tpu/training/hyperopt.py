@@ -7,13 +7,21 @@ with optional ``log_scale``, objective = validation metric, failed trials
 scored with a sentinel so the search continues (hyperoptimize.py:65-78),
 and ``best_parameters`` stored for later injection into sweeps.
 
-The reference drives Facebook Ax (Bayesian); that service-grade dependency
-is replaced by scrambled-Sobol quasi-random search (scipy.stats.qmc) —
-equally budget-bounded, fully deterministic under the config seed, with
-provably lower star discrepancy than uniform sampling at the reference's
-20-trial budget, and no external service.  The trial loop and result
-contract are identical, so Ax could be slotted back in behind
-``sobol_parameterizations``.
+The reference drives Facebook Ax (Bayesian); that service-grade
+dependency is replaced by an in-repo two-stage search with the identical
+trial/result contract and no external service:
+
+1. **Sobol startup** (scrambled, scipy.stats.qmc): low-discrepancy
+   exploration for the first ``startup_trials`` (default half the budget).
+2. **TPE refinement** (tree-structured Parzen estimator): remaining trials
+   split the observed trials at the gamma-quantile of the score, fit
+   factorised Parzen densities l(x) (good) and g(x) (bad) in the unit
+   cube, draw candidates from l and keep the maximiser of l(x)/g(x) —
+   the classic Bergstra et al. acquisition, i.e. actual model-based
+   Bayesian optimisation within the reference's 20-trial budget.
+
+Fully deterministic under the config seed.  Set ``search: "sobol"`` in the
+hyperopt config to disable the TPE stage.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ import numpy as np
 from online_neural_cdes_tpu.training.experiment import run_experiment
 
 __all__ = ["run_hyperopt", "sample_parameterization", "sobol_parameterizations",
-           "decode_dunder"]
+           "tpe_suggest", "decode_dunder"]
 
 logger = logging.getLogger(__name__)
 FAILURE_SENTINEL = 1000.0
@@ -51,25 +59,70 @@ def _decode_unit(param: dict, u: float):
     raise ValueError(f"Unknown parameter type {param['type']}")
 
 
+def _split_space(space: List[dict]):
+    dims = [p for p in space if p["type"] != "fixed"]
+    fixed = [p for p in space if p["type"] == "fixed"]
+    return dims, fixed
+
+
+def _decode_row(dims, fixed, row) -> dict:
+    point = {p["name"]: _decode_unit(p, float(u)) for p, u in zip(dims, row)}
+    point.update({p["name"]: p["value"] for p in fixed})
+    return point
+
+
+def _sobol_unit(n_dims: int, n: int, seed: int) -> np.ndarray:
+    from scipy.stats import qmc
+
+    if n_dims == 0:
+        return np.zeros((n, 0))
+    return qmc.Sobol(d=n_dims, scramble=True, seed=seed).random(n)
+
+
 def sobol_parameterizations(space: List[dict], n: int, seed: int = 0) -> List[dict]:
     """``n`` scrambled-Sobol points over an Ax-style space, deterministic
     under ``seed``.  Low-discrepancy: every 1-D projection of a 2^k-point
     draw lands exactly one point in each of the 2^k dyadic bins."""
-    from scipy.stats import qmc
+    dims, fixed = _split_space(space)
+    unit = _sobol_unit(len(dims), n, seed)
+    return [_decode_row(dims, fixed, row) for row in unit]
 
-    dims = [p for p in space if p["type"] != "fixed"]
-    fixed = [p for p in space if p["type"] == "fixed"]
-    if dims:
-        sampler = qmc.Sobol(d=len(dims), scramble=True, seed=seed)
-        unit = sampler.random(n)
-    else:
-        unit = np.zeros((n, 0))
-    points = []
-    for row in unit:
-        point = {p["name"]: _decode_unit(p, u) for p, u in zip(dims, row)}
-        point.update({p["name"]: p["value"] for p in fixed})
-        points.append(point)
-    return points
+
+def tpe_suggest(
+    unit_obs: np.ndarray,
+    scores: np.ndarray,
+    rng: np.random.Generator,
+    n_candidates: int = 64,
+    gamma: float = 0.25,
+) -> np.ndarray:
+    """One TPE acquisition step in the unit cube (Bergstra et al. 2011):
+    split observations at the gamma-quantile of the (lower-is-better)
+    score, model good/bad with factorised Parzen mixtures, sample
+    candidates from the good density and return the argmax of
+    log l(x) - log g(x)."""
+    from scipy.special import logsumexp
+
+    n, d = unit_obs.shape
+    if d == 0:
+        return np.zeros(0)
+    order = np.argsort(scores, kind="stable")
+    n_good = max(1, int(np.ceil(gamma * n)))
+    good = unit_obs[order[:n_good]]
+    bad = unit_obs[order[n_good:]]
+    bw = max(0.08, 1.0 / np.sqrt(max(len(good), 1)) * 0.5)
+
+    base = good[rng.integers(len(good), size=n_candidates)]
+    cands = np.clip(base + rng.normal(0.0, bw, size=base.shape), 0.0, 1.0)
+
+    def log_density(data: np.ndarray, pts: np.ndarray) -> np.ndarray:
+        if len(data) == 0:
+            return np.zeros(len(pts))
+        z = (pts[:, None, :] - data[None, :, :]) / bw     # (C, N, D)
+        per_dim = logsumexp(-0.5 * z**2, axis=1) - np.log(len(data))
+        return per_dim.sum(axis=1)
+
+    acq = log_density(good, cands) - log_density(bad, cands)
+    return cands[int(np.argmax(acq))]
 
 
 def sample_parameterization(space: List[dict], rng: np.random.Generator) -> dict:
@@ -107,13 +160,29 @@ def run_hyperopt(
     metric = config.get("evaluation_metric", "loss")
     minimize = bool(config.get("minimize", metric == "loss"))
     sign = 1.0 if minimize else -1.0
-    points = sobol_parameterizations(space, total_trials,
-                                     seed=int(config.get("seed", 0)))
+    seed = int(config.get("seed", 0))
+    search = config.get("search", "tpe")
+    dims, fixed = _split_space(space)
+    n_startup = (
+        total_trials if search == "sobol"
+        else min(total_trials, max(5, int(config.get(
+            "startup_trials", total_trials // 2))))
+    )
+    startup_unit = _sobol_unit(len(dims), n_startup, seed)
+    rng = np.random.default_rng(seed)
 
+    unit_obs: list = []
+    scores: list = []
     best = (math.inf, None, None)
-    for trial, point in enumerate(points):
+    for trial in range(total_trials):
+        if trial < n_startup:
+            row = startup_unit[trial]
+        else:
+            row = tpe_suggest(np.asarray(unit_obs), np.asarray(scores), rng)
+        point = _decode_row(dims, fixed, row)
         trial_cfg = {k: v for k, v in config.items()
-                     if k not in ("parameterization", "total_trials")}
+                     if k not in ("parameterization", "total_trials",
+                                  "startup_trials", "search")}
         trial_cfg = _merge(trial_cfg, decode_dunder(point))
         try:
             results = run_experiment(trial_cfg, data_root=data_root, mesh=mesh,
@@ -125,6 +194,8 @@ def run_hyperopt(
             score = FAILURE_SENTINEL
         logger.info("trial %d/%d: %s -> score %.5f", trial + 1, total_trials,
                     point, score)
+        unit_obs.append(row)
+        scores.append(score)
         if score < best[0]:
             best = (score, point, results)
 
