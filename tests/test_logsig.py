@@ -107,3 +107,90 @@ def test_deprecated_version_returns_times_and_scales():
     vals, times = logsignature_windows(jnp.asarray(x), depth=2, window_length=3.0)
     assert times.shape == (3,)
     np.testing.assert_allclose(np.asarray(times), [0.0, 3.0, 6.0])
+
+
+def test_lyndon_count_matches_necklace_formula():
+    """#Lyndon words of length n over C letters = (1/n) sum_{d|n} mu(d) C^{n/d}."""
+    from online_neural_cdes_tpu.ops.logsig import lyndon_words
+
+    def mobius(n):
+        if n == 1:
+            return 1
+        p, m, cnt = 2, n, 0
+        while p * p <= m:
+            if m % p == 0:
+                m //= p
+                if m % p == 0:
+                    return 0
+                cnt += 1
+            p += 1
+        if m > 1:
+            cnt += 1
+        return -1 if cnt % 2 else 1
+
+    def necklace(C, n):
+        divs = [d for d in range(1, n + 1) if n % d == 0]
+        return sum(mobius(d) * C ** (n // d) for d in divs) // n
+
+    for C in (2, 3):
+        for depth in (4, 5):
+            words = lyndon_words(C, depth)
+            for n in range(1, depth + 1):
+                got = sum(1 for w in words if len(w) == n)
+                assert got == necklace(C, n), (C, n, got)
+
+
+def test_depth4_log_exp_roundtrip():
+    """exp(logsig) must reproduce the Chen-folded signature at depth 4 —
+    an independent check of the generic truncated tensor log."""
+    from online_neural_cdes_tpu.ops.logsig import (
+        _chen,
+        _mul_nounit,
+        _segment_signature,
+        _tensor_log,
+    )
+
+    rng = np.random.default_rng(0)
+    C, depth = 3, 4
+    deltas = jnp.asarray(rng.normal(size=(5, C)) * 0.5, jnp.float64)
+
+    sig = [jnp.zeros((C ** k,), jnp.float64) for k in range(1, depth + 1)]
+    for d in deltas:
+        sig = _chen(sig, _segment_signature(d, depth, C), depth, C)
+
+    log = _tensor_log(sig, depth, C)
+
+    # exp(L) - 1 = sum_m L^m / m!
+    acc = [jnp.array(l) for l in log]
+    power = log
+    fact = 1.0
+    for m in range(2, depth + 1):
+        power = _mul_nounit(power, log, depth, C)
+        fact *= m
+        acc = [a + p / fact for a, p in zip(acc, power)]
+    for a, s in zip(acc, sig):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(s),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_depth4_linear_path_logsig_is_increment_only():
+    """A straight-line path's log-signature is its increment: all Lyndon
+    coordinates of length >= 2 vanish (at any depth)."""
+    from online_neural_cdes_tpu.ops.logsig import (
+        logsig_windows,
+        logsignature_channels,
+    )
+
+    C, L, depth = 3, 9, 4
+    t = np.arange(L, dtype=np.float32)
+    # Small slopes: depth-4 tensor terms cancel to ~eps only when their
+    # magnitudes stay O(1) in f32.
+    x = np.stack([0.2 * t, -0.1 * t, 0.05 * t], axis=-1)[None]
+    out = np.asarray(logsig_windows(jnp.asarray(x), depth, window_length=8))
+    n_ch = logsignature_channels(C, depth)
+    assert out.shape[-1] == n_ch
+    # Single window over a straight line: level-1 coords = total increment,
+    # all higher-order Lyndon coords ~ 0.
+    last = out[0, -1]
+    np.testing.assert_allclose(last[:C], [1.6, -0.8, 0.4], rtol=1e-5)
+    np.testing.assert_allclose(last[C:], 0.0, atol=1e-5)
