@@ -92,5 +92,7 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         mesh=mesh,
         verbose=verbose,
         checkpoint_dir=trainer_cfg.get("checkpoint_dir"),
+        checkpoint_every=trainer_cfg.get("checkpoint_every", 0),
+        resume=trainer_cfg.get("resume", False),
     )
     return results
