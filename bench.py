@@ -168,7 +168,11 @@ def bench_torch(x, y, epochs=1):
 # Shared training-step timer for the shape-level configs
 # ---------------------------------------------------------------------------
 
-def _time_train_step(model, inputs, labels, loss="bce", n=10, lr=1e-3):
+def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3):
+    """Median-of-3 chains of ``n`` steps with ONE host sync per chain: the
+    axon tunnel's dispatch+sync round-trip varies 2-50 ms between sessions,
+    so per-step numbers must amortise it over a long chain (n=30 keeps the
+    latency share under ~2 ms/step at the worst observed round-trip)."""
     import jax
 
     from online_neural_cdes_tpu.training.loop import init_adam_state, make_train_step
@@ -178,11 +182,14 @@ def _time_train_step(model, inputs, labels, loss="bce", n=10, lr=1e-3):
     step = make_train_step(model, loss=loss, lr=lr, donate=False)
     params, opt_state, l = step(params, opt_state, inputs, labels, 1.0)
     float(l)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, l = step(params, opt_state, inputs, labels, 1.0)
-    float(l)
-    return (time.perf_counter() - t0) / n * 1000.0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt_state, l = step(params, opt_state, inputs, labels, 1.0)
+        float(l)
+        times.append((time.perf_counter() - t0) / n)
+    return float(np.median(times)) * 1000.0
 
 
 def _field_flops(B, H, HH, I, num_layers=2):
@@ -301,7 +308,7 @@ def bench_speechcommands_baselines():
     }
 
 
-def bench_flagship_step(n=10):
+def bench_flagship_step(n=30):
     """Config 5: MIMIC-scale online NCDE training step (B=512, 100 knots ->
     rectilinear length 199, H=HH=128, C=21, adjoint rk4, fused + paired
     rectilinear scan)."""

@@ -1,1 +1,1 @@
-from online_neural_cdes_tpu.data import builders, common, loader, toy, ts_format  # noqa: F401
+from online_neural_cdes_tpu.data import builders, common, loader, prefetch, toy, ts_format  # noqa: F401

@@ -1,0 +1,72 @@
+"""Host-to-device input prefetching.
+
+The reference's loop moves each batch to the accelerator synchronously at
+step time (experiments/ingredients/setup_model.py:149-152 ``prepare_batch``
+device transfer).  On TPU the idiomatic shape is a *double-buffered* input
+pipeline: while step ``i`` executes on device, batch ``i+1``'s host->device
+copy is already in flight, so the HBM transfer rides under the compute
+instead of on the critical path.
+
+``prefetch_to_device`` wraps any (inputs, labels) iterable: a background
+thread pulls batches, enqueues their ``jax.device_put`` (optionally with a
+``Sharding`` so multi-chip batches land pre-sharded, skipping the
+replicate-then-reshard XLA would otherwise insert), and hands them over a
+bounded queue.  Order is preserved; iterator exceptions re-raise at the
+consuming site.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+
+__all__ = ["prefetch_to_device"]
+
+_SENTINEL = object()
+
+
+def prefetch_to_device(
+    iterable: Iterable,
+    size: int = 2,
+    sharding: Optional[object] = None,
+) -> Iterator:
+    """Iterate ``iterable``, moving each element (any pytree of numpy/JAX
+    arrays) to device up to ``size`` elements ahead of the consumer.
+
+    ``sharding``: optional ``jax.sharding.Sharding`` (e.g.
+    ``NamedSharding(mesh, P("data"))``) applied to every array leaf —
+    matches the batch sharding of ``training.loop.make_train_step(mesh=...)``.
+    Scalars and non-array leaves pass through untouched.
+    """
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1, got {size}")
+    buf: queue.Queue = queue.Queue(maxsize=size)
+
+    def put(tree):
+        if sharding is None:
+            return jax.device_put(tree)
+        return jax.device_put(tree, sharding)
+
+    def producer():
+        try:
+            for item in iterable:
+                buf.put(put(item))
+        except BaseException as exc:  # re-raised by the consumer
+            buf.put((_SENTINEL, exc))
+            return
+        buf.put((_SENTINEL, None))
+
+    thread = threading.Thread(target=producer, daemon=True, name="prefetch")
+    thread.start()
+
+    while True:
+        item = buf.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
+            thread.join()
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

@@ -248,6 +248,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    prefetch: int = 0,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics.
@@ -257,7 +258,13 @@ def train(
     ``checkpoint_every=N``, the FULL trainer state (params, optimiser
     state, best params, scheduler counters, history) is persisted every N
     epochs; ``resume=True`` continues from it exactly — the resumed run is
-    bit-identical to an uninterrupted one (tested)."""
+    bit-identical to an uninterrupted one (tested).
+
+    ``prefetch=N`` (N >= 1) double-buffers the input pipeline: each epoch's
+    batches are moved host->device up to N batches ahead of the executing
+    step (pre-sharded over the mesh's data axis when ``mesh`` is given), so
+    the H2D copy overlaps the previous step's compute instead of sitting on
+    the critical path (``data/prefetch.py``)."""
     if minimize is None:
         minimize = val_metric_to_monitor in ("loss",)
     sign = 1.0 if minimize else -1.0
@@ -322,10 +329,28 @@ def train(
     )
     nfe_total = nfe_resumed
 
+    if prefetch > 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from online_neural_cdes_tpu.data.prefetch import prefetch_to_device
+
+        batch_sharding = (
+            None if mesh is None else NamedSharding(mesh, PartitionSpec("data"))
+        )
+
+        def epoch_batches():
+            return prefetch_to_device(
+                iter(train_batches), size=prefetch, sharding=batch_sharding
+            )
+    else:
+
+        def epoch_batches():
+            return train_batches
+
     t_start = time.perf_counter()
     epochs_run = start_epoch
     for epoch in range(start_epoch, max_epochs):
-        for inputs, labels in train_batches:
+        for inputs, labels in epoch_batches():
             prepared = bundle.prepare_batch(inputs)
             params, opt_state, loss_val = step(
                 params, opt_state, prepared, jnp.asarray(labels), lr_scale
