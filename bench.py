@@ -80,18 +80,32 @@ def bench_jax(x, y, epochs=10):
         updates, s = opt.update(grads, s)
         return optax.apply_updates(p, updates), s, loss
 
-    batches = [
-        (coeffs[i * BATCH:(i + 1) * BATCH], labels[i * BATCH:(i + 1) * BATCH])
-        for i in range(STEPS_PER_EPOCH)
-    ]
-    params, opt_state, loss = step(params, opt_state, *batches[0])
+    # Epoch-fused dispatch (training.loop.make_epoch_step semantics): the
+    # whole epoch is one lax.scan over the stacked batches — bit-identical
+    # updates to the per-batch loop (tested), but a single dispatch+sync
+    # round-trip per epoch.  On the tunneled axon backend a dispatch costs
+    # 2-30 ms depending on the session, which would otherwise dominate this
+    # tiny (sub-ms compute) epoch.
+    cs = coeffs.reshape((STEPS_PER_EPOCH, BATCH) + coeffs.shape[1:])
+    ls = labels.reshape((STEPS_PER_EPOCH, BATCH) + labels.shape[1:])
+
+    @jax.jit
+    def epoch_step(p, s, cs, ls):
+        def body(carry, batch):
+            p, s = carry
+            p, s, value = step(p, s, batch[0], batch[1])
+            return (p, s), value
+
+        (p, s), values = jax.lax.scan(body, (p, s), (cs, ls))
+        return p, s, values[-1]
+
+    params, opt_state, loss = epoch_step(params, opt_state, cs, ls)
     float(loss)  # true sync (see module docstring)
 
     times = []
     for _ in range(epochs):
         t0 = time.perf_counter()
-        for c, l in batches:
-            params, opt_state, loss = step(params, opt_state, c, l)
+        params, opt_state, loss = epoch_step(params, opt_state, cs, ls)
         float(loss)
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), float(loss)
@@ -408,7 +422,7 @@ def main():
         torch_epoch_s = float("nan")
 
     toy = {
-        "config": "Brownian-motion toy (rectilinear NCDE, rk4, adjoint)",
+        "config": "Brownian-motion toy (rectilinear NCDE, rk4, adjoint, epoch-fused dispatch)",
         "shape": "4096 paths, 3 knots, H=10, width=256",
         "epoch_ms": round(jax_epoch_s * 1000.0, 3),
         "vs_torch_cpu": (
@@ -421,7 +435,7 @@ def main():
             {
                 "metric": "bm_toy_train_epoch_time",
                 "value": round(jax_epoch_s * 1000.0, 3),
-                "unit": "ms/epoch (4096 paths, rectilinear NCDE rk4, adjoint)",
+                "unit": "ms/epoch (4096 paths, rectilinear NCDE rk4, adjoint, epoch-fused)",
                 "vs_baseline": (
                     round(torch_epoch_s / jax_epoch_s, 2)
                     if np.isfinite(torch_epoch_s)
