@@ -44,29 +44,56 @@ def prefetch_to_device(
     if size < 1:
         raise ValueError(f"prefetch size must be >= 1, got {size}")
     buf: queue.Queue = queue.Queue(maxsize=size)
+    # Set when the consumer abandons the generator (exception in the
+    # training loop, early break): the producer must not stay blocked on a
+    # full queue forever, pinning device-resident batches (a caught-and-
+    # continued failure per hyperopt trial would otherwise leak a thread
+    # plus ~size batches of HBM each time).
+    stop = threading.Event()
 
     def put(tree):
         if sharding is None:
             return jax.device_put(tree)
         return jax.device_put(tree, sharding)
 
+    def enqueue(item) -> bool:
+        while not stop.is_set():
+            try:
+                buf.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterable:
-                buf.put(put(item))
+                if not enqueue(put(item)):
+                    return
         except BaseException as exc:  # re-raised by the consumer
-            buf.put((_SENTINEL, exc))
+            enqueue((_SENTINEL, exc))
             return
-        buf.put((_SENTINEL, None))
+        enqueue((_SENTINEL, None))
 
     thread = threading.Thread(target=producer, daemon=True, name="prefetch")
     thread.start()
 
-    while True:
-        item = buf.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
-            thread.join()
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = buf.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        # Runs on normal exhaustion AND on abandonment (GeneratorExit /
+        # consumer exception): release the producer and drop buffered
+        # device batches so HBM is reclaimed.
+        stop.set()
+        while True:
+            try:
+                buf.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)

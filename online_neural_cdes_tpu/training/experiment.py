@@ -94,5 +94,6 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         checkpoint_dir=trainer_cfg.get("checkpoint_dir"),
         checkpoint_every=trainer_cfg.get("checkpoint_every", 0),
         resume=trainer_cfg.get("resume", False),
+        prefetch=trainer_cfg.get("prefetch") or 0,
     )
     return results

@@ -44,6 +44,27 @@ def test_prefetch_reraises_producer_exception():
         next(it)
 
 
+def test_abandoned_prefetch_releases_producer_thread():
+    """Abandoning the iterator mid-stream (exception in the training loop,
+    early break) must not leave the producer blocked on the full queue
+    holding device-resident batches."""
+    import threading
+    import time
+
+    batches = [np.full((2,), i, np.float32) for i in range(100)]
+    it = prefetch_to_device(iter(batches), size=2)
+    next(it)
+    it.close()  # what GC does when the consumer's frame unwinds
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+
+
 def test_prefetch_rejects_bad_size():
     with pytest.raises(ValueError):
         next(prefetch_to_device(iter([]), size=0))
