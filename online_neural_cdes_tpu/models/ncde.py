@@ -208,10 +208,13 @@ class NeuralCDE:
             outputs = final(hidden[..., -1, :])
         return outputs
 
-    def apply(self, params: dict, inputs, return_stats: bool = False):
-        spline, h0 = self._setup_h0(params, inputs)
-        times = spline.grid_points if self.return_sequences else spline.interval
-        settings = self.solver_settings
+    def make_solve_func(self, params: dict, h0: jax.Array):
+        """The field function handed to the solver: ``(func, even_func,
+        field_args, vf_type)``.  Routes through the fused
+        trunk->head->contraction ``custom_vjp`` (+ Pallas where lane-aligned)
+        when eligible, else the plain vector-field apply.  Shared by
+        :meth:`apply` and the sequence-pipelined forward
+        (``parallel.sequence.ncde_apply_pipelined``)."""
         field = self.field
 
         use_fused = (
@@ -280,6 +283,13 @@ class NeuralCDE:
 
             field_args = params["field"]
             vf_type = self.vector_field_type
+        return func, even_func, field_args, vf_type
+
+    def apply(self, params: dict, inputs, return_stats: bool = False):
+        spline, h0 = self._setup_h0(params, inputs)
+        times = spline.grid_points if self.return_sequences else spline.interval
+        settings = self.solver_settings
+        func, even_func, field_args, vf_type = self.make_solve_func(params, h0)
 
         result = cdeint(
             spline,

@@ -236,10 +236,11 @@ def ncde_apply_pipelined(
             f"{model.solver!r}."
         )
     spline, h0 = model._setup_h0(params, inputs)
-    field = model.field
-
-    def func(t, z, fp):
-        return field.apply(fp, t, z)
+    # Same field routing as model.apply: the fused trunk->head->contraction
+    # custom_vjp (+ Pallas where lane-aligned) fires inside the pipeline
+    # ticks too — the long-sequence production configuration runs the same
+    # per-stage kernel as the plain scan.
+    func, _, field_args, vf_type = model.make_solve_func(params, h0)
 
     from online_neural_cdes_tpu.ops.cdeint import _resolve_substeps
 
@@ -247,9 +248,9 @@ def ncde_apply_pipelined(
         dict(model.solver_settings["options"]), spline.grid_points
     )
     hidden = pipelined_cde_solve(
-        spline, func, h0, params["field"], mesh=mesh, axis=axis,
+        spline, func, h0, field_args, mesh=mesh, axis=axis,
         method=model.solver, substeps=substeps, microbatches=microbatches,
-        vector_field_type=model.vector_field_type,
+        vector_field_type=vf_type,
         return_sequences=model.return_sequences, remat=remat,
     )
     if not model.return_sequences:
