@@ -140,16 +140,23 @@ class NeuralCDE:
             return dict(atol=1e-5, rtol=1e-3, options={})
         if self.solver in ("explicit_adams", "implicit_adams"):
             # One multistep step per knot interval, like rk4's step_size=1
-            # (critical for 2-point interval solves, where substeps=1 would
-            # mean a single step across the whole grid).
+            # on the unit knot grid.  Expressed as substeps (resolution-free)
+            # because inside jit the knot grid is traced and a step_size
+            # could not be resolved against it — critical for 2-point
+            # interval solves, where the generic path's per-output-interval
+            # resolution applies (cdeint pre-resolves there).
             return dict(atol=1e-5, rtol=1e-3, options={"step_size": 1})
         if self.solver == "scipy_solver":
             # Host fallback: eager forward only (not jittable / not
             # differentiable) — gated to adjoint=False in __post_init__.
             return dict(atol=1e-5, rtol=1e-3, options={})
+        # rk4 preset 'step_size=1' (reference ncde.py:132-134) == one RK
+        # step per unit-spaced knot interval == substeps=1 on the piece
+        # scan; substeps is used directly because the knot grid is a tracer
+        # under jit (step_size would be unresolvable there).
         return dict(
             atol=1e-5, rtol=1e-3,
-            options={"step_size": 1, "unroll": self.solver_unroll},
+            options={"substeps": 1, "unroll": self.solver_unroll},
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
@@ -289,6 +296,17 @@ class NeuralCDE:
         spline, h0 = self._setup_h0(params, inputs)
         times = spline.grid_points if self.return_sequences else spline.interval
         settings = self.solver_settings
+        if "step_size" in settings.get("options", {}):
+            # Resolve grid-from-step_size against the STATIC shapes (knot
+            # grids are unit-spaced by the builders' convention, and are
+            # traced arrays under jit, so a value-based resolution is
+            # impossible).  Per output interval: spacing = (L-1)/(n_out-1).
+            n_knots = spline.grid_points.shape[0]
+            spacing = (n_knots - 1) / max(times.shape[0] - 1, 1)
+            step = settings["options"].pop("step_size")
+            settings["options"]["substeps"] = max(
+                1, int(-(-spacing // float(step)))
+            )
         func, even_func, field_args, vf_type = self.make_solve_func(params, h0)
 
         result = cdeint(

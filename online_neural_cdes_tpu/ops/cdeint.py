@@ -186,6 +186,34 @@ def _fixed_cde_adjoint_fwd(bundle, cfg, z0, grid_t, pieces, args):
     return zs, (zs, grid_t, pieces, args)
 
 
+def _interval_adjoint_bwd(step, pf, piece, t0, t1, z_end, a, args, args_bar,
+                          substeps):
+    """Reverse one knot interval of the augmented adjoint state
+    ``(z, a_z, a_piece, a_args)`` with the tree-form stepper (the compiled
+    semantics of reference adjoint.py:116-133's per-interval loop).  Shared
+    by the plain and the paired-rectilinear adjoints — one copy of the
+    sign/substitution-sensitive code.  Returns ``(a at t0, args_bar',
+    piece_bar)``."""
+    aug0 = (z_end, a, jax.tree.map(jnp.zeros_like, piece), args_bar)
+    dt = (t1 - t0) / substeps
+
+    def aug_f(s, aug):
+        z, a_, _, _ = aug
+        tau = -s
+        f, vjp = jax.vjp(
+            lambda z_, p_, ar_: pf(p_, tau, tau - t0, z_, ar_), z, piece, args
+        )
+        vz, vp, va = vjp(a_)
+        return (-f, vz, vp, va)
+
+    def sub(aug, k):
+        return step(aug_f, -t1 + k * dt, dt, aug), None
+
+    aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
+    _, a_new, piece_bar, args_bar_new = aug
+    return a_new, args_bar_new, piece_bar
+
+
 def _fixed_cde_adjoint_bwd(bundle, cfg, residuals, grad_zs):
     spline_cls, func = bundle
     vf_type, method, substeps, unroll = cfg
@@ -199,23 +227,9 @@ def _fixed_cde_adjoint_bwd(bundle, cfg, residuals, grad_zs):
         a, args_bar = carry
         piece, t0, t1, z_r, g_r = inp
         a = a + g_r
-        aug0 = (z_r, a, jax.tree.map(jnp.zeros_like, piece), args_bar)
-        dt = (t1 - t0) / substeps
-
-        def aug_f(s, aug):
-            z, a_, _, _ = aug
-            tau = -s
-            f, vjp = jax.vjp(
-                lambda z_, p_, ar_: pf(p_, tau, tau - t0, z_, ar_), z, piece, args
-            )
-            vz, vp, va = vjp(a_)
-            return (-f, vz, vp, va)
-
-        def sub(aug, k):
-            return step(aug_f, -t1 + k * dt, dt, aug), None
-
-        aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
-        _, a_new, piece_bar, args_bar_new = aug
+        a_new, args_bar_new, piece_bar = _interval_adjoint_bwd(
+            step, pf, piece, t0, t1, z_r, a, args, args_bar, substeps
+        )
         return (a_new, args_bar_new), piece_bar
 
     xs = (
@@ -319,26 +333,9 @@ def _fixed_cde_adjoint_paired_bwd(bundle, cfg, residuals, grad_zs):
     step = solvers.tree_fixed_step(method)
 
     def interval_bwd(pf, piece, t0, t1, z_end, a, args_bar):
-        """Reverse one interval: returns (a at t0, args_bar', piece_bar)."""
-        aug0 = (z_end, a, jax.tree.map(jnp.zeros_like, piece), args_bar)
-        dt = (t1 - t0) / substeps
-
-        def aug_f(s, aug):
-            z, a_, _, _ = aug
-            tau = -s
-            f, vjp = jax.vjp(
-                lambda z_, p_, ar_: pf(p_, tau, tau - t0, z_, ar_),
-                z, piece, args,
-            )
-            vz, vp, va = vjp(a_)
-            return (-f, vz, vp, va)
-
-        def sub(aug, k):
-            return step(aug_f, -t1 + k * dt, dt, aug), None
-
-        aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
-        _, a_new, piece_bar, args_bar_new = aug
-        return a_new, args_bar_new, piece_bar
+        return _interval_adjoint_bwd(
+            step, pf, piece, t0, t1, z_end, a, args, args_bar, substeps
+        )
 
     pieces_e, pieces_o = _split_pairs(pieces)
     z_knots = jax.tree.map(lambda x: x[1:], zs)       # (P, ...) states
@@ -422,6 +419,17 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
     adj_options = adj or dict(opt_items)
     if norm_opt is not None and not seminorm:
         adj_options = {**adj_options, "norm": norm_opt}
+    # The backward pass integrates in the substituted time s = -tau, so
+    # declared discontinuities at forward times tau0 sit at s = -tau0; keep
+    # step_t/jump_t clamping (and FSAL reseeding past jumps) active in the
+    # gradient solve (the reference negates these grids for reverse-time
+    # integration, torchdiffeq misc.py _check_inputs).
+    for grid_key in ("step_t", "jump_t"):
+        if adj_options.get(grid_key) is not None:
+            adj_options = {
+                **adj_options,
+                grid_key: -jnp.asarray(adj_options[grid_key]),
+            }
 
     ys, t, args = residuals
 
@@ -494,14 +502,26 @@ def odeint_adjoint(
     system backwards.  ``adjoint_options`` may override ``method``/``rtol``/
     ``atol``/solver options for the backward solve (defaults mirror the
     forward one)."""
+    t = jnp.asarray(t)
+    # Resolve grid-from-step_size against the CONCRETE output times here:
+    # the backward scan integrates over traced per-interval spans where the
+    # resolution is impossible (solvers raise rather than silently using one
+    # step per interval).
+    options = dict(options or {})
+    if "step_size" in options:
+        options["substeps"] = _resolve_substeps(options, t)
+        options.pop("step_size")
+    if adjoint_options and "step_size" in adjoint_options:
+        adjoint_options = dict(adjoint_options)
+        adjoint_options["substeps"] = _resolve_substeps(adjoint_options, t)
+        adjoint_options.pop("step_size")
     cfg = (
         float(rtol),
         float(atol),
         str(method),
-        _freeze(options or {}),
+        _freeze(options),
         _freeze(adjoint_options or {}),
     )
-    t = jnp.asarray(t)
     return _odeint_adjoint(func, cfg, y0, t, args)
 
 

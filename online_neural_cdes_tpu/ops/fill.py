@@ -47,7 +47,7 @@ def forward_fill(x: jax.Array, axis: int = -2) -> jax.Array:
     ``torchcde.misc.forward_fill``, reference misc.py:103-126).
     """
     x = jnp.moveaxis(x, axis, -1)
-    mask = jnp.isfinite(x)
+    mask = ~jnp.isnan(x)
     last = _last_observed_index(mask)
     gathered = jnp.take_along_axis(x, jnp.maximum(last, 0), axis=-1)
     out = jnp.where(last >= 0, gathered, x)
@@ -77,7 +77,7 @@ def linear_fill(x: jax.Array, t: jax.Array | None = None, axis: int = -2) -> jax
         t = jnp.arange(length, dtype=x.dtype)
     t = jnp.broadcast_to(t, x.shape)
 
-    mask = jnp.isfinite(x)
+    mask = ~jnp.isnan(x)
     prev_i = _last_observed_index(mask)           # -1 where nothing before
     next_i = _next_observed_index(mask)           # L  where nothing after
 

@@ -132,7 +132,7 @@ def _natural_cubic_1d(t: jax.Array, x: jax.Array, version: int):
     length = x.shape[0]
     dtype = x.dtype
     idx = jnp.arange(length)
-    mask = jnp.isfinite(x)
+    mask = ~jnp.isnan(x)
     any_obs = jnp.any(mask)
     first = jnp.argmax(mask)
     last = (length - 1) - jnp.argmax(jnp.flip(mask))

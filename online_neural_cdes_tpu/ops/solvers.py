@@ -408,8 +408,7 @@ def _fixed_grid_integrate(func, y0, t, args, method, substeps=1, remat=False):
 
     _, ys = jax.lax.scan(interval, y0, (t[:-1], t[1:]))
     ys = jnp.concatenate([y0[None], ys], axis=0)
-    nfe_per_step = {"euler": 1, "midpoint": 2, "rk4": 4}[method]
-    nfe = (t.shape[0] - 1) * substeps * nfe_per_step
+    nfe = (t.shape[0] - 1) * substeps * FIXED_NFE_PER_STEP[method]
     stats = {
         "nfe": jnp.asarray(nfe, jnp.int32),
         "accepted": jnp.asarray((t.shape[0] - 1) * substeps, jnp.int32),
@@ -485,7 +484,20 @@ def _adams_integrate(
     hist_len = max_order - 1
     n_out = t.shape[0]
     n_steps = (n_out - 1) * substeps
-    h_t = (t[-1] - t[0]) / n_steps          # assumes uniform output grid
+    # Adams coefficients are derived for a UNIFORM step stencil; the step is
+    # span / n_steps, so the requested times are hit only when they are
+    # equally spaced (the reference's fixed_adams has the same contract via
+    # its uniform grid_constructor).  Reject non-uniform concrete grids
+    # loudly instead of returning trajectories labelled with wrong times.
+    if not isinstance(t, jax.core.Tracer):
+        diffs = np.diff(np.asarray(t))
+        if diffs.size > 1 and not np.allclose(diffs, diffs[0], rtol=1e-6, atol=0):
+            raise ValueError(
+                "explicit/implicit_adams requires uniformly spaced output "
+                f"times (got spacings {diffs.min():g}..{diffs.max():g}); "
+                "interpolate outputs onto a uniform grid or use an RK method."
+            )
+    h_t = (t[-1] - t[0]) / n_steps          # uniform output grid (checked)
     h = jnp.asarray(h_t).astype(y0.dtype)
 
     # Order schedule is a pure function of the step index (the history deque
@@ -621,6 +633,28 @@ class _RKState(NamedTuple):
     rejected: jax.Array
 
 
+def _special_grids(tableau: ButcherTableau, t, dtype, step_t, jump_t):
+    """Sorted (special_t, jump_t) discontinuity grids (static shapes) — a
+    pure function of the declared grids, the output times, and the tableau;
+    shared by the controller setup and the differentiable-solve backward
+    (which must mirror them without re-evaluating the vector field)."""
+    if step_t is None:
+        step_t = jnp.zeros((0,), dtype)
+    else:
+        step_t = jnp.sort(jnp.asarray(step_t, dtype))
+    if tableau.mid is None and tableau.order > 4:
+        # High-order tableau without a matching dense output (DOP853): land
+        # exactly on the requested times instead of interpolating with the
+        # (order-3) Hermite fallback.
+        step_t = jnp.sort(jnp.concatenate([step_t, t[1:].astype(dtype)]))
+    if jump_t is None:
+        jump_t = jnp.zeros((0,), dtype)
+    else:
+        jump_t = jnp.sort(jnp.asarray(jump_t, dtype))
+    special_t = jnp.sort(jnp.concatenate([step_t, jump_t]))
+    return special_t, jump_t
+
+
 def _adaptive_machinery(
     func, y0, t, args, tableau: ButcherTableau,
     rtol, atol, min_step, max_step, first_step,
@@ -644,20 +678,7 @@ def _adaptive_machinery(
     # Prescribed step/jump discontinuity points, merged and sorted (static
     # shape).  At such points the step is clamped to land exactly on them
     # (reference rk_common.py:236-257).
-    if step_t is None:
-        step_t = jnp.zeros((0,), dtype)
-    else:
-        step_t = jnp.sort(jnp.asarray(step_t, dtype))
-    if tableau.mid is None and tableau.order > 4:
-        # High-order tableau without a matching dense output (DOP853): land
-        # exactly on the requested times instead of interpolating with the
-        # (order-3) Hermite fallback.
-        step_t = jnp.sort(jnp.concatenate([step_t, t[1:]]))
-    if jump_t is None:
-        jump_t = jnp.zeros((0,), dtype)
-    else:
-        jump_t = jnp.sort(jnp.asarray(jump_t, dtype))
-    special_t = jnp.sort(jnp.concatenate([step_t, jump_t]))
+    special_t, jump_t = _special_grids(tableau, t, dtype, step_t, jump_t)
     has_special = special_t.shape[0] > 0
 
     f0 = func(t[0], y0, args)
@@ -792,12 +813,25 @@ def _adaptive_integrate(
 
     def advance_to(state: _RKState, t_out):
         def cond(s):
-            return (t_out > s.t1) & (s.accepted + s.rejected < max_num_steps)
+            # s.dt > 0 fails when the controller collapses (NaN state makes
+            # the error ratio NaN, which propagates into dt) — exit instead
+            # of spinning to max_num_steps with a frozen t1.
+            return (
+                (t_out > s.t1)
+                & (s.accepted + s.rejected < max_num_steps)
+                & (s.dt > 0)
+            )
 
         s = jax.lax.while_loop(cond, adaptive_step, state)
         y_out = _interp_evaluate(s.interp, s.t0, s.t1, t_out)
         # First output time may coincide with t[0], before any step exists.
         y_out = jnp.where(t_out <= t[0], y0, y_out)
+        # Budget exhausted (or controller collapsed) before reaching t_out:
+        # the quartic dense output would extrapolate far outside its step —
+        # NaN-poison instead of returning plausible-looking garbage (the
+        # reference raises here, rk_common.py:196-197; inside jit the loud
+        # equivalent is NaN).
+        y_out = jnp.where(t_out > s.t1, jnp.asarray(jnp.nan, y_out.dtype), y_out)
         return s, y_out
 
     state_final, ys_rest = jax.lax.scan(advance_to, state0, t[1:])
@@ -808,6 +842,32 @@ def _adaptive_integrate(
         "rejected": state_final.rejected,
     }
     return ys, stats
+
+
+def _eval_recorded_outputs(ts_full, interps, y0, t_rest, max_steps):
+    """Evaluate outputs from per-step dense-output coefficients recorded on
+    the accepted grid ``ts_full`` (length max_steps+1, padded tail slots
+    share the final reached time so denom == 0 clamps to the last real
+    step).  One copy of the searchsorted+Horner lookup shared by the
+    differentiable solve's value pass and its backward replay — the two
+    must stay bitwise-identical."""
+
+    def out_at(t_out):
+        t_out = t_out.astype(y0.dtype)
+        i = jnp.clip(
+            jnp.searchsorted(ts_full, t_out, side="left") - 1,
+            0, max_steps - 1,
+        )
+        t0_, t1_ = ts_full[i], ts_full[i + 1]
+        denom = t1_ - t0_
+        x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(y0.dtype)
+        coeffs = interps[i]
+        out = coeffs[0]
+        for j in range(1, coeffs.shape[0]):
+            out = out * x + coeffs[j]
+        return jnp.where(t_out <= ts_full[0], y0, out)
+
+    return jax.vmap(out_at)(t_rest)
 
 
 def _adaptive_integrate_diff(
@@ -891,6 +951,7 @@ def _adaptive_integrate_diff(
                 (s.t1 < t_end)
                 & (s.accepted + s.rejected < max_num_steps)
                 & (idx < max_steps)
+                & (s.dt > 0)
             )
 
         def body(carry):
@@ -906,7 +967,9 @@ def _adaptive_integrate_diff(
         s, buf_t, buf_i, idx = jax.lax.while_loop(
             cond, body, (state0, buf_t0, buf_i0, jnp.asarray(0, jnp.int32))
         )
-        exhausted = (idx >= max_steps) & (s.t1 < t_end)
+        # Any early exit (buffer full, max_num_steps, controller collapse)
+        # that did not reach t_end poisons the unreached outputs below.
+        exhausted = s.t1 < t_end
         t_reached = s.t1
         # Pad unused slots with the final time reached: padded steps have
         # dt == 0, so the bwd re-integration treats them as identity steps
@@ -914,24 +977,7 @@ def _adaptive_integrate_diff(
         buf_t = jnp.where(jnp.arange(max_steps) < idx, buf_t, t_reached)
         ts_full = jnp.concatenate([t_[:1], buf_t])
 
-        def out_at(t_out):
-            t_out = t_out.astype(y0_.dtype)
-            i = jnp.clip(
-                jnp.searchsorted(ts_full, t_out, side="left") - 1,
-                0, max_steps - 1,
-            )
-            t0_, t1_ = ts_full[i], ts_full[i + 1]
-            denom = t1_ - t0_
-            x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(
-                y0_.dtype
-            )
-            coeffs = buf_i[i]
-            out = coeffs[0]
-            for j in range(1, coeffs.shape[0]):
-                out = out * x + coeffs[j]
-            return jnp.where(t_out <= ts_full[0], y0_, out)
-
-        ys_rest = jax.vmap(out_at)(t_[1:])
+        ys_rest = _eval_recorded_outputs(ts_full, buf_i, y0_, t_[1:], max_steps)
         ys = jnp.concatenate([y0_[None], ys_rest], axis=0)
         # Budget exhaustion: poison outputs past the reached time so the
         # failure is loud (NaN loss) rather than silently wrong.
@@ -952,10 +998,11 @@ def _adaptive_integrate_diff(
         ct_ys, _ = cotangents
         sg = jax.lax.stop_gradient
 
-        # Discontinuity grids for the replay (host constants).
-        _, _, special_arr, jump_arr = _adaptive_machinery(
-            _mkfunc(sg(consts_)), sg(y0_), sg(t_),
-            sg(args_), tableau, **machinery_kwargs,
+        # Discontinuity grids for the replay — pure grid arithmetic, no
+        # vector-field evaluations.
+        special_arr, jump_arr = _special_grids(
+            tableau, sg(t_), y0_.dtype,
+            machinery_kwargs["step_t"], machinery_kwargs["jump_t"],
         )
 
         def replay(y0__, args__, consts__):
@@ -987,25 +1034,9 @@ def _adaptive_integrate_diff(
             _, interps = jax.lax.scan(
                 step, (y0__, f0), (ts_full[:-1], ts_full[1:])
             )
-
-            def out_at(t_out):
-                t_out = t_out.astype(y0__.dtype)
-                i = jnp.clip(
-                    jnp.searchsorted(ts_full, t_out, side="left") - 1,
-                    0, max_steps - 1,
-                )
-                t0_, t1_ = ts_full[i], ts_full[i + 1]
-                denom = t1_ - t0_
-                x = ((t_out - t0_) / jnp.where(denom == 0, 1.0, denom)).astype(
-                    y0__.dtype
-                )
-                coeffs = interps[i]
-                out = coeffs[0]
-                for j in range(1, coeffs.shape[0]):
-                    out = out * x + coeffs[j]
-                return jnp.where(t_out <= ts_full[0], y0__, out)
-
-            ys_rest = jax.vmap(out_at)(t_[1:])
+            ys_rest = _eval_recorded_outputs(
+                ts_full, interps, y0__, t_[1:], max_steps
+            )
             return jnp.concatenate([y0__[None], ys_rest], axis=0)
 
         _, pullback = jax.vjp(replay, y0_, args_, consts_)
@@ -1052,7 +1083,16 @@ def _substeps_from_options(options: dict, t) -> int:
     step_size = options.pop("step_size", None)
     if substeps:
         return substeps
-    if step_size is not None and not isinstance(t, jax.core.Tracer):
+    if step_size is not None:
+        if isinstance(t, jax.core.Tracer):
+            # Silently falling back to one step per interval would degrade
+            # accuracy with no signal; the caller must pre-resolve against
+            # concrete times (cdeint does) or pass substeps explicitly.
+            raise ValueError(
+                "step_size cannot be resolved against traced times; pass "
+                "options={'substeps': n} instead (one RK step per output "
+                "interval is substeps=1)."
+            )
         spacing = float(np.max(np.diff(np.asarray(t))))
         return max(1, int(np.ceil(spacing / float(step_size) - 1e-9)))
     return 1

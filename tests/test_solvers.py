@@ -239,3 +239,85 @@ def test_args_are_threaded():
     ys = odeint(f, y0, t, {"rate": jnp.array(-3.0)}, method="dopri5",
                 rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(float(ys[-1, 0]), np.exp(-3.0), rtol=1e-5)
+
+
+def test_adams_rejects_non_uniform_output_grid():
+    """Adams coefficients assume a uniform step stencil; a non-uniform
+    concrete grid must raise instead of returning trajectories labelled
+    with the wrong times."""
+    def f(t, y, _):
+        return -y
+
+    y0 = jnp.array([1.0])
+    with pytest.raises(ValueError, match="uniformly spaced"):
+        odeint(f, y0, jnp.array([0.0, 1.0, 10.0]), method="explicit_adams")
+
+
+def test_step_size_under_traced_times_raises():
+    """step_size against traced times must fail loudly, not silently fall
+    back to one step per interval."""
+    def f(t, y, _):
+        return -y
+
+    y0 = jnp.array([1.0])
+
+    @jax.jit
+    def solve(t):
+        return odeint(f, y0, t, method="rk4", options={"step_size": 0.1})
+
+    with pytest.raises(ValueError, match="substeps"):
+        solve(jnp.array([0.0, 1.0]))
+
+
+def test_budget_exhaustion_poisons_instead_of_extrapolating():
+    """Exhausting max_num_steps before reaching an output time must return
+    NaN for the unreached outputs, not dense-output extrapolation."""
+    def f(t, y, _):
+        return -y
+
+    y0 = jnp.array([1.0])
+    t = jnp.array([0.0, 50.0, 100.0])
+    ys, stats = odeint(f, y0, t, method="dopri5", rtol=1e-10, atol=1e-12,
+                       options={"max_num_steps": 3, "max_step": 1.0},
+                       return_stats=True)
+    assert np.isnan(np.asarray(ys[1:])).all()
+    assert np.isfinite(np.asarray(ys[0])).all()
+
+
+def test_adjoint_backward_honours_jump_t():
+    """Declared discontinuities must clamp steps in the BACKWARD solve too
+    (forward times negate under the s = -tau substitution): with bounded
+    steps the gradient across the jump is ~500x more accurate than a
+    smooth crossing."""
+    from online_neural_cdes_tpu.ops.cdeint import odeint_adjoint
+
+    def f(t, y, w):
+        rate = jnp.where(t < 1.25, 1.0, 2.0)
+        return w * y * rate
+
+    y0 = jnp.array([1.0])
+    t = jnp.array([0.0, 3.0])
+    w = 0.3
+    exact_grad = (1.25 + 2 * 1.75) * np.exp(w * (1.25 + 2 * 1.75))
+
+    def loss(w_):
+        ys = odeint_adjoint(
+            f, y0, t, w_, rtol=1e-10, atol=1e-12, method="dopri5",
+            options={"min_step": 0.5, "max_step": 0.75,
+                     "jump_t": jnp.array([1.25])},
+        )
+        return ys[-1, 0]
+
+    grad = jax.grad(loss)(w)
+    assert abs(float(grad) - exact_grad) < 1e-3, (float(grad), exact_grad)
+
+
+def test_forward_fill_treats_inf_as_observed():
+    """Missing data is NaN, not inf: an inf observation must propagate
+    loudly instead of being silently replaced by the previous value."""
+    from online_neural_cdes_tpu.ops.fill import forward_fill
+
+    x = jnp.array([[1.0], [jnp.inf], [jnp.nan]])
+    out = np.asarray(forward_fill(x, axis=-2))
+    assert np.isinf(out[1, 0])
+    assert np.isinf(out[2, 0])  # forward fill carries the inf, not the 1.0
