@@ -83,7 +83,10 @@ def build_character_trajectories(root: str = "data/processed",
         s, l = load_ts_file(path)
         series.extend(s)
         labels.extend(l)
-    labels = np.asarray([float(l) for l in labels], dtype=np.float32)
+    # UEA class labels are 1-based ('1'..'20'); shift to 0-based class ids
+    # at build time (the reference shifts at load time,
+    # ingredients/loader.py:152 `.to(torch.long) - 1`).
+    labels = np.asarray([float(l) for l in labels], dtype=np.float32) - 1.0
     temporal = [add_time(s[None])[0] for s in series]
     processed = process_all_interpolations(None, temporal, labels.astype(np.int64))
     return save_processed(processed, labels, os.path.join(root, "UEA/CharacterTrajectories"))

@@ -87,9 +87,13 @@ def nested_parameter_grid(grid: dict) -> List[dict]:
 
 
 def _update_nested(config: dict, updater: dict) -> dict:
+    """Recursive leaf-wise merge: ``updater`` values win, but sibling keys
+    in nested dicts survive (a shallow dict.update would let a suite-level
+    ``trainer: {max_epochs: [10]}`` wholesale replace a sub-config's
+    ``trainer: {lr: [5e-4]}``)."""
     for key, value in updater.items():
         if isinstance(value, dict) and isinstance(config.get(key), dict):
-            config[key].update(value)
+            _update_nested(config[key], value)
         else:
             config[key] = value
     return config
@@ -185,8 +189,8 @@ def parse_configuration_json(
     if multi:
         configs = []
         for sub in multi.values():
-            merged = dict(sub)
-            merged.update(cfg)
+            merged = copy.deepcopy(sub)
+            _update_nested(merged, copy.deepcopy(cfg))
             configs.extend(nested_parameter_grid(merged))
     else:
         configs = nested_parameter_grid(cfg)

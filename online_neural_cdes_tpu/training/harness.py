@@ -122,6 +122,14 @@ def setup_model(
         return ModelBundle(model, model_string, identity, model.apply)
 
     if model_string == "ncde-attention":
+        if return_sequences:
+            raise ValueError(
+                "ncde-attention supports one-shot problems only: the "
+                "attention pipeline compresses the path before the final "
+                "NCDE, so per-step (online) outputs are undefined "
+                "(the reference's AttentionNeuralCDE likewise has no "
+                "return_sequences, src/ncde/attention.py:10-141)."
+            )
         model = AttentionNeuralCDE(
             input_dim=input_dim, hidden_dim=hidden_dim, output_dim=output_dim,
             static_dim=static_dim, adjoint=adjoint,
@@ -129,17 +137,25 @@ def setup_model(
         return ModelBundle(model, model_string, identity, model.apply)
 
     if model_string == "odernn":
+        # Reference parity (setup_model.py:107-120): ODERNN consumes the
+        # 'gru-intensity' preparation — mean-imputed values plus cumulative
+        # observation-mask channels — with input_dim doubled accordingly.
         model = ODERNN(
-            input_dim=input_dim, hidden_dim=hidden_dim, output_dim=output_dim,
-            hidden_hidden_dim=hidden_hidden_dim, num_layers=num_layers,
-            solver=solver, adjoint=adjoint, return_sequences=return_sequences,
+            input_dim=input_dim * 2, hidden_dim=hidden_dim,
+            output_dim=output_dim, hidden_hidden_dim=hidden_hidden_dim,
+            num_layers=num_layers, solver=solver, adjoint=adjoint,
+            return_sequences=return_sequences,
         )
+        means = _train_feature_means(train_data) if train_data is not None else None
+        means_j = jnp.asarray(means) if means is not None else None
 
         def prep(inputs):
             temporal = inputs[1] if isinstance(inputs, tuple) else inputs
-            return jnp.where(jnp.isnan(jnp.asarray(temporal)), 0.0, jnp.asarray(temporal))
+            return prepare_gru_variant_data(
+                jnp.asarray(temporal), "gru-intensity", feature_means=means_j
+            )
 
-        return ModelBundle(model, model_string, prep, model.apply)
+        return ModelBundle(model, model_string, prep, model.apply, means)
 
     # GRU family: per-batch tensor preparation with train-set means.
     means = _train_feature_means(train_data) if train_data is not None else None
@@ -195,6 +211,28 @@ def _device_peak_memory_mb() -> Optional[float]:
     return None
 
 
+def _concat_ragged_time(chunks):
+    """Concatenate per-batch arrays whose TIME axis (axis 1) may differ:
+    ragged datasets pad each batch window to its own bucketed length
+    (data/loader.py), so sequence outputs are (B, L_w, ...) with L_w
+    varying across windows.  Shorter chunks NaN-pad to the longest — NaN
+    labels are masked by every metric, and the matching prediction rows
+    are never selected."""
+    if len(chunks) == 1 or chunks[0].ndim < 2:
+        return np.concatenate(chunks)
+    max_len = max(c.shape[1] for c in chunks)
+    if all(c.shape[1] == max_len for c in chunks):
+        return np.concatenate(chunks)
+    padded = []
+    for c in chunks:
+        if c.shape[1] < max_len:
+            pad = [(0, 0)] * c.ndim
+            pad[1] = (0, max_len - c.shape[1])
+            c = np.pad(c, pad, constant_values=np.nan)
+        padded.append(c)
+    return np.concatenate(padded)
+
+
 def _evaluate(bundle, params, batches, loss_name, metric_names):
     pointwise = make_loss(loss_name)
     eval_step = getattr(bundle, "_eval_step", None)
@@ -212,8 +250,8 @@ def _evaluate(bundle, params, batches, loss_name, metric_names):
         counts.append(len(labels))
         preds_all.append(np.asarray(preds))
         labels_all.append(np.asarray(labels))
-    preds = np.concatenate(preds_all)
-    labels = np.concatenate(labels_all)
+    preds = _concat_ragged_time(preds_all)
+    labels = _concat_ragged_time(labels_all)
     results = {"loss": float(np.average(losses, weights=counts))}
     for name in metric_names:
         if name == "loss":

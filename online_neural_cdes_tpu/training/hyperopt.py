@@ -49,8 +49,12 @@ def _decode_unit(param: dict, u: float):
     if param["type"] == "range":
         lo, hi = param["bounds"]
         if param.get("log_scale"):
-            return float(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
-        val = lo + u * (hi - lo)
+            val = float(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
+        else:
+            val = lo + u * (hi - lo)
+        # Integer bounds mean an integer parameter regardless of scale
+        # (the Ax contract this mirrors): a log-scaled hidden_dim range
+        # must not decode to 77.3.
         if isinstance(lo, int) and isinstance(hi, int):
             return int(np.clip(round(val), lo, hi))
         return float(val)
@@ -154,7 +158,15 @@ def run_hyperopt(
 ) -> dict:
     """Budgeted search; returns the best trial's results plus
     ``best_parameters`` (stored by the sweep into the ledger for later
-    ``update_hyperparams`` injection)."""
+    ``update_hyperparams`` injection).
+
+    With ``ledger`` given, every trial is recorded as it completes (under
+    ``"<run_name>::trials"``) and a crashed search RESUMES from the
+    recorded history instead of restarting from trial 0 — the re-entrant
+    semantics the sweep layer promises apply within a search, not just
+    across configs.  The TPE stage draws from a per-trial RNG seeded by
+    (seed, trial), so a resumed search is bit-identical to an
+    uninterrupted one."""
     space = config["parameterization"]
     total_trials = int(config.get("total_trials", 20))
     metric = config.get("evaluation_metric", "loss")
@@ -169,31 +181,65 @@ def run_hyperopt(
             "startup_trials", total_trials // 2))))
     )
     startup_unit = _sobol_unit(len(dims), n_startup, seed)
-    rng = np.random.default_rng(seed)
+
+    from online_neural_cdes_tpu.training.ledger import config_hash
+
+    trials_run_name = f"{run_name or 'hyperopt'}::trials"
+    search_key = config_hash(config)
+    recorded: dict = {}
+    if ledger is not None:
+        for e in ledger.query(
+            lambda e: e.get("run_name") == trials_run_name
+            and e.get("status") == "completed"
+            and e.get("config", {}).get("search") == search_key
+        ):
+            recorded[int(e["config"]["trial"])] = e
 
     unit_obs: list = []
     scores: list = []
     best = (math.inf, None, None)
     for trial in range(total_trials):
-        if trial < n_startup:
-            row = startup_unit[trial]
+        entry = recorded.get(trial)
+        if entry is not None and len(unit_obs) == trial:
+            # Contiguous recorded prefix: replay instead of re-running.
+            row = np.asarray(entry["info"]["unit_row"], float)
+            score = float(entry["results"]["score"])
+            point = entry["info"]["point"]
+            results = entry["results"].get("trial_results", {})
+            logger.info("trial %d/%d: resumed from ledger (score %.5f)",
+                        trial + 1, total_trials, score)
         else:
-            row = tpe_suggest(np.asarray(unit_obs), np.asarray(scores), rng)
-        point = _decode_row(dims, fixed, row)
-        trial_cfg = {k: v for k, v in config.items()
-                     if k not in ("parameterization", "total_trials",
-                                  "startup_trials", "search")}
-        trial_cfg = _merge(trial_cfg, decode_dunder(point))
-        try:
-            results = run_experiment(trial_cfg, data_root=data_root, mesh=mesh,
-                                     verbose=verbose)
-            score = sign * results[f"val.{metric}"]
-        except Exception as exc:  # failed trial -> sentinel, keep searching
-            logger.warning("hyperopt trial %d failed: %s", trial, exc)
-            results = {"error": str(exc)}
-            score = FAILURE_SENTINEL
-        logger.info("trial %d/%d: %s -> score %.5f", trial + 1, total_trials,
-                    point, score)
+            if trial < n_startup:
+                row = startup_unit[trial]
+            else:
+                rng = np.random.default_rng((seed, trial))
+                row = tpe_suggest(np.asarray(unit_obs), np.asarray(scores), rng)
+            point = _decode_row(dims, fixed, row)
+            trial_cfg = {k: v for k, v in config.items()
+                         if k not in ("parameterization", "total_trials",
+                                      "startup_trials", "search")}
+            trial_cfg = _merge(trial_cfg, decode_dunder(point))
+            try:
+                results = run_experiment(trial_cfg, data_root=data_root,
+                                         mesh=mesh, verbose=verbose)
+                score = sign * results[f"val.{metric}"]
+            except Exception as exc:  # failed trial -> sentinel, keep going
+                logger.warning("hyperopt trial %d failed: %s", trial, exc)
+                results = {"error": str(exc)}
+                score = FAILURE_SENTINEL
+            logger.info("trial %d/%d: %s -> score %.5f", trial + 1,
+                        total_trials, point, score)
+            if ledger is not None:
+                ledger.save_result(
+                    {"search": search_key, "trial": trial},
+                    {"score": float(score),
+                     "trial_results": {k: v for k, v in results.items()
+                                       if isinstance(v, (int, float, str))
+                                       or v is None}},
+                    run_name=trials_run_name,
+                    info={"unit_row": np.asarray(row, float).tolist(),
+                          "point": point},
+                )
         unit_obs.append(row)
         scores.append(score)
         if score < best[0]:

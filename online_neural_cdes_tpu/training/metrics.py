@@ -58,6 +58,13 @@ def masked_temporal_loss(pointwise, preds, labels, sqrt: bool = False):
     """Mean of the pointwise loss over non-NaN labels (reference
     ``TemporalLossWrapper``, metrics.py:26-46).  Works for both per-step
     (online) and terminal labels."""
+    # One-shot labels stored with a trailing singleton axis (e.g. the MIMIC
+    # Mortality/LOS (N, 1) contract) must align with the squeezed (B,)
+    # predictions — without this, (B,) x (B, 1) broadcasting silently
+    # computes a (B, B) cross-pair loss matrix whose mean trains every
+    # sample toward the label base rate.
+    if labels.ndim >= 2 and labels.shape[-1] == 1 and labels.ndim == preds.ndim:
+        labels = labels[..., 0]
     mask = ~jnp.isnan(labels)
     safe_labels = jnp.where(mask, labels, jnp.zeros_like(labels))
     values = pointwise(preds, safe_labels)

@@ -391,3 +391,79 @@ def test_resume_is_bit_identical_to_uninterrupted_training(toy_dataset, tmp_path
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         resumed["best_params"], full["best_params"],
     )
+
+
+def test_multiconfig_merge_preserves_sub_config_leaves():
+    """Suite-level nested dicts (e.g. test-mode trainer.max_epochs) must
+    merge leaf-wise into each sub-config, not wholesale replace its
+    trainer/model/dataset dicts."""
+    from online_neural_cdes_tpu.training.config import parse_configuration_json
+
+    configs, _ = parse_configuration_json("medical-sota", test_mode=True)
+    ncde = [c for c in configs if c["model"]["model_string"] == "ncde"]
+    assert ncde, "medical-sota must contain ncde configs"
+    for c in ncde:
+        assert c["trainer"]["max_epochs"] == 10          # suite-level (test mode)
+        assert c["trainer"]["lr"] == 5e-4                # sub-config leaf survives
+
+
+def test_load_suites_resolve_against_hyperopt_search_space(tmp_path):
+    """Every config in every 'load' suite must match a run the 'hyperopt'
+    suite can actually produce (dataset x interpolation x model x adjoint)
+    — otherwise the sweep dies in update_hyperparams before running
+    anything."""
+    from online_neural_cdes_tpu.training.config import (
+        load_json, DEFAULT_CONFIG_DIR, parse_configuration_json,
+    )
+    from online_neural_cdes_tpu.training.ledger import Ledger
+
+    import os as _os
+
+    # Build a fake ledger holding one completed hyperopt run per config the
+    # search suite would execute.
+    search_configs, _ = parse_configuration_json("hyperopt")
+    ledger = Ledger(str(tmp_path / "ledger.jsonl"))
+    for cfg in search_configs:
+        ledger.save_result(
+            cfg, {"best_score": 0.1}, run_name="hyperopt",
+            info={"best_parameters": {"model": {"hidden_dim": 64}}},
+        )
+
+    suites = load_json(_os.path.join(DEFAULT_CONFIG_DIR, "configurations.json5"))
+    load_suites = [k for k, v in suites.items() if v.get("hyperparameters") == ["load"]]
+    assert load_suites, "expected at least one 'load' suite"
+    for name in load_suites:
+        configs, _ = parse_configuration_json(name, ledger=ledger)  # must not raise
+        assert configs
+        for c in configs:
+            assert c["model"].get("hidden_dim") == 64  # injection happened
+
+
+def test_attention_rejects_online_problems():
+    from online_neural_cdes_tpu.training.harness import setup_model
+
+    with pytest.raises(ValueError, match="one-shot"):
+        setup_model("ncde-attention", input_dim=3, output_dim=1,
+                    return_sequences=True)
+
+
+def test_odernn_uses_gru_intensity_preparation():
+    """Reference parity (setup_model.py:107-120): ODERNN consumes doubled
+    channels — mean-imputed values plus observation masks."""
+    from online_neural_cdes_tpu.data.loader import LoadedData
+    from online_neural_cdes_tpu.training.harness import setup_model
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(6, 5, 3)).astype(np.float32)
+    x[:, :, 0] = np.arange(5)
+    x[1, 2, 1] = np.nan
+    data = LoadedData(static=None, temporal=x, labels=np.zeros((6,), np.float32),
+                      input_dim=3, output_dim=1, static_dim=None,
+                      model_interpolation=None, return_sequences=False)
+    bundle = setup_model("odernn", input_dim=3, output_dim=1, hidden_dim=8,
+                         hidden_hidden_dim=8, num_layers=1, train_data=data)
+    prepared = bundle.prepare_batch(x)
+    assert prepared.shape == (6, 5, 6)          # values + mask channels
+    assert bundle.model.input_dim == 6
+    out = bundle.apply_fn(bundle.init(__import__("jax").random.PRNGKey(0)), prepared)
+    assert np.isfinite(np.asarray(out)).all()

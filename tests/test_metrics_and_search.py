@@ -129,10 +129,79 @@ def test_tpe_search_beats_pure_sobol_on_synthetic_objective(monkeypatch):
         "seed": 0,
         "model": {}, "trainer": {},
     }
-    wins = 0
-    for seed in (0, 1, 2):
-        tpe = ho.run_hyperopt({**base, "seed": seed})
-        sob = ho.run_hyperopt({**base, "seed": seed, "search": "sobol"})
-        if tpe["best_score"] <= sob["best_score"]:
-            wins += 1
-    assert wins >= 2, wins
+    # Per-seed outcomes are noisy (20-trial budget); require a majority
+    # over 6 seeds AND a better mean — robust to the RNG stream layout.
+    tpe_scores, sob_scores = [], []
+    for seed in range(6):
+        tpe_scores.append(ho.run_hyperopt({**base, "seed": seed})["best_score"])
+        sob_scores.append(
+            ho.run_hyperopt({**base, "seed": seed, "search": "sobol"})["best_score"]
+        )
+    wins = sum(t <= s for t, s in zip(tpe_scores, sob_scores))
+    assert wins >= 4, (wins, tpe_scores, sob_scores)
+    assert np.mean(tpe_scores) < np.mean(sob_scores), (tpe_scores, sob_scores)
+
+
+def test_masked_loss_aligns_trailing_singleton_labels():
+    """(B,1) one-shot labels (the MIMIC Mortality/LOS npz contract) must
+    give the same loss as (B,) labels — regression for the (B,B)
+    cross-pair broadcast that trained toward the label base rate."""
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.training.metrics import make_loss, masked_temporal_loss
+
+    rng = np.random.default_rng(0)
+    preds = jnp.asarray(rng.normal(size=(8, 1)).astype(np.float32))
+    labels = rng.integers(0, 2, size=(8,)).astype(np.float32)
+    pw = make_loss("bce")
+    flat = float(masked_temporal_loss(pw, preds, jnp.asarray(labels)))
+    col = float(masked_temporal_loss(pw, preds, jnp.asarray(labels[:, None])))
+    assert abs(flat - col) < 1e-6
+    # and the value is the genuine per-sample mean, not a (B,B) mean
+    p = np.asarray(preds)[:, 0]
+    ref = float(np.mean(np.maximum(p, 0) - p * labels + np.log1p(np.exp(-np.abs(p)))))
+    assert abs(col - ref) < 1e-5
+
+
+def test_integer_bounds_decode_to_ints_under_log_scale():
+    from online_neural_cdes_tpu.training.hyperopt import sample_parameterization
+
+    space = [{"name": "model__hidden_dim", "type": "range",
+              "bounds": [32, 256], "log_scale": True}]
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        val = sample_parameterization(space, rng)["model__hidden_dim"]
+        assert isinstance(val, int) and 32 <= val <= 256, val
+
+
+def test_hyperopt_resumes_from_trial_ledger(monkeypatch, tmp_path):
+    """A crashed search must not restart from trial 0: trials are recorded
+    as they complete, and a re-run replays the recorded history
+    bit-identically without re-running experiments."""
+    import online_neural_cdes_tpu.training.hyperopt as ho
+    from online_neural_cdes_tpu.training.ledger import Ledger
+
+    calls = {"n": 0}
+
+    def fake_run_experiment(cfg, **kw):
+        calls["n"] += 1
+        h = float(cfg["model"]["hidden_dim"])
+        return {"val.loss": (h - 150.0) ** 2}
+
+    monkeypatch.setattr(ho, "run_experiment", fake_run_experiment)
+    cfg = {
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]},
+        ],
+        "evaluation_metric": "loss",
+        "total_trials": 8,
+        "seed": 0,
+        "model": {}, "trainer": {},
+    }
+    ledger = Ledger(str(tmp_path / "ledger.jsonl"))
+    first = ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    assert calls["n"] == 8
+    second = ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    assert calls["n"] == 8, "resumed search must not re-run recorded trials"
+    assert second["best_score"] == first["best_score"]
+    assert second["best_parameters"] == first["best_parameters"]
