@@ -57,10 +57,7 @@ def run_scheme(name, num_paths, n_points, epochs, hidden, width, reps, batch_siz
     x_test, y_test = brownian_motion_data(jax.random.PRNGKey(1), 1024, n_points)
     c_train = coeff_fn(x_train)
     c_test = coeff_fn(x_test)
-    if interp == "rectilinear":
-        y_fit = y_train  # model filters back to L outputs
-    else:
-        y_fit = y_train
+    y_fit = y_train  # rectilinear models filter back to L outputs themselves
 
     params = jax.vmap(model.init)(jax.random.split(jax.random.PRNGKey(2), reps))
     opt = optax.adam(1e-3)
@@ -78,12 +75,18 @@ def run_scheme(name, num_paths, n_points, epochs, hidden, width, reps, batch_siz
     vstep = jax.jit(jax.vmap(step, in_axes=(0, 0, None, None)))
 
     n_batches = max(1, num_paths // batch_size)
+    # Warm the compile outside the timed region (on throwaway state, so
+    # the training trajectory is untouched); sync via a host transfer —
+    # block_until_ready is unreliable on the axon backend (bench.py:25-27).
+    _p, _s, loss = vstep(params, opt_state, c_train[:batch_size], y_fit[:batch_size])
+    float(loss.sum())
+    del _p, _s
     t0 = time.perf_counter()
     for _ in range(epochs):
         for b in range(n_batches):
             sl = slice(b * batch_size, (b + 1) * batch_size)
             params, opt_state, loss = vstep(params, opt_state, c_train[sl], y_fit[sl])
-    jax.block_until_ready(loss)
+    float(loss.sum())
     elapsed = time.perf_counter() - t0
 
     @jax.jit

@@ -90,11 +90,22 @@ class Predictor:
     def predict(self, series, static: Optional[np.ndarray] = None) -> List[np.ndarray]:
         """series: list of (L_i, C) raw observations (NaN = missing) or an
         (N, L, C) array.  Returns per-request outputs with padding removed
-        (sequence outputs truncated to each request's own length)."""
+        (sequence outputs truncated to each request's own length).
+
+        Requests larger than the biggest batch bucket are chunked through
+        it, so every executed shape is one ``precompile()`` warmed — the
+        no-recompiles-at-serve-time contract holds for any request size."""
         if isinstance(series, np.ndarray) and series.ndim == 3:
             series = [s for s in series]
-        lengths = [len(s) for s in series]
         n = len(series)
+        top = self.batch_buckets[-1]
+        if n > top:
+            out: List[np.ndarray] = []
+            for start in range(0, n, top):
+                st = None if static is None else static[start:start + top]
+                out.extend(self.predict(series[start:start + top], static=st))
+            return out
+        lengths = [len(s) for s in series]
         nb = self._bucket_batch(n)
 
         padded = pad_ragged(

@@ -32,6 +32,10 @@ def save_checkpoint(path: str, state: Any, *, use_orbax: Optional[bool] = None) 
     """Persist a pytree.  ``path`` is a directory (orbax) or gets ``.npz``
     appended (fallback)."""
     ocp = _try_orbax() if use_orbax in (None, True) else None
+    if use_orbax is True and ocp is None:
+        # An explicit orbax request must not silently write a different
+        # format the caller's restore path will not find.
+        raise RuntimeError("use_orbax=True but orbax.checkpoint is not importable")
     if ocp is not None and use_orbax is not False:
         path = os.path.abspath(path)
         checkpointer = ocp.StandardCheckpointer()
@@ -42,10 +46,20 @@ def save_checkpoint(path: str, state: Any, *, use_orbax: Optional[bool] = None) 
     leaves, treedef = jax.tree_util.tree_flatten(state)
     file_path = path if path.endswith(".npz") else path + ".npz"
     os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
+
+    def to_numpy(leaf):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind not in "biufc":
+            # Extension float dtypes (bfloat16 etc.) np.savez as opaque
+            # void records that cannot be restored; upcast losslessly to
+            # f32 — load_checkpoint casts back to `like`'s dtype.
+            arr = np.asarray(jax.numpy.asarray(leaf, jax.numpy.float32))
+        return arr
+
     np.savez(
         file_path,
         __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
-        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        **{f"leaf_{i}": to_numpy(l) for i, l in enumerate(leaves)},
     )
     return file_path
 
@@ -68,5 +82,8 @@ def load_checkpoint(path: str, like: Any) -> Any:
                 "by leaf index would silently reassign arrays to the wrong "
                 f"fields.\n  saved: {saved}\n  like:  {treedef}"
             )
-    leaves = [np.asarray(npz[f"leaf_{i}"]) for i in range(len(leaves_like))]
+    leaves = [
+        np.asarray(npz[f"leaf_{i}"]).astype(np.asarray(l).dtype)
+        for i, l in enumerate(leaves_like)
+    ]
     return jax.tree_util.tree_unflatten(treedef, leaves)

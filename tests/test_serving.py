@@ -207,3 +207,25 @@ def test_online_stepper_rejects_non_matmul_field():
                       adjoint=False, solver="rk4")
     with pytest.raises(ValueError, match="matmul"):
         OnlineNCDEStepper(model, model.init(jax.random.PRNGKey(0)))
+
+
+def test_oversized_request_chunks_through_largest_bucket():
+    """Requests beyond the biggest batch bucket must run as chunks of
+    precompiled shapes, not a new never-warmed batch shape."""
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+        interpolation="linear", return_sequences=False,
+        adjoint=False, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(
+        model, params, coeff_fn=lambda x: linear_interpolation_coeffs(x),
+        batch_buckets=(1, 4), length_multiple=8,
+    )
+    series = _requests(11)
+    out = pred.predict(series)
+    assert len(out) == 11
+    # chunking must not change results vs one-by-one prediction
+    singles = [pred.predict([s])[0] for s in series]
+    for a, b in zip(out, singles):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
