@@ -59,6 +59,7 @@ def pipelined_cde_solve(
     *,
     mesh: Mesh,
     axis: str = "seq",
+    data_axis: Optional[str] = None,
     method: str = "rk4",
     substeps: int = 1,
     microbatches: Optional[int] = None,
@@ -79,6 +80,12 @@ def pipelined_cde_solve(
            the given ``vector_field_type``.
         z0: ``(B, H)`` initial hidden state.
         mesh: mesh whose ``axis`` dimension (size n) shards the knot axis.
+        data_axis: optional second mesh axis name sharding the BATCH within
+           each pipeline stage — composed data x sequence parallelism on a
+           2-D ``Mesh((n_data, n_seq), ("data", "seq"))``: each stage's
+           chunk work runs batch-sharded over the ``data`` columns while
+           hidden states stream stage-to-stage over ``seq``.  Microbatch
+           rows must divide by the data-axis size.
         microbatches: M, the batch split streamed through the pipeline
            (default n).  ``B % M == 0``; utilisation is M/(M+n−1).
         remat: rematerialise each pipeline tick in the backward pass —
@@ -116,17 +123,39 @@ def pipelined_cde_solve(
     if B % M != 0:
         raise ValueError(f"batch {B} must split into {M} microbatches.")
     b = B // M
+    if data_axis is not None:
+        n_data = mesh.shape[data_axis]
+        if b % n_data != 0:
+            raise ValueError(
+                f"microbatch rows ({b}) must divide over the {n_data}-way "
+                f"'{data_axis}' mesh axis."
+            )
 
     t0s, t1s = grid_t[:-1], grid_t[1:]
-    z0_mb = z0.reshape(M, b, *z0.shape[1:])
+    if data_axis is None:
+        z0_mb = z0.reshape(M, b, *z0.shape[1:])
+    else:
+        # The pieces' GLOBAL batch axis shards contiguously over the data
+        # axis (device d gets rows [d*B/nd, (d+1)*B/nd)), while z0_mb's
+        # axis-1 shard of width b/nd must hand device d the matching rows
+        # of each microbatch — permute so local slice (m, i) on device d is
+        # global row d*B/nd + m*(b/nd) + i on both operands.
+        z0_mb = (
+            z0.reshape(n_data, M, b // n_data, *z0.shape[1:])
+            .swapaxes(0, 1)
+            .reshape(M, b, *z0.shape[1:])
+        )
 
     def local(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
         # Shapes on each device: t0s_l/t1s_l (Tc,), pieces_l leaves
-        # (Tc, B, ..., C), z0_mb (M, b, H) replicated.
+        # (Tc, B_loc, ..., C), z0_mb (M, b_loc, H) — with a data axis the
+        # batch dims arrive pre-sharded, so all indexing below uses the
+        # LOCAL microbatch width.
         k = jax.lax.axis_index(axis)
+        b_loc = z0_mb.shape[1]
 
         def chunk_solve(z, mb_start):
-            """Integrate one microbatch's (b, H) state through this
+            """Integrate one microbatch's (b_loc, H) state through this
             device's Tc intervals, slicing its batch columns out of the
             chunk-local pieces.  Returns (final state, per-knot states).
             Per-piece leaves carry batch at axis 1; <2-D leaves (e.g. the
@@ -134,7 +163,7 @@ def pipelined_cde_solve(
             through unsliced."""
             p_mb = jax.tree.map(
                 lambda leaf: leaf if leaf.ndim < 2 else
-                jax.lax.dynamic_slice_in_dim(leaf, mb_start, b, axis=1),
+                jax.lax.dynamic_slice_in_dim(leaf, mb_start, b_loc, axis=1),
                 pieces_l,
             )
 
@@ -158,7 +187,7 @@ def pipelined_cde_solve(
             # Microbatch index this device holds at tick s is (s - k);
             # clamp for the fill/drain ticks (garbage, masked below).
             m_here = jnp.clip(s - k, 0, M - 1)
-            y, zs = chunk_solve(x_in, m_here * b)
+            y, zs = chunk_solve(x_in, m_here * b_loc)
             buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
             # This device computed chunk k of microbatch (s - k): keep its
             # per-knot rows when that index is real.
@@ -189,23 +218,51 @@ def pipelined_cde_solve(
 
     seq_spec = P(axis)
     repl = P()
+    if data_axis is None:
+        z0_spec, pieces_spec = repl, seq_spec
+        out_spec, seq_out_spec = repl, P(None, axis)
+    else:
+        # Composed data x sequence: batch dims shard over ``data_axis``
+        # (axis 1 of z0_mb and of every batched per-piece leaf) while the
+        # knot axis shards over ``axis``.
+        z0_spec = P(None, data_axis)
+        pieces_spec = jax.tree.map(
+            lambda leaf: P(axis, data_axis) if leaf.ndim >= 2 else P(axis),
+            pieces,
+        )
+        out_spec, seq_out_spec = P(None, data_axis), P(None, axis, data_axis)
     solve = shard_map(
         local,
         mesh=mesh,
-        in_specs=(repl, seq_spec, seq_spec, seq_spec, repl),
-        # seq output: device-local (M, Tc, b, H) chunks concatenate over
-        # the knot axis -> global (M, n_pieces, b, H) sharded on axis 1.
-        out_specs=(repl, P(None, axis)),
+        in_specs=(z0_spec, seq_spec, seq_spec, pieces_spec, repl),
+        # seq output: device-local (M, Tc, b_loc, H) chunks concatenate over
+        # the knot axis (and batch over the data axis when present).
+        out_specs=(out_spec, seq_out_spec),
         check_vma=False,
     )
     # jit the shard_map (required for checkpoint-inside-shard_map; a no-op
     # under an outer jit).
     outs, seq = jax.jit(solve)(z0_mb, t0s, t1s, pieces, args)
+    feat = z0.shape[1:]
     if not return_sequences:
-        return outs.reshape(B, *z0.shape[1:])
+        if data_axis is None:
+            return outs.reshape(B, *feat)
+        # Invert the data-major input permutation (see z0_mb above).
+        return (
+            outs.reshape(M, n_data, b // n_data, *feat)
+            .swapaxes(0, 1)
+            .reshape(B, *feat)
+        )
     # (M, n_pieces, b, H) -> (B, n_pieces, H), then prepend the z0 row so
     # the layout matches the plain scan's (B, L, H).
-    seq = jnp.moveaxis(seq, 2, 1).reshape(B, n_pieces, *z0.shape[1:])
+    if data_axis is None:
+        seq = jnp.moveaxis(seq, 2, 1).reshape(B, n_pieces, *feat)
+    else:
+        seq = (
+            seq.reshape(M, n_pieces, n_data, b // n_data, *feat)
+            .transpose(2, 0, 3, 1, *range(4, 4 + len(feat)))
+            .reshape(B, n_pieces, *feat)
+        )
     return jnp.concatenate([z0[:, None], seq], axis=1)
 
 
