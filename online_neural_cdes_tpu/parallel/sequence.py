@@ -273,6 +273,7 @@ def ncde_apply_pipelined(
     *,
     mesh: Mesh,
     axis: str = "seq",
+    data_axis: Optional[str] = None,
     microbatches: Optional[int] = None,
     remat: bool = False,
 ):
@@ -306,8 +307,8 @@ def ncde_apply_pipelined(
     )
     hidden = pipelined_cde_solve(
         spline, func, h0, field_args, mesh=mesh, axis=axis,
-        method=model.solver, substeps=substeps, microbatches=microbatches,
-        vector_field_type=vf_type,
+        data_axis=data_axis, method=model.solver, substeps=substeps,
+        microbatches=microbatches, vector_field_type=vf_type,
         return_sequences=model.return_sequences, remat=remat,
     )
     if not model.return_sequences:
