@@ -51,32 +51,21 @@ def test_orbax_roundtrip(tmp_path):
     )
 
 
-def test_npz_roundtrip_bfloat16():
+def test_npz_roundtrip_bfloat16(tmp_path):
     """bf16 leaves (the TPU training dtype) must survive the npz fallback:
     previously np.savez stored them as opaque void records that poisoned
     any later jnp.asarray."""
-    import jax.numpy as jnp
-
-    from online_neural_cdes_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-
     state = {"w": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3) / 7}
-    path = save_checkpoint(str(_tmp() / "bf16_ckpt"), state, use_orbax=False)
+    path = save_checkpoint(str(tmp_path / "bf16_ckpt"), state, use_orbax=False)
     restored = load_checkpoint(path, state)
     assert restored["w"].dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(restored["w"], np.float32),
                                   np.asarray(state["w"], np.float32))
 
 
-def test_explicit_orbax_request_does_not_silently_fall_back(monkeypatch):
+def test_explicit_orbax_request_does_not_silently_fall_back(monkeypatch, tmp_path):
     import online_neural_cdes_tpu.utils.checkpoint as ckpt
 
     monkeypatch.setattr(ckpt, "_try_orbax", lambda: None)
     with pytest.raises(RuntimeError, match="orbax"):
-        ckpt.save_checkpoint(str(_tmp() / "x"), {"a": np.zeros(2)}, use_orbax=True)
-
-
-def _tmp():
-    import pathlib
-    import tempfile
-
-    return pathlib.Path(tempfile.mkdtemp())
+        ckpt.save_checkpoint(str(tmp_path / "x"), {"a": np.zeros(2)}, use_orbax=True)

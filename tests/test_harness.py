@@ -142,7 +142,7 @@ def test_end_to_end_sweep_smoke(toy_dataset, tmp_path):
     assert results["epochs_run"] == 3
     for key in ("test.loss", "test.auc", "num_params", "time_per_epoch",
                 "nfe_per_epoch"):
-        assert key in results or key.split(".")[-1] in ("auc",), results.keys()
+        assert key in results, (key, sorted(results.keys()))
     assert np.isfinite(results["test.loss"])
     assert results["nfe_per_epoch"] > 0
 
@@ -415,9 +415,8 @@ def test_load_suites_resolve_against_hyperopt_search_space(tmp_path):
     from online_neural_cdes_tpu.training.config import (
         load_json, DEFAULT_CONFIG_DIR, parse_configuration_json,
     )
+    
     from online_neural_cdes_tpu.training.ledger import Ledger
-
-    import os as _os
 
     # Build a fake ledger holding one completed hyperopt run per config the
     # search suite would execute.
@@ -429,7 +428,7 @@ def test_load_suites_resolve_against_hyperopt_search_space(tmp_path):
             info={"best_parameters": {"model": {"hidden_dim": 64}}},
         )
 
-    suites = load_json(_os.path.join(DEFAULT_CONFIG_DIR, "configurations.json5"))
+    suites = load_json(os.path.join(DEFAULT_CONFIG_DIR, "configurations.json5"))
     load_suites = [k for k, v in suites.items() if v.get("hyperparameters") == ["load"]]
     assert load_suites, "expected at least one 'load' suite"
     for name in load_suites:
@@ -465,5 +464,7 @@ def test_odernn_uses_gru_intensity_preparation():
     prepared = bundle.prepare_batch(x)
     assert prepared.shape == (6, 5, 6)          # values + mask channels
     assert bundle.model.input_dim == 6
-    out = bundle.apply_fn(bundle.init(__import__("jax").random.PRNGKey(0)), prepared)
+    import jax
+
+    out = bundle.apply_fn(bundle.init(jax.random.PRNGKey(0)), prepared)
     assert np.isfinite(np.asarray(out)).all()

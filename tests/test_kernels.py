@@ -119,9 +119,30 @@ def test_rectilinear_paired_scan_equivalence(adjoint):
     m_plain = NeuralCDE(fused=False, **kw)
     params = m_pair.init(jax.random.PRNGKey(1))
 
-    # The fused model routes through the paired scan; make sure of it.
-    assert cdeint_mod is not None
-    out_pair = m_pair.apply(params, coeffs)
+    # The fused model must actually route through the paired scan
+    # machinery (not silently fall back to the plain piece scan, which
+    # would make this equivalence test vacuous).
+    paired_calls = {"n": 0}
+    orig_fwd = cdeint_mod._fixed_scan_forward_paired
+    orig_adj = cdeint_mod._fixed_cde_adjoint_paired
+
+    def spy_fwd(*a, **k):
+        paired_calls["n"] += 1
+        return orig_fwd(*a, **k)
+
+    def spy_adj(*a, **k):
+        paired_calls["n"] += 1
+        return orig_adj(*a, **k)
+
+    cdeint_mod._fixed_scan_forward_paired = spy_fwd
+    cdeint_mod._fixed_cde_adjoint_paired = spy_adj
+    try:
+        out_pair = m_pair.apply(params, coeffs)
+    finally:
+        cdeint_mod._fixed_scan_forward_paired = orig_fwd
+        cdeint_mod._fixed_cde_adjoint_paired = orig_adj
+    assert paired_calls["n"] > 0, "fused model did not use the paired scan"
+
     out_plain = m_plain.apply(params, coeffs)
     np.testing.assert_allclose(np.asarray(out_pair), np.asarray(out_plain),
                                rtol=1e-5, atol=1e-5)

@@ -66,7 +66,6 @@ def test_refinement_invariance():
     delta = rng.normal(size=C)
     one = jnp.asarray(delta[None, None])                     # (1, 1, C)
     many = jnp.asarray(np.tile(delta[None] / 8, (8, 1))[None])  # (1, 8, C)
-    idx = {2: np.asarray([1]), 3: np.asarray([C + 1, 2 * C + 3 - 3])}
     words = lyndon_words(C, 3)
     idx2 = np.asarray([w[0] * C + w[1] for w in words if len(w) == 2])
     idx3 = np.asarray([w[0] * C * C + w[1] * C + w[2] for w in words if len(w) == 3])
@@ -87,7 +86,7 @@ def test_logsig_windows_shapes_and_first_row():
     n_win = int(np.ceil((L - 1) / 4.0))
     assert out.shape == (B, n_win + 1, logsignature_channels(C, 2))
     # First row is the initial value padded with zeros (log_ode.py:53-55).
-    np.testing.assert_allclose(np.asarray(out)[1:, 0, :C], x[1:, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out)[:, 0, :C], x[:, 0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(out)[:, 0, C:], 0.0, atol=1e-12)
 
 

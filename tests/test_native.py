@@ -91,12 +91,6 @@ def test_native_is_fast_on_many_series():
 def test_native_rejects_too_short_series():
     """Zero-length series made the 2L-1 / L-1 output-length arithmetic go
     negative, corrupting offsets and writing past the output buffer."""
-    import pytest
-
-    from online_neural_cdes_tpu.data import native
-
-    if not native.available():
-        pytest.skip("native library unavailable")
     with pytest.raises(ValueError, match="at least 1"):
         native.rectilinear_ragged([np.zeros((3, 2), np.float32),
                                    np.zeros((0, 2), np.float32)])
@@ -105,12 +99,6 @@ def test_native_rejects_too_short_series():
 
 
 def test_native_rejects_mismatched_times():
-    import pytest
-
-    from online_neural_cdes_tpu.data import native
-
-    if not native.available():
-        pytest.skip("native library unavailable")
     series = [np.zeros((4, 2), np.float32)]
     with pytest.raises(ValueError, match="times"):
         native.linear_fill_ragged(series, times=[np.arange(3.0)])

@@ -265,12 +265,12 @@ def test_ncde_apply_pipelined_matches_model_apply():
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
-    with pytest.raises(ValueError, match="fixed-grid"):
-        bad = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
-                        num_layers=1, interpolation="rectilinear",
-                        adjoint=False, solver="dopri5")
-        ncde_apply_pipelined(bad, bad.init(jax.random.PRNGKey(0)), coeffs,
-                             mesh=mesh)
+    bad = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
+                    num_layers=1, interpolation="rectilinear",
+                    adjoint=False, solver="dopri5")
+    bad_params = bad.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="pipelined NCDE forward"):
+        ncde_apply_pipelined(bad, bad_params, coeffs, mesh=mesh)
 
 
 def test_data_by_sequence_composed_pipeline():
@@ -310,10 +310,8 @@ def test_data_by_sequence_composed_pipeline():
     seq_out = pipelined_cde_solve(spline, func, z0, params, mesh=mesh,
                                   data_axis="data", microbatches=4,
                                   return_sequences=True)
-    np.testing.assert_allclose(
-        np.asarray(seq_out), np.asarray(jnp.moveaxis(ref_seq, -2, 1)),
-        rtol=1e-6, atol=1e-6,
-    )
+    np.testing.assert_allclose(np.asarray(seq_out), np.asarray(ref_seq),
+                               rtol=1e-6, atol=1e-6)
 
     # Gradients cross both mesh axes.
     def loss(p):
