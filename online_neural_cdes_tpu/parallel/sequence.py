@@ -35,7 +35,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from online_neural_cdes_tpu.ops import solvers
 from online_neural_cdes_tpu.ops.cdeint import _one_interval, _piece_field
