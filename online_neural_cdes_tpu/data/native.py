@@ -42,12 +42,13 @@ def build(force: bool = False) -> str:
     """Compile the shared library (g++, -O3).  Rebuilds when the source is
     newer than an existing .so — a stale committed binary must not silently
     shadow source edits."""
-    if (
-        os.path.exists(_LIB_PATH)
-        and not force
-        and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
-    ):
-        return _LIB_PATH
+    if os.path.exists(_LIB_PATH) and not force:
+        # Use the existing binary when the source is absent (shipped-.so
+        # deployment) or not newer than it.
+        if not os.path.exists(_SRC) or (
+            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+        ):
+            return _LIB_PATH
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         _SRC, "-o", _LIB_PATH, "-pthread",

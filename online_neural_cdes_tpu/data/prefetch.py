@@ -54,7 +54,17 @@ def prefetch_to_device(
     def put(tree):
         if sharding is None:
             return jax.device_put(tree)
-        return jax.device_put(tree, sharding)
+        # The sharding applies per-leaf; leaves of lower rank than the
+        # PartitionSpec (scalars alongside the batch arrays) cannot take it
+        # and go to device unsharded instead of raising in the producer.
+        spec_rank = len(getattr(sharding, "spec", ()))
+
+        def put_leaf(leaf):
+            if getattr(leaf, "ndim", 0) >= spec_rank:
+                return jax.device_put(leaf, sharding)
+            return jax.device_put(leaf)
+
+        return jax.tree.map(put_leaf, tree)
 
     def enqueue(item) -> bool:
         while not stop.is_set():

@@ -239,13 +239,16 @@ def _evaluate(bundle, params, batches, loss_name, metric_names):
     if eval_step is None:
         eval_step = make_eval_step(bundle.apply_fn)
         bundle._eval_step = eval_step
-    # Enqueue EVERY batch's forward + loss before transferring anything:
-    # dispatch is asynchronous, so the device pipelines the whole split
-    # while the host pays one transfer per array at the end instead of a
+    # Enqueue a WINDOW of batches' forwards + losses before transferring:
+    # dispatch is asynchronous, so the device pipelines the window while
+    # the host pays one transfer per array at the window end instead of a
     # blocking sync per batch (the dispatch+sync round-trip on a tunneled
     # backend can reach seconds, making per-batch syncs the entire eval
-    # cost).
-    preds_dev, labels_all, losses_dev, counts = [], [], [], []
+    # cost).  The window bounds device residency: at most ``window``
+    # batches of predictions live in HBM at once.
+    window = 8
+    preds_all, labels_all, losses_dev, counts = [], [], [], []
+    pending = []
     for inputs, labels in batches:
         prepared = bundle.prepare_batch(inputs)
         preds = eval_step(params, prepared)
@@ -254,10 +257,14 @@ def _evaluate(bundle, params, batches, loss_name, metric_names):
             masked_temporal_loss(pointwise, preds, labels_j, sqrt=loss_name == "rmse")
         )
         counts.append(len(labels))
-        preds_dev.append(preds)
+        pending.append(preds)
         labels_all.append(np.asarray(labels))
+        if len(pending) >= window:
+            preds_all.extend(np.asarray(p) for p in pending)
+            pending = []
+    preds_all.extend(np.asarray(p) for p in pending)
     losses = [float(v) for v in np.asarray(jnp.stack(losses_dev))]
-    preds = _concat_ragged_time([np.asarray(p) for p in preds_dev])
+    preds = _concat_ragged_time(preds_all)
     labels = _concat_ragged_time(labels_all)
     results = {"loss": float(np.average(losses, weights=counts))}
     for name in metric_names:

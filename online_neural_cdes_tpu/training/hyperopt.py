@@ -198,10 +198,15 @@ def run_hyperopt(
     unit_obs: list = []
     scores: list = []
     best = (math.inf, None, None)
+    # Replay exactly the CONTIGUOUS recorded prefix.  Once any trial is
+    # re-run (a gap in the records), the TPE history diverges from the one
+    # later records were generated against, so those stale records must be
+    # ignored and overwritten (the ledger's last-entry-wins read handles
+    # the overwrite).
+    replaying = True
     for trial in range(total_trials):
         entry = recorded.get(trial)
-        if entry is not None and len(unit_obs) == trial:
-            # Contiguous recorded prefix: replay instead of re-running.
+        if replaying and entry is not None:
             row = np.asarray(entry["info"]["unit_row"], float)
             score = float(entry["results"]["score"])
             point = entry["info"]["point"]
@@ -209,6 +214,7 @@ def run_hyperopt(
             logger.info("trial %d/%d: resumed from ledger (score %.5f)",
                         trial + 1, total_trials, score)
         else:
+            replaying = False
             if trial < n_startup:
                 row = startup_unit[trial]
             else:
@@ -230,12 +236,15 @@ def run_hyperopt(
             logger.info("trial %d/%d: %s -> score %.5f", trial + 1,
                         total_trials, point, score)
             if ledger is not None:
+                # Full results (json-serialisable: history is a list of
+                # float dicts; only the array-valued best_params key is
+                # stripped) — a resumed search whose best trial is replayed
+                # must return the same results dict as an uninterrupted one.
                 ledger.save_result(
                     {"search": search_key, "trial": trial},
                     {"score": float(score),
                      "trial_results": {k: v for k, v in results.items()
-                                       if isinstance(v, (int, float, str))
-                                       or v is None}},
+                                       if k != "best_params"}},
                     run_name=trials_run_name,
                     info={"unit_row": np.asarray(row, float).tolist(),
                           "point": point},

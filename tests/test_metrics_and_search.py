@@ -205,3 +205,46 @@ def test_hyperopt_resumes_from_trial_ledger(monkeypatch, tmp_path):
     assert calls["n"] == 8, "resumed search must not re-run recorded trials"
     assert second["best_score"] == first["best_score"]
     assert second["best_parameters"] == first["best_parameters"]
+
+
+def test_hyperopt_gap_in_records_stops_replay(monkeypatch, tmp_path):
+    """A missing trial record (lost mid-crash) invalidates the TPE history
+    later records were generated against: the search replays only the
+    contiguous prefix and re-runs everything after the gap."""
+    import json
+
+    import online_neural_cdes_tpu.training.hyperopt as ho
+    from online_neural_cdes_tpu.training.ledger import Ledger
+
+    calls = {"n": 0}
+
+    def fake_run_experiment(cfg, **kw):
+        calls["n"] += 1
+        return {"val.loss": (float(cfg["model"]["hidden_dim"]) - 150.0) ** 2}
+
+    monkeypatch.setattr(ho, "run_experiment", fake_run_experiment)
+    cfg = {
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]},
+        ],
+        "evaluation_metric": "loss",
+        "total_trials": 6,
+        "seed": 0,
+        "model": {}, "trainer": {},
+    }
+    path = tmp_path / "ledger.jsonl"
+    ledger = Ledger(str(path))
+    ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    assert calls["n"] == 6
+
+    # Drop trial 2's record to simulate a lost write.
+    lines = [json.loads(l) for l in open(path)]
+    keep = [e for e in lines if e["config"].get("trial") != 2]
+    with open(path, "w") as fh:
+        for e in keep:
+            fh.write(json.dumps(e) + "\n")
+
+    second = ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    # Trials 0-1 replayed; 2-5 re-run (stale 3-5 ignored and overwritten).
+    assert calls["n"] == 6 + 4
+    assert np.isfinite(second["best_score"])
