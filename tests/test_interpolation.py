@@ -262,3 +262,58 @@ def test_interpolation_pytree_flows_through_jit():
         return spline.evaluate(t).sum()
 
     assert np.isfinite(float(f(X, 2.3)))
+
+
+def test_fuzz_nan_patterns_match_per_path_references():
+    """Randomised NaN masks (varying density, leading/trailing gaps, empty
+    channels) through the vectorised compress->Thomas->re-expand cubic path
+    and the linear fill, checked against per-scalar-path references — the
+    reference implements these as per-path Python recursions, so per-path
+    oracles are the ground truth."""
+    from online_neural_cdes_tpu.ops.fill import linear_fill
+
+    rng = np.random.default_rng(7)
+    L = 12
+    t = np.arange(L, dtype=np.float64)
+    for trial in range(8):
+        density = rng.uniform(0.1, 0.6)
+        x = rng.normal(size=(L,)).astype(np.float64)
+        mask = rng.random(L) < density
+        if trial % 3 == 0:
+            mask[: rng.integers(1, 4)] = True       # leading gap
+        if trial % 3 == 1:
+            mask[-rng.integers(1, 4):] = True       # trailing gap
+        if mask.all():
+            mask[rng.integers(0, L)] = False        # keep >= 1 observation
+        x_nan = x.copy()
+        x_nan[mask] = np.nan
+        obs = ~mask
+
+        # linear_fill: interior linear in t, ends copy nearest observation.
+        got = np.asarray(linear_fill(jnp.asarray(x_nan)[:, None], axis=-2))[:, 0]
+        first, last = np.argmax(obs), L - 1 - np.argmax(obs[::-1])
+        ref = np.interp(t, t[obs], x[obs])          # np.interp clamps ends
+        np.testing.assert_allclose(got, ref, atol=1e-12, err_msg=f"trial {trial}")
+
+        # natural cubic (version=1): EVERY position before the first / after
+        # the last observation becomes an observed knot holding the nearest
+        # observed value (ops/interpolation.py:147-149), then a natural
+        # spline runs through that knot set.
+        xs_full = x.copy()
+        xs_full[:first] = x[first]
+        xs_full[last + 1:] = x[last]
+        obs_full = obs.copy()
+        obs_full[:first] = True
+        obs_full[last + 1:] = True
+        if obs_full.sum() < 2:
+            continue
+        ref_spline = scipy.interpolate.CubicSpline(
+            t[obs_full], xs_full[obs_full], bc_type="natural"
+        )
+        coeffs = natural_cubic_coeffs(jnp.asarray(x_nan)[None, :, None])
+        ours = CubicSpline.create(coeffs)
+        query = rng.uniform(0, L - 1, size=16)
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(ours.evaluate)(jnp.asarray(query)))[:, 0, 0],
+            ref_spline(query), atol=1e-8, err_msg=f"trial {trial}",
+        )
