@@ -321,3 +321,33 @@ def test_forward_fill_treats_inf_as_observed():
     out = np.asarray(forward_fill(x, axis=-2))
     assert np.isinf(out[1, 0])
     assert np.isinf(out[2, 0])  # forward fill carries the inf, not the 1.0
+
+
+@pytest.mark.parametrize("method", ["dopri5", "dopri8", "bosh3", "rk4",
+                                    "implicit_adams"])
+def test_fuzz_random_linear_systems_vs_expm(method):
+    """Random linear systems dy/dt = A y over several seeds, checked
+    against the matrix exponential — fuzzes every solver family (adaptive,
+    fixed-grid, multistep) on coupled dynamics with mixed eigenvalues."""
+    from scipy.linalg import expm
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = 4
+        A = rng.normal(size=(n, n)) * 0.6
+        A -= np.eye(n) * 0.5            # pull spectra leftward (stability)
+        y0 = jnp.asarray(rng.normal(size=(n,)))
+
+        def f(t, y, _):
+            return jnp.asarray(A) @ y
+
+        t = jnp.linspace(0.0, 2.0, 9)
+        opts = {"substeps": 8} if method in ("rk4", "implicit_adams") else {}
+        ys = odeint(f, y0, t, method=method, rtol=1e-9, atol=1e-11,
+                    options=opts)
+        for i, ti in enumerate(np.asarray(t)):
+            ref = expm(A * ti) @ np.asarray(y0)
+            np.testing.assert_allclose(
+                np.asarray(ys[i]), ref, rtol=2e-5, atol=2e-6,
+                err_msg=f"{method} seed {seed} t={ti}",
+            )
