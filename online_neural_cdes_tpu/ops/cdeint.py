@@ -187,13 +187,15 @@ def _fixed_cde_adjoint_fwd(bundle, cfg, z0, grid_t, pieces, args):
 
 
 def _interval_adjoint_bwd(step, pf, piece, t0, t1, z_end, a, args, args_bar,
-                          substeps):
+                          substeps, return_state: bool = False):
     """Reverse one knot interval of the augmented adjoint state
     ``(z, a_z, a_piece, a_args)`` with the tree-form stepper (the compiled
     semantics of reference adjoint.py:116-133's per-interval loop).  Shared
     by the plain and the paired-rectilinear adjoints — one copy of the
     sign/substitution-sensitive code.  Returns ``(a at t0, args_bar',
-    piece_bar)``."""
+    piece_bar)``; with ``return_state`` also the reverse-integrated state
+    ``z at t0`` (the O(1)-memory chaining used by the sequence pipeline's
+    adjoint, where no stored per-knot forward estimates exist)."""
     aug0 = (z_end, a, jax.tree.map(jnp.zeros_like, piece), args_bar)
     dt = (t1 - t0) / substeps
 
@@ -210,7 +212,9 @@ def _interval_adjoint_bwd(step, pf, piece, t0, t1, z_end, a, args, args_bar,
         return step(aug_f, -t1 + k * dt, dt, aug), None
 
     aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
-    _, a_new, piece_bar, args_bar_new = aug
+    z_new, a_new, piece_bar, args_bar_new = aug
+    if return_state:
+        return z_new, a_new, args_bar_new, piece_bar
     return a_new, args_bar_new, piece_bar
 
 
@@ -436,26 +440,46 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
     def aug_dynamics(s, aug, _):
         """Augmented dynamics in the substituted time s = -tau, so the
         backward-in-tau integration runs forward in s (valid for both the
-        fixed-grid and the adaptive solver)."""
-        y, a, _ = aug
+        fixed-grid and the adaptive solver).  The scalar ``vt`` slot
+        integrates the output-time gradient: the reference's augmented
+        vjp_t component d(vjp_t)/dtau = -a . df/dtau (adjoint.py:73-106)
+        becomes +a . df/dtau under the s-substitution."""
+        y, a, vt, _ = aug
         tau = -s
-        f, vjp = jax.vjp(lambda y_, th_: func(tau, y_, th_), y, args)
-        va_y, va_th = vjp(a)
-        return (jax.tree.map(jnp.negative, f), va_y, va_th)
+        f, vjp = jax.vjp(lambda t_, y_, th_: func(t_, y_, th_), tau, y, args)
+        va_t, va_y, va_th = vjp(a)
+        del vt
+        return (jax.tree.map(jnp.negative, f), va_y, va_t, va_th)
+
+    def _tree_dot(u, v):
+        return sum(
+            jnp.vdot(ul, vl)
+            for ul, vl in zip(jax.tree.leaves(u), jax.tree.leaves(v))
+        )
 
     zero_args_bar = jax.tree.map(jnp.zeros_like, args)
 
     def interval(carry, inp):
-        a, args_bar = carry
+        a, vt, args_bar = carry
         y_i, g_i, t_prev, t_i = inp
+        # Moving output time t_i shifts where the loss samples the
+        # trajectory: dL/dt_i picks up g_i . f(t_i, y_i), and the
+        # accumulated vjp_t is decremented by the same amount (reference
+        # adjoint.py:116-124 ``dLd_cur_t``).
+        f_i = func(t_i, y_i, args)
+        # vt rides in the ravelled solver state: keep it in the STATE dtype
+        # (a f64 time grid must not promote the whole augmented solve).
+        dLd_cur_t = _tree_dot(g_i, f_i).astype(state_dtype)
+        vt = vt - dLd_cur_t
         a = jax.tree.map(jnp.add, a, g_i)
-        aug0 = (y_i, a, args_bar)
+        aug0 = (y_i, a, vt, args_bar)
         s_span = jnp.stack([-t_i, -t_prev])
         opts = dict(adj_options)
         if seminorm:
             weights = (
                 jax.tree.map(jnp.ones_like, y_i),
                 jax.tree.map(jnp.ones_like, a),
+                jnp.ones_like(vt),
                 jax.tree.map(jnp.zeros_like, args_bar),
             )
             opts["error_weights"] = jax.flatten_util.ravel_pytree(weights)[0]
@@ -466,20 +490,24 @@ def _odeint_adjoint_bwd(func, cfg, residuals, grad_ys):
         aug1 = jax.tree.map(lambda x: x[-1], aug_path)
         # y is reset to the stored forward estimate at the next (earlier)
         # interval via the scanned ys input (reference adjoint.py:132).
-        _, a_new, args_bar_new = aug1
-        return (a_new, args_bar_new), None
+        _, a_new, vt_new, args_bar_new = aug1
+        return (a_new, vt_new, args_bar_new), dLd_cur_t
 
     ys_tail = jax.tree.map(lambda x: x[1:], ys)
     grads_tail = jax.tree.map(lambda x: x[1:], grad_ys)
     a0 = jax.tree.map(lambda x: jnp.zeros_like(x[0]), ys)
-    (a_final, args_bar), _ = jax.lax.scan(
+    state_dtype = jax.tree.leaves(ys)[0].dtype
+    vt0 = jnp.zeros((), state_dtype)
+    (a_final, vt_final, args_bar), t_bar_tail = jax.lax.scan(
         interval,
-        (a0, zero_args_bar),
+        (a0, vt0, zero_args_bar),
         (ys_tail, grads_tail, t[:-1], t[1:]),
         reverse=True,
     )
     a_final = jax.tree.map(lambda a, g: a + g[0], a_final, grad_ys)
-    t_bar = jnp.zeros_like(t)
+    # t_bar[i>=1] = g_i . f(t_i, y_i); t_bar[0] = the integrated vjp_t
+    # (reference adjoint.py:137 ``time_vjps[0] = aug_state[0]``).
+    t_bar = jnp.concatenate([vt_final[None], t_bar_tail]).astype(t.dtype)
     return a_final, t_bar, args_bar
 
 

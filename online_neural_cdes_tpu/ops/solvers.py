@@ -417,6 +417,65 @@ def _fixed_grid_integrate(func, y0, t, args, method, substeps=1, remat=False):
     return ys, stats
 
 
+def _grid_constructor_integrate(func, y0, t, args, method, grid_constructor,
+                                remat=False):
+    """Fixed-grid integration over a CUSTOM time grid returned by
+    ``grid_constructor(func, y0, t)`` (reference solvers.py:51-77,95-119):
+    the solver steps on the constructed grid and the requested output times
+    are recovered by linear interpolation between grid states (the
+    reference's default ``interp="linear"``).  The constructor must return
+    a static-length grid with ``grid[0] == t[0]`` and ``grid[-1] == t[-1]``
+    (asserted when concrete); under tracing (e.g. inside the adjoint's
+    backward scan) it must be trace-compatible, e.g.
+    ``lambda f, y0, t: jnp.linspace(t[0], t[-1], 11)``."""
+    grid = jnp.asarray(grid_constructor(func, y0, t))
+    if not (isinstance(grid, jax.core.Tracer) or isinstance(t, jax.core.Tracer)):
+        g_np, t_np = np.asarray(grid), np.asarray(t)
+        if not (np.isclose(g_np[0], t_np[0]) and np.isclose(g_np[-1], t_np[-1])):
+            raise ValueError(
+                "grid_constructor must return a grid spanning exactly "
+                f"[t[0], t[-1]] = [{t_np[0]}, {t_np[-1]}]; got "
+                f"[{g_np[0]}, {g_np[-1]}]."
+            )
+    step_fn = _FIXED_STEPS[method]
+
+    def interval(y, t0t1):
+        t0, t1 = t0t1
+        y_new, _ = step_fn(func, t0, t1 - t0, y, args)
+        return y_new, y_new
+
+    if remat:
+        interval = jax.checkpoint(interval)
+    _, ys_grid = jax.lax.scan(interval, y0, (grid[:-1], grid[1:]))
+    ys_grid = jnp.concatenate([y0[None], ys_grid], axis=0)
+
+    # Grids from the reference's constructors are monotone in integration
+    # direction but may be DECREASING (the adjoint calls with flipped t,
+    # tests/odeint_tests.py:181-218); searchsorted needs ascending keys.
+    sgn = jnp.where(grid[-1] >= grid[0], 1.0, -1.0).astype(grid.dtype)
+    keys = sgn * grid
+
+    def out_at(tj):
+        tj = tj.astype(grid.dtype)
+        i = jnp.clip(
+            jnp.searchsorted(keys, sgn * tj, side="right") - 1,
+            0, grid.shape[0] - 2,
+        )
+        t0_, t1_ = grid[i], grid[i + 1]
+        denom = jnp.where(t1_ == t0_, jnp.ones_like(t1_), t1_ - t0_)
+        w = jnp.clip((tj - t0_) / denom, 0.0, 1.0).astype(y0.dtype)
+        return ys_grid[i] * (1.0 - w) + ys_grid[i + 1] * w
+
+    ys = jax.vmap(out_at)(t.astype(grid.dtype))
+    n_steps = grid.shape[0] - 1
+    stats = {
+        "nfe": jnp.asarray(n_steps * FIXED_NFE_PER_STEP[method], jnp.int32),
+        "accepted": jnp.asarray(n_steps, jnp.int32),
+        "rejected": jnp.asarray(0, jnp.int32),
+    }
+    return ys, stats
+
+
 # ---------------------------------------------------------------------------
 # Adams-Bashforth(-Moulton) multistep (reference fixed_adams.py: fixed-grid
 # predictor/corrector whose order GROWS with the history, order 3 predictor /
@@ -597,6 +656,10 @@ def _scipy_integrate(func, y0, t, args, rtol, atol, options):
     kwargs = {}
     if "max_step" in options:
         kwargs["max_step"] = float(options["max_step"])
+    if "min_step" in options:
+        # The reference forwards BOTH bounds into solve_ivp
+        # (scipy_wrapper.py:39-40); scipy honours min_step for LSODA/BDF.
+        kwargs["min_step"] = float(options["min_step"])
     sol = solve_ivp(
         np_func,
         t_span=(t_np[0], t_np[-1]),
@@ -898,8 +961,9 @@ def _adaptive_integrate_diff(
     differentiation, outputs past the reached time are **NaN-poisoned**
     (and ``stats["grid_exhausted"]`` is set) instead of being silently
     extrapolated; pass ``options={"max_steps": ...}`` to raise the budget.
-    Output-time gradients are zero (documented divergence from the
-    reference's vjp_t rerouting).
+    Output-time gradients flow through the recorded dense-output
+    evaluation (g . y'(t_out) to interpolant order); the accepted-step
+    grid itself is treated as constant.
     """
     machinery_kwargs = dict(
         rtol=rtol, atol=atol, min_step=min_step, max_step=max_step,
@@ -1005,10 +1069,16 @@ def _adaptive_integrate_diff(
             machinery_kwargs["step_t"], machinery_kwargs["jump_t"],
         )
 
-        def replay(y0__, args__, consts__):
+        def replay(y0__, args__, consts__, t__):
             """Fixed re-integration over the recorded grid, mirroring
             phase 1's discontinuity handling (left-limit endpoint stages
-            on special landings; FSAL reseed past jumps)."""
+            on special landings; FSAL reseed past jumps).  ``t__`` is a
+            differentiable argument: output-time cotangents flow through
+            the dense-output evaluation, so dL/dt_out ~= g . y'(t_out) to
+            the interpolant's order (the reference's plain-backprop t
+            gradients through _linear_interp/_cubic_hermite_interp,
+            solvers.py:107-115; the step grid itself stays a constant, the
+            same approximation the adjoint makes)."""
             func_ = _mkfunc(consts__)
             f0 = func_(ts_full[0], y0__, args__)
 
@@ -1035,16 +1105,16 @@ def _adaptive_integrate_diff(
                 step, (y0__, f0), (ts_full[:-1], ts_full[1:])
             )
             ys_rest = _eval_recorded_outputs(
-                ts_full, interps, y0__, t_[1:], max_steps
+                ts_full, interps, y0__, t__[1:], max_steps
             )
             return jnp.concatenate([y0__[None], ys_rest], axis=0)
 
-        _, pullback = jax.vjp(replay, y0_, args_, consts_)
+        _, pullback = jax.vjp(replay, y0_, args_, consts_, t_)
         # NaN rows in the cotangent (poisoned outputs) would corrupt every
         # parameter gradient; zero them — the loss is already NaN-loud.
         ct_clean = jnp.where(jnp.isnan(ct_ys), 0.0, ct_ys)
-        ct_y0, ct_args, ct_consts = pullback(ct_clean)
-        return ct_y0, jnp.zeros_like(t_), ct_args, ct_consts
+        ct_y0, ct_args, ct_consts, ct_t = pullback(ct_clean)
+        return ct_y0, ct_t, ct_args, ct_consts
 
     solve = jax.custom_vjp(_primal)
     solve.defvjp(_fwd, _bwd)
@@ -1148,9 +1218,20 @@ def odeint(
 
     if method in FIXED_METHODS:
         remat = bool(options.pop("remat", False))
-        options.pop("grid_constructor", None)
-        substeps = _substeps_from_options(options, t)
-        ys, stats = _fixed_grid_integrate(func, y0, t, args, method, substeps, remat)
+        grid_constructor = options.pop("grid_constructor", None)
+        if grid_constructor is not None:
+            if "step_size" in options or options.get("substeps"):
+                # Reference solvers.py:66: the two are mutually exclusive.
+                raise ValueError(
+                    "step_size and grid_constructor are mutually exclusive "
+                    "arguments."
+                )
+            ys, stats = _grid_constructor_integrate(
+                func, y0, t, args, method, grid_constructor, remat
+            )
+        else:
+            substeps = _substeps_from_options(options, t)
+            ys, stats = _fixed_grid_integrate(func, y0, t, args, method, substeps, remat)
     elif method in ("explicit_adams", "implicit_adams"):
         substeps = _substeps_from_options(options, t)
         ys, stats = _adams_integrate(

@@ -343,3 +343,198 @@ def test_adams_adjoint_substeps_resolved_from_concrete_grid():
     # The residual gap is the optimize-vs-discretize divergence, shrinking
     # with h; before the fix it was O(1) and did not improve with substeps.
     assert fine < 0.12 * mag, (fine, mag)
+
+
+# ---------------------------------------------------------------------------
+# grid_constructor (reference solvers.py:51-77, tests/odeint_tests.py:181-218)
+# ---------------------------------------------------------------------------
+
+def test_grid_constructor_euler_matches_reference_semantics():
+    """f(t,x)=x over [0,1] with an 11-point constructed grid: Euler gives
+    exactly x0 * 1.1**10, and direct backprop gives the Euler-exact
+    gradient (the reference's TestGridConstructor)."""
+    def f(t, y, args):
+        return y
+
+    x0 = jnp.array([1.0])
+    t = jnp.array([0.0, 1.0])
+    seen = {}
+
+    def ctor(func, y0, tt):
+        seen["shape"] = tt.shape
+        return jnp.linspace(tt[0], tt[-1], 11)
+
+    def loss(x0):
+        ys = odeint(f, x0, t, method="euler",
+                    options={"grid_constructor": ctor})
+        return ys[1, 0]
+
+    val, g = jax.value_and_grad(loss)(x0)
+    assert seen["shape"] == (2,)
+    np.testing.assert_allclose(float(val), 1.1 ** 10, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), 1.1 ** 10, rtol=1e-10)
+
+
+def test_grid_constructor_adjoint():
+    """The adjoint's backward per-interval solves call the constructor with
+    the traced substituted-time span; a trace-compatible constructor yields
+    the Euler-exact adjoint gradient (reference runs the same check through
+    odeint_adjoint)."""
+    def f(t, y, args):
+        return y
+
+    def ctor(func, y0, tt):
+        return jnp.linspace(tt[0], tt[-1], 11)
+
+    x0 = jnp.array([1.0])
+    t = jnp.array([0.0, 1.0])
+
+    def loss(x0):
+        ys = odeint_adjoint(f, x0, t, method="euler",
+                            options={"grid_constructor": ctor})
+        return ys[1, 0]
+
+    val, g = jax.value_and_grad(loss)(x0)
+    np.testing.assert_allclose(float(val), 1.1 ** 10, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), 1.1 ** 10, rtol=1e-10)
+
+
+def test_grid_constructor_interpolates_interior_outputs():
+    """Outputs strictly inside the constructed grid are linearly
+    interpolated between grid states (reference interp='linear' default)."""
+    def f(t, y, args):
+        return jnp.ones_like(y)
+
+    x0 = jnp.array([0.0])
+    t = jnp.array([0.0, 0.35, 1.0])
+    ys = odeint(
+        f, x0, t, method="euler",
+        options={"grid_constructor": lambda fn, y0, tt: jnp.linspace(0.0, 1.0, 5)},
+    )
+    # dy/dt = 1 is linear, so linear interpolation is exact everywhere.
+    np.testing.assert_allclose(np.asarray(ys[:, 0]), np.asarray(t), atol=1e-12)
+
+
+def test_grid_constructor_mutually_exclusive_with_step_size():
+    def f(t, y, args):
+        return y
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        odeint(
+            f, jnp.array([1.0]), jnp.array([0.0, 1.0]), method="euler",
+            options={"grid_constructor": lambda fn, y0, tt: tt,
+                     "step_size": 0.1},
+        )
+
+
+def test_grid_constructor_span_mismatch_raises():
+    def f(t, y, args):
+        return y
+
+    with pytest.raises(ValueError, match="spanning"):
+        odeint(
+            f, jnp.array([1.0]), jnp.array([0.0, 1.0]), method="euler",
+            options={"grid_constructor":
+                     lambda fn, y0, tt: jnp.linspace(0.0, 0.5, 5)},
+        )
+
+
+def test_scipy_min_step_forwarded(monkeypatch):
+    """min_step reaches scipy's solve_ivp (reference scipy_wrapper.py:39
+    forwards both bounds; scipy treats hmin as an LSODA error threshold, so
+    the contract to verify is the forwarding itself)."""
+    import scipy.integrate
+
+    captured = {}
+    real = scipy.integrate.solve_ivp
+
+    def spy(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    import online_neural_cdes_tpu.ops.solvers as solvers_mod
+
+    monkeypatch.setattr("scipy.integrate.solve_ivp", spy)
+    y0 = jnp.array([1.0])
+    t = jnp.linspace(0.0, 10.0, 5)
+    odeint(
+        decay, y0, t, method="scipy_solver", rtol=1e-8, atol=1e-10,
+        options={"solver": "LSODA", "min_step": 0.1, "max_step": 5.0},
+    )
+    assert captured.get("min_step") == 0.1
+    assert captured.get("max_step") == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Output-time gradients (vjp_t — reference adjoint.py:116-137 time_vjps)
+# ---------------------------------------------------------------------------
+
+def _tdep_field(t, y, args):
+    # Explicit time dependence so the integrated a . df/dt term is nonzero.
+    return -y + jnp.sin(3.0 * t)
+
+
+def test_output_time_gradients_adjoint_fd():
+    """dL/dt_i from the adjoint matches central finite differences for every
+    output time INCLUDING t_0 (the accumulated vjp_t slot)."""
+    y0 = jnp.array([0.7, -0.3])
+    t = jnp.array([0.1, 0.9, 1.7])
+    w = jnp.array([[2.0, -1.0], [0.5, 1.5], [1.0, 1.0]])
+
+    def loss(tvec):
+        ys = odeint_adjoint(_tdep_field, y0, tvec, rtol=1e-10, atol=1e-12)
+        return jnp.sum(w * ys)
+
+    g = np.asarray(jax.grad(loss)(t))
+    eps = 1e-5
+    for i in range(3):
+        tp = t.at[i].add(eps)
+        tm = t.at[i].add(-eps)
+        fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-4, atol=1e-7)
+
+
+def test_output_time_gradients_differentiable_adaptive_fd():
+    """dL/dt_i (i >= 1) through the differentiable adaptive solve matches
+    finite differences via the dense-output derivative; the start time is
+    treated as a constant of the recorded grid (documented)."""
+    y0 = jnp.array([0.7, -0.3])
+    t = jnp.array([0.1, 0.9, 1.7])
+    w = jnp.array([[2.0, -1.0], [0.5, 1.5], [1.0, 1.0]])
+
+    def loss(tvec):
+        ys = odeint(_tdep_field, y0, tvec, rtol=1e-10, atol=1e-12,
+                    options={"differentiable": True})
+        return jnp.sum(w * ys)
+
+    g = np.asarray(jax.grad(loss)(t))
+    eps = 1e-5
+    for i in (1, 2):
+        tp = t.at[i].add(eps)
+        tm = t.at[i].add(-eps)
+        fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-4, atol=1e-7)
+
+
+def test_output_time_gradients_zero_when_field_autonomous_interiors():
+    """For an autonomous linear field the t_i gradient reduces to
+    g_i . f(y_i) exactly — a closed-form cross-check of the boundary term."""
+    A = jnp.array([[-0.5, 0.2], [0.1, -0.8]])
+
+    def f(t, y, args):
+        return y @ A.T
+
+    y0 = jnp.array([1.0, 2.0])
+    t = jnp.array([0.0, 1.0, 2.0])
+
+    def loss(tvec):
+        ys = odeint_adjoint(f, y0, tvec, rtol=1e-11, atol=1e-13)
+        return jnp.sum(ys[2] ** 2)
+
+    g = np.asarray(jax.grad(loss)(t))
+    ys = odeint_adjoint(f, y0, t, rtol=1e-11, atol=1e-13)
+    expected_t2 = float(2.0 * jnp.sum(ys[2] * (ys[2] @ A.T)))
+    np.testing.assert_allclose(g[2], expected_t2, rtol=1e-6)
+    # t_1 does not appear in the loss: boundary term zero, and for the
+    # reconstruction-exact adjoint the interior contribution vanishes too.
+    np.testing.assert_allclose(g[1], 0.0, atol=1e-8)
