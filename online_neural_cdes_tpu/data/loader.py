@@ -25,6 +25,8 @@ import numpy as np
 
 __all__ = [
     "parse_interpolation_string",
+    "parse_logsig_string",
+    "apply_logsig_transform",
     "load_numpy_data",
     "sort_unequal_lengths",
     "pad_ragged",
@@ -48,9 +50,58 @@ def parse_interpolation_string(interpolation: Optional[str]):
         return "linear_forward_fill", "linear_cubic_smoothing"
     if interpolation == "hermite":
         return "hermite", "hermite"
+    if interpolation is not None and interpolation.startswith("logsig"):
+        # Log-ODE method (reference torchcde log_ode.py:110-133, README:251):
+        # "logsig-<depth>-<window>" transforms the RAW series into per-window
+        # depth-d log-signature increments — length/window windows of
+        # logsignature_channels(C, depth) channels, traded length-for-width.
+        parse_logsig_string(interpolation)  # validate eagerly
+        return "raw", interpolation
     if interpolation is None:
         return "raw", None
     raise NotImplementedError(f"Not implemented for interpolation {interpolation}")
+
+
+def parse_logsig_string(interpolation: str) -> Tuple[int, float]:
+    """'logsig-<depth>-<window>' -> (depth, window_length in observation-index
+    units).  e.g. 'logsig-2-8' = depth-2 log-signatures over 8-step windows."""
+    parts = interpolation.split("-")
+    if len(parts) != 3:
+        raise ValueError(
+            f"logsig interpolation key must be 'logsig-<depth>-<window>', "
+            f"got {interpolation!r}"
+        )
+    depth, window = int(parts[1]), float(parts[2])
+    if depth < 1 or window <= 0:
+        raise ValueError(f"invalid logsig depth/window in {interpolation!r}")
+    return depth, window
+
+
+def apply_logsig_transform(temporal, depth: int, window: float,
+                           chunk: int = 512):
+    """Host-side log-ODE preprocessing of raw (.., L, C) series (NaNs are
+    linearly in-filled by the transform).  Pinned to the CPU backend — data
+    prep must not ride a TPU tunnel.  Ragged inputs map per-series (their
+    window counts differ); dense inputs map in chunks."""
+    import jax
+
+    from online_neural_cdes_tpu.ops.logsig import logsig_windows
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        if temporal.dtype == object:
+            return np.array(
+                [np.asarray(logsig_windows(
+                    np.asarray(t, np.float32), depth, window))
+                 for t in temporal],
+                dtype=object,
+            )
+        out = [
+            np.asarray(logsig_windows(
+                np.asarray(temporal[i: i + chunk], np.float32), depth, window))
+            for i in range(0, len(temporal), chunk)
+        ]
+        return np.concatenate(out, axis=0)
 
 
 def sort_unequal_lengths(static, temporal, labels):
@@ -152,6 +203,21 @@ def load_numpy_data(
         ) if temporal.dtype == object else np.stack(
             [add_rectilinear_intensity(t, r) for t, r in zip(temporal, raw)]
         )
+
+    if model_interpolation is not None and model_interpolation.startswith("logsig"):
+        # Log-ODE: per-step outputs no longer align with per-timestep labels
+        # (each row summarises a whole window), so the transform is a
+        # one-shot-problem tool — reject online tasks loudly.
+        if problem == "online":
+            raise ValueError(
+                "logsig interpolation compresses the time axis (one row per "
+                "window); online problems' per-timestep labels cannot align "
+                "with it — use it for one-shot tasks."
+            )
+        depth, window = parse_logsig_string(model_interpolation)
+        temporal = apply_logsig_transform(temporal, depth, window)
+        # The transformed path is consumed as a piecewise-linear control.
+        model_interpolation = "linear"
 
     ragged = temporal.dtype == object
     first = np.asarray(temporal[0])
