@@ -22,6 +22,14 @@ trial/result contract and no external service:
 
 Fully deterministic under the config seed.  Set ``search: "sobol"`` in the
 hyperopt config to disable the TPE stage.
+
+**Wave parallelism** (no reference counterpart — Ax trials are strictly
+sequential, hyperoptimize.py:86-94): ``wave_size: K`` proposes K
+candidates per wave (TPE conditioning on completed waves only) and trains
+same-shape candidates of a wave as ONE vmapped program on the chip
+(``training/wave.py``) — the trial axis becomes an SPMD axis, K× fewer
+dispatches.  ``wave_size: 1`` (default) reproduces the sequential search
+bit-identically.
 """
 
 from __future__ import annotations
@@ -174,6 +182,14 @@ def run_hyperopt(
     sign = 1.0 if minimize else -1.0
     seed = int(config.get("seed", 0))
     search = config.get("search", "tpe")
+    # Wave-parallel evaluation: ``wave_size`` candidates are proposed per
+    # wave (TPE conditions on completed waves only; wave_size=1 is the
+    # sequential search, bit-identical to previous behaviour) and
+    # same-shape candidates within a wave train as one vmapped program
+    # (``wave_vmap=False`` forces sequential evaluation of the same wave
+    # structure — the equivalence oracle the tests compare against).
+    wave_size = max(1, int(config.get("wave_size", 1)))
+    wave_vmap = bool(config.get("wave_vmap", True))
     dims, fixed = _split_space(space)
     n_startup = (
         total_trials if search == "sobol"
@@ -185,7 +201,12 @@ def run_hyperopt(
     from online_neural_cdes_tpu.training.ledger import config_hash
 
     trials_run_name = f"{run_name or 'hyperopt'}::trials"
-    search_key = config_hash(config)
+    # wave_vmap changes HOW a wave is evaluated, not WHICH candidates run:
+    # records from either mode are interchangeable, so it is excluded from
+    # the search identity.
+    search_key = config_hash(
+        {k: v for k, v in config.items() if k != "wave_vmap"}
+    )
     recorded: dict = {}
     if ledger is not None:
         for e in ledger.query(
@@ -195,6 +216,56 @@ def run_hyperopt(
         ):
             recorded[int(e["config"]["trial"])] = e
 
+    def trial_config(point: dict) -> dict:
+        trial_cfg = {k: v for k, v in config.items()
+                     if k not in ("parameterization", "total_trials",
+                                  "startup_trials", "search", "wave_size",
+                                  "wave_vmap")}
+        return _merge(trial_cfg, decode_dunder(point))
+
+    def run_one(point: dict):
+        try:
+            results = run_experiment(trial_config(point), data_root=data_root,
+                                     mesh=mesh, verbose=verbose)
+            score = sign * results[f"val.{metric}"]
+        except Exception as exc:  # failed trial -> sentinel, keep going
+            logger.warning("hyperopt trial failed: %s", exc)
+            results = {"error": str(exc)}
+            score = FAILURE_SENTINEL
+        return score, results
+
+    def run_wave(points: List[dict]):
+        """Evaluate one wave's candidates.  Groups whose members share a
+        parameter-shape signature (differ only in trainer__lr) train as ONE
+        vmapped program (training/wave.py); the rest run sequentially.
+        Results are order-aligned with ``points``."""
+        from online_neural_cdes_tpu.training.wave import (
+            run_trials_vmapped, vmappable_groups,
+        )
+
+        out: list = [None] * len(points)
+        for group in vmappable_groups(points):
+            if wave_vmap and len(group) > 1:
+                try:
+                    group_results = run_trials_vmapped(
+                        [trial_config(points[i]) for i in group],
+                        data_root=data_root, verbose=verbose,
+                    )
+                    for i, results in zip(group, group_results):
+                        s = sign * results[f"val.{metric}"]
+                        out[i] = (
+                            (FAILURE_SENTINEL, results)
+                            if not np.isfinite(s) else (s, results)
+                        )
+                    continue
+                except Exception as exc:
+                    logger.warning(
+                        "vmapped wave failed (%s); falling back to "
+                        "sequential trials", exc)
+            for i in group:
+                out[i] = run_one(points[i])
+        return out
+
     unit_obs: list = []
     scores: list = []
     best = (math.inf, None, None)
@@ -202,57 +273,75 @@ def run_hyperopt(
     # re-run (a gap in the records), the TPE history diverges from the one
     # later records were generated against, so those stale records must be
     # ignored and overwritten (the ledger's last-entry-wins read handles
-    # the overwrite).
+    # the overwrite).  Wave boundaries are deterministic from
+    # (total_trials, wave_size), and a wave's TPE candidates condition on
+    # COMPLETED waves only, so a crash mid-wave resumes bit-identically:
+    # the recorded wave members replay, the rest regenerate from the same
+    # wave-start history.
     replaying = True
-    for trial in range(total_trials):
-        entry = recorded.get(trial)
-        if replaying and entry is not None:
-            row = np.asarray(entry["info"]["unit_row"], float)
-            score = float(entry["results"]["score"])
-            point = entry["info"]["point"]
-            results = entry["results"].get("trial_results", {})
-            logger.info("trial %d/%d: resumed from ledger (score %.5f)",
-                        trial + 1, total_trials, score)
-        else:
-            replaying = False
-            if trial < n_startup:
-                row = startup_unit[trial]
-            else:
-                rng = np.random.default_rng((seed, trial))
-                row = tpe_suggest(np.asarray(unit_obs), np.asarray(scores), rng)
-            point = _decode_row(dims, fixed, row)
-            trial_cfg = {k: v for k, v in config.items()
-                         if k not in ("parameterization", "total_trials",
-                                      "startup_trials", "search")}
-            trial_cfg = _merge(trial_cfg, decode_dunder(point))
-            try:
-                results = run_experiment(trial_cfg, data_root=data_root,
-                                         mesh=mesh, verbose=verbose)
-                score = sign * results[f"val.{metric}"]
-            except Exception as exc:  # failed trial -> sentinel, keep going
-                logger.warning("hyperopt trial %d failed: %s", trial, exc)
-                results = {"error": str(exc)}
-                score = FAILURE_SENTINEL
-            logger.info("trial %d/%d: %s -> score %.5f", trial + 1,
-                        total_trials, point, score)
-            if ledger is not None:
-                # Full results (json-serialisable: history is a list of
-                # float dicts; only the array-valued best_params key is
-                # stripped) — a resumed search whose best trial is replayed
-                # must return the same results dict as an uninterrupted one.
-                ledger.save_result(
-                    {"search": search_key, "trial": trial},
-                    {"score": float(score),
-                     "trial_results": {k: v for k, v in results.items()
-                                       if k != "best_params"}},
-                    run_name=trials_run_name,
-                    info={"unit_row": np.asarray(row, float).tolist(),
-                          "point": point},
+    trial = 0
+    while trial < total_trials:
+        wave = list(range(trial, min(trial + wave_size, total_trials)))
+        hist_rows = np.asarray(unit_obs)
+        hist_scores = np.asarray(scores)
+
+        wave_rows, wave_points, pending = [], [], []
+        wave_out: dict = {}
+        for t in wave:
+            entry = recorded.get(t)
+            if replaying and entry is not None:
+                row = np.asarray(entry["info"]["unit_row"], float)
+                wave_out[t] = (
+                    float(entry["results"]["score"]),
+                    entry["results"].get("trial_results", {}),
                 )
-        unit_obs.append(row)
-        scores.append(score)
-        if score < best[0]:
-            best = (score, point, results)
+                point = entry["info"]["point"]
+                logger.info("trial %d/%d: resumed from ledger (score %.5f)",
+                            t + 1, total_trials, wave_out[t][0])
+            else:
+                replaying = False
+                if t < n_startup:
+                    row = startup_unit[t]
+                else:
+                    rng = np.random.default_rng((seed, t))
+                    row = tpe_suggest(hist_rows, hist_scores, rng)
+                point = _decode_row(dims, fixed, row)
+                pending.append(t)
+            wave_rows.append(row)
+            wave_points.append(point)
+
+        if pending:
+            pend_results = run_wave(
+                [wave_points[t - trial] for t in pending]
+            )
+            for t, (score, results) in zip(pending, pend_results):
+                wave_out[t] = (score, results)
+                logger.info("trial %d/%d: %s -> score %.5f", t + 1,
+                            total_trials, wave_points[t - trial], score)
+                if ledger is not None:
+                    # Full results (json-serialisable: history is a list of
+                    # float dicts; only the array-valued best_params key is
+                    # stripped) — a resumed search whose best trial is
+                    # replayed must return the same results dict as an
+                    # uninterrupted one.
+                    ledger.save_result(
+                        {"search": search_key, "trial": t},
+                        {"score": float(score),
+                         "trial_results": {k: v for k, v in results.items()
+                                           if k != "best_params"}},
+                        run_name=trials_run_name,
+                        info={"unit_row": np.asarray(
+                            wave_rows[t - trial], float).tolist(),
+                            "point": wave_points[t - trial]},
+                    )
+
+        for t in wave:
+            score, results = wave_out[t]
+            unit_obs.append(wave_rows[t - trial])
+            scores.append(score)
+            if score < best[0]:
+                best = (score, wave_points[t - trial], results)
+        trial = wave[-1] + 1
 
     score, point, results = best
     results = dict(results or {})

@@ -1,0 +1,268 @@
+"""Vmapped multi-trial training: evaluate a WAVE of hyperopt candidates
+that share one model shape as a single SPMD program.
+
+The reference evaluates Ax trials strictly sequentially (one full training
+per candidate, experiments/hyperoptimize.py:86-94).  On TPU, candidates
+whose hyperparameters do not change parameter SHAPES (e.g. the
+``trainer__lr`` dimension of the gru-family/odernn search spaces,
+configurations.json5) can instead train side by side: the trial axis is
+``vmap``-ed over the jitted train step — K models advance per dispatch,
+one compiled program, K× fewer host round-trips.  Per-trial learning
+rates ride the step's runtime ``lr_scale`` argument (training/loop.py), so
+the plateau scheduler, early stopping and best-checkpoint bookkeeping run
+vectorised on host exactly as the sequential harness does
+(training/harness.py:train) — each trial's parameter trajectory is the
+same function of the data as its sequential run, so the search outcome is
+preserved (tested to tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["run_trials_vmapped", "vmappable_groups"]
+
+
+def _strip_lr(point: dict) -> tuple:
+    """Shape signature of a dunder-encoded candidate: everything except the
+    per-trial runtime scalars that the vmapped step can vary (lr)."""
+    return tuple(sorted(
+        (k, v) for k, v in point.items() if k != "trainer__lr"
+    ))
+
+
+def vmappable_groups(points: List[dict]):
+    """Partition wave candidates into groups evaluable as one vmapped
+    program (same shape signature, differing only in trainer__lr) and
+    singletons.  Returns a list of lists of indices into ``points``."""
+    groups: dict = {}
+    for i, p in enumerate(points):
+        groups.setdefault(_strip_lr(p), []).append(i)
+    return list(groups.values())
+
+
+def _stack_params(params, k: int):
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (k,) + x.shape), params)
+
+
+def _select_rows(mask_np, new, old):
+    """Per-trial best-params update: rows of ``new`` where mask else ``old``
+    (mask is a host (K,) bool array)."""
+    mask = jnp.asarray(mask_np)
+
+    def leaf(n, o):
+        m = mask.reshape((-1,) + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+
+    return jax.tree.map(leaf, new, old)
+
+
+def run_trials_vmapped(
+    trial_cfgs: List[dict],
+    data_root: str = "data/processed",
+    verbose: bool = False,
+) -> List[dict]:
+    """Train every config in ``trial_cfgs`` simultaneously via a vmapped
+    step and return one results dict per trial (the keys hyperopt reads:
+    ``val.<metric>`` plus the split metrics / cost stats).
+
+    Contract: the configs must be identical except ``trainer.lr`` (the
+    caller groups by shape signature).  Raises on mismatch."""
+    import time
+
+    from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
+    from online_neural_cdes_tpu.training.experiment import npz_path_for
+    from online_neural_cdes_tpu.training.harness import _concat_ragged_time, setup_model
+    from online_neural_cdes_tpu.training.loop import init_adam_state, make_train_step
+    from online_neural_cdes_tpu.training.metrics import (
+        METRICS, make_loss, masked_temporal_loss,
+    )
+    from online_neural_cdes_tpu.utils.params import count_params
+
+    k = len(trial_cfgs)
+    cfg0 = trial_cfgs[0]
+    lrs = []
+    for cfg in trial_cfgs:
+        base = {key: val for key, val in cfg.items() if key != "trainer"}
+        base0 = {key: val for key, val in cfg0.items() if key != "trainer"}
+        tr = {key: val for key, val in cfg.get("trainer", {}).items() if key != "lr"}
+        tr0 = {key: val for key, val in cfg0.get("trainer", {}).items() if key != "lr"}
+        if base != base0 or tr != tr0:
+            raise ValueError(
+                "run_trials_vmapped requires configs identical except "
+                "trainer.lr"
+            )
+        lrs.append(float(cfg.get("trainer", {}).get("lr", 5e-3)))
+    lrs = np.asarray(lrs, np.float64)
+
+    ds = dict(cfg0.get("dataset", {}))
+    model_cfg = dict(cfg0.get("model", {}))
+    trainer_cfg = dict(cfg0.get("trainer", {}))
+    test_mode = bool(cfg0.get("test_mode", False))
+    path = npz_path_for(ds["data_loc"], data_root, test_mode)
+    splits = load_numpy_data(
+        path, ds.get("interpolation"), use_static=ds.get("use_static", True),
+        problem=ds.get("problem"), output_dim=cfg0.get("output_dim", 1),
+        label_dtype=cfg0.get("label_dtype"),
+    )
+    train_data, val_data, test_data = splits
+
+    model_string = model_cfg.pop("model_string", "ncde")
+    model_cfg.pop("return_sequences", None)
+    bundle = setup_model(
+        model_string,
+        input_dim=train_data.input_dim, output_dim=train_data.output_dim,
+        static_dim=train_data.static_dim,
+        interpolation=train_data.model_interpolation or "linear",
+        return_sequences=train_data.return_sequences,
+        train_data=train_data,
+        **{kk: v for kk, v in model_cfg.items() if kk in (
+            "hidden_dim", "hidden_hidden_dim", "num_layers", "vector_field",
+            "vector_field_type", "interpolation_eps", "sparsity", "adjoint",
+            "solver",
+        )},
+    )
+
+    loss_str = trainer_cfg.get("loss_str", "bce")
+    metric_names = tuple(trainer_cfg.get("metrics", ("loss",)))
+    monitor = trainer_cfg.get("val_metric_to_monitor", "loss")
+    minimize = ds.get("minimize")
+    if minimize is None:
+        minimize = monitor in ("loss",)
+    sign = 1.0 if minimize else -1.0
+    max_epochs = int(trainer_cfg.get("max_epochs", 1000))
+    batch_size = int(ds.get("batch_size", 1024))
+    plateau_patience = int(trainer_cfg.get("plateau_patience", 15))
+    plateau_factor = float(trainer_cfg.get("plateau_factor", 0.1))
+    early_stop_patience = int(trainer_cfg.get("early_stop_patience", 60))
+    seed = int(cfg0.get("seed", 0))
+
+    # Same config seed for every trial (the reference's hyperopt trials
+    # share the experiment seed): init once, broadcast over the trial axis.
+    params1 = bundle.init(jax.random.PRNGKey(seed))
+    num_params = int(count_params(params1))
+    params = _stack_params(params1, k)
+    opt_state = _stack_params(init_adam_state(params1), k)
+
+    # Per-trial LR via the runtime lr_scale: base lr 1.0, scale = lr_i x
+    # plateau decay_i (identical arithmetic to the sequential step, whose
+    # effective LR is lr * lr_scale).
+    base_step = make_train_step(
+        bundle.apply_fn, loss=loss_str, lr=1.0,
+        final_lr_multiplier=float(trainer_cfg.get("final_lr_multiplier", 10.0)),
+        donate=False,
+    )
+    vstep = jax.jit(jax.vmap(base_step, in_axes=(0, 0, None, None, 0)))
+    veval = jax.jit(jax.vmap(bundle.apply_fn, in_axes=(0, None)))
+    pointwise = make_loss(loss_str)
+
+    train_batches = Batches(train_data, batch_size)
+    val_batches = Batches(val_data, batch_size)
+    test_batches = Batches(test_data, batch_size)
+
+    def evaluate(p, batches):
+        """Per-trial metrics dicts from the stacked params."""
+        preds_all, labels_all, losses, counts = [], [], [], []
+        for inputs, labels in batches:
+            prepared = bundle.prepare_batch(inputs)
+            preds = veval(p, prepared)          # (K, B, ...)
+            labels_j = jnp.asarray(labels)
+            losses.append(jax.vmap(
+                lambda pr: masked_temporal_loss(
+                    pointwise, pr, labels_j, sqrt=loss_str == "rmse")
+            )(preds))
+            counts.append(len(labels))
+            preds_all.append(np.asarray(preds))
+            labels_all.append(np.asarray(labels))
+        losses = np.asarray(jnp.stack(losses))   # (n_batches, K)
+        out = []
+        for i in range(k):
+            preds_i = _concat_ragged_time([p[i] for p in preds_all])
+            labels_i = _concat_ragged_time(labels_all)
+            res = {"loss": float(np.average(losses[:, i], weights=counts))}
+            for name in metric_names:
+                if name == "loss":
+                    continue
+                try:
+                    res[name] = METRICS[name](preds_i, labels_i)
+                except ValueError:
+                    res[name] = float("nan")
+            out.append(res)
+        return out
+
+    best_score = np.full(k, np.inf)
+    best_params = params
+    best_epoch = np.zeros(k, np.int64)
+    plateau_count = np.zeros(k, np.int64)
+    stall_count = np.zeros(k, np.int64)
+    decay = np.ones(k, np.float64)
+    active = np.ones(k, bool)
+    epochs_run = np.zeros(k, np.int64)
+    histories: List[list] = [[] for _ in range(k)]
+
+    t_start = time.perf_counter()
+    for epoch in range(max_epochs):
+        lr_scale = jnp.asarray(lrs * decay, jnp.float32)
+        for inputs, labels in train_batches:
+            prepared = bundle.prepare_batch(inputs)
+            params, opt_state, loss_val = vstep(
+                params, opt_state, prepared, jnp.asarray(labels), lr_scale
+            )
+        jax.block_until_ready(loss_val)
+        epochs_run[active] = epoch + 1
+
+        val_results = evaluate(params, val_batches)
+        scores = np.asarray(
+            [sign * r[monitor] for r in val_results], np.float64
+        )
+        for i in range(k):
+            if active[i]:
+                histories[i].append(
+                    {"epoch": epoch, "lr_scale": float(decay[i]),
+                     **val_results[i]}
+                )
+        if verbose:
+            print(f"wave epoch {epoch}: scores {scores}")
+
+        improved = active & (scores < best_score - 1e-12)
+        best_params = _select_rows(improved, params, best_params)
+        best_score = np.where(improved, scores, best_score)
+        best_epoch = np.where(improved, epoch, best_epoch)
+        plateau_count = np.where(improved, 0, plateau_count + active)
+        stall_count = np.where(improved, 0, stall_count + active)
+        decayed = active & (plateau_count > plateau_patience)
+        decay = np.where(decayed, decay * plateau_factor, decay)
+        plateau_count = np.where(decayed, 0, plateau_count)
+        active = active & ~(stall_count > early_stop_patience)
+        if not active.any():
+            break
+    elapsed = time.perf_counter() - t_start
+
+    split_results = {
+        split: evaluate(best_params, batches)
+        for split, batches in (
+            ("train", train_batches), ("val", val_batches),
+            ("test", test_batches),
+        )
+    }
+    results = []
+    for i in range(k):
+        res = {
+            "num_params": num_params,
+            "elapsed_time": elapsed,
+            "time_per_epoch": elapsed / max(int(epochs_run[i]), 1),
+            "epochs_run": int(epochs_run[i]),
+            "best_epoch": int(best_epoch[i]),
+            "nfe_per_epoch": None,
+            "nfe": None,
+            "memory_usage": None,
+            "history": histories[i],
+        }
+        for split, per_trial in split_results.items():
+            res.update({f"{split}.{kk}": v for kk, v in per_trial[i].items()})
+        results.append(res)
+    return results
