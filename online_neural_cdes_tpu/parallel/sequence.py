@@ -38,7 +38,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from online_neural_cdes_tpu.ops import solvers
-from online_neural_cdes_tpu.ops.cdeint import _one_interval, _piece_field
+from online_neural_cdes_tpu.ops.cdeint import (
+    _interval_adjoint_bwd,
+    _one_interval,
+    _piece_field,
+)
 
 __all__ = ["make_sequence_mesh", "ncde_apply_pipelined", "pipelined_cde_solve"]
 
@@ -49,6 +53,224 @@ def make_sequence_mesh(n_seq: Optional[int] = None, axis: str = "seq") -> Mesh:
     devices = jax.devices()
     n = n_seq or len(devices)
     return Mesh(np.array(devices[:n]).reshape(n), (axis,))
+
+
+def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps):
+    """O(1)-activation-memory training through the time pipeline
+    (terminal-state solves): a ``custom_vjp`` whose backward pass runs the
+    pipeline in REVERSE — hidden-state/adjoint pairs stream device
+    n-1 -> 0 over a backward ``ppermute`` schedule while each stage
+    re-integrates the augmented state ``(z, a_z, a_piece, a_args)`` through
+    its own knot chunk via :func:`ops.cdeint._interval_adjoint_bwd`.
+    The only forward residual beyond the terminal states is each device's
+    (M, b, H) chunk-BOUNDARY states — one batch-worth per device,
+    independent of the chunk length — handed down the reverse schedule so
+    every stage starts its adjoint from the exact forward state (only the
+    within-chunk ``z`` is reverse-integrated; gradients agree with the
+    stored-state interval adjoint to solver order — tested).  Activation
+    memory is O(carries), independent of ticks x chunk work (builder
+    NEXT.md r2 #5 / VERDICT r2 next #3)."""
+    fwd_perm = [(i, i + 1) for i in range(n - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n)]
+
+    def _local_slice(pieces_l, mb_start, b_loc):
+        return jax.tree.map(
+            lambda leaf: leaf if leaf.ndim < 2 else
+            jax.lax.dynamic_slice_in_dim(leaf, mb_start, b_loc, axis=1),
+            pieces_l,
+        )
+
+    def local_fwd(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
+        k = jax.lax.axis_index(axis)
+        b_loc = z0_mb.shape[1]
+
+        def chunk_solve(z, mb_start):
+            p_mb = _local_slice(pieces_l, mb_start, b_loc)
+
+            def interval(zz, inp):
+                piece, t0, t1 = inp
+                return _one_interval(step, pf, piece, t0, t1, zz, args_l,
+                                     substeps), None
+
+            z, _ = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
+            return z
+
+        def tick(carry, s):
+            buf, outs, bnd = carry
+            inject = z0_mb[jnp.clip(s, 0, M - 1)]
+            x_in = jnp.where(k == 0, inject, buf)
+            m_here = jnp.clip(s - k, 0, M - 1)
+            # Stash the chunk-boundary state z_{m,k} this device consumed:
+            # the backward pass hands it down the reverse schedule so stage
+            # k-1 starts its adjoint from the exact forward state.
+            here_valid = (s - k >= 0) & (s - k < M)
+            cur_b = jax.lax.dynamic_slice_in_dim(bnd, m_here, 1, 0)[0]
+            bnd = jax.lax.dynamic_update_slice_in_dim(
+                bnd, jnp.where(here_valid, x_in, cur_b)[None], m_here, 0
+            )
+            y = chunk_solve(x_in, m_here * b_loc)
+            buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
+            m_out = s - (n - 1)
+            slot = jnp.clip(m_out, 0, M - 1)
+            valid = (m_out >= 0) & (k == n - 1)
+            current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
+            outs = jax.lax.dynamic_update_slice_in_dim(
+                outs, jnp.where(valid, y, current)[None], slot, 0
+            )
+            return (buf, outs, bnd), None
+
+        (_, outs, bnd), _ = jax.lax.scan(
+            tick,
+            (jnp.zeros_like(z0_mb[0]), jnp.zeros_like(z0_mb),
+             jnp.zeros_like(z0_mb)),
+            jnp.arange(M + n - 1),
+        )
+        return jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis), bnd[None]
+
+    def local_bwd(g_mb, zout_mb, bnd_l, t0s_l, t1s_l, pieces_l, args_l):
+        k = jax.lax.axis_index(axis)
+        b_loc = g_mb.shape[1]
+        bnd_l = bnd_l[0]                    # (M, b_loc, H) own boundaries
+
+        def chunk_adjoint(z_end, a, args_bar, mb_start):
+            p_mb = _local_slice(pieces_l, mb_start, b_loc)
+
+            def interval_bwd(carry, inp):
+                z, a_, ab = carry
+                piece, t0, t1 = inp
+                z, a_, ab, pb = _interval_adjoint_bwd(
+                    step, pf, piece, t0, t1, z, a_, args_l, ab, substeps,
+                    return_state=True,
+                )
+                return (z, a_, ab), pb
+
+            (z, a, args_bar), pbs = jax.lax.scan(
+                interval_bwd, (z_end, a, args_bar),
+                (p_mb, t0s_l, t1s_l), reverse=True,
+            )
+            return z, a, args_bar, pbs
+
+        zero_args = jax.tree.map(jnp.zeros_like, args_l)
+        pb_buf0 = jax.tree.map(jnp.zeros_like, pieces_l)
+
+        def tick(carry, s):
+            zbuf, abuf, args_bar, pb_buf, z0_bar = carry
+            # Device n-1 injects microbatch M-1-s; device k processes
+            # microbatch m at reverse tick s = (M-1-m) + (n-1-k).
+            m_inj = jnp.clip(M - 1 - s, 0, M - 1)
+            z_in = jnp.where(k == n - 1, zout_mb[m_inj], zbuf)
+            a_in = jnp.where(k == n - 1, g_mb[m_inj], abuf)
+            m_here = M - 1 - (s - (n - 1 - k))
+            valid = (m_here >= 0) & (m_here < M)
+            mc = jnp.clip(m_here, 0, M - 1)
+            z, a, args_bar_new, pbs = chunk_adjoint(
+                z_in, a_in, args_bar, mc * b_loc
+            )
+            args_bar = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old),
+                args_bar_new, args_bar,
+            )
+
+            def upd_pb(buf, pb):
+                if buf.ndim < 2:
+                    # Batch-free per-piece leaves (e.g. smoothing flags):
+                    # cotangents sum over microbatches.
+                    return buf + jnp.where(valid, pb, jnp.zeros_like(pb))
+                cur = jax.lax.dynamic_slice_in_dim(buf, mc * b_loc, b_loc, 1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, jnp.where(valid, pb, cur), mc * b_loc, 1
+                )
+
+            pb_buf = jax.tree.map(upd_pb, pb_buf, pbs)
+            # Hand the EXACT stored boundary state z_{m,k} (this chunk's
+            # forward input) downstream — not the reverse-integrated z —
+            # so stage k-1's adjoint starts drift-free.
+            z_send = jax.lax.dynamic_slice_in_dim(bnd_l, mc, 1, 0)[0]
+            zbuf = jax.lax.ppermute(z_send, axis, bwd_perm) if n > 1 else z_send
+            abuf = jax.lax.ppermute(a, axis, bwd_perm) if n > 1 else a
+            del z
+            # Device 0 finished microbatch m_here: a at t=0 is dL/dz0[m].
+            done = valid & (k == 0)
+            cur0 = jax.lax.dynamic_slice_in_dim(z0_bar, mc, 1, 0)[0]
+            z0_bar = jax.lax.dynamic_update_slice_in_dim(
+                z0_bar, jnp.where(done, a, cur0)[None], mc, 0
+            )
+            return (zbuf, abuf, args_bar, pb_buf, z0_bar), None
+
+        carry0 = (
+            jnp.zeros_like(g_mb[0]), jnp.zeros_like(g_mb[0]),
+            zero_args, pb_buf0, jnp.zeros_like(g_mb),
+        )
+        (_, _, args_bar, pb_buf, z0_bar), _ = jax.lax.scan(
+            tick, carry0, jnp.arange(M + n - 1)
+        )
+        # Each device holds its own chunk's piece cotangents; args/z0
+        # cotangents accumulate across stages (and the data axis holds
+        # distinct batch rows, so batch-free piece leaves must sum there).
+        args_bar = jax.lax.psum(args_bar, axis)
+        if data_axis is not None:
+            args_bar = jax.lax.psum(args_bar, data_axis)
+            pb_buf = jax.tree.map(
+                lambda leaf: leaf if leaf.ndim >= 2
+                else jax.lax.psum(leaf, data_axis),
+                pb_buf,
+            )
+        z0_bar = jax.lax.psum(jnp.where(k == 0, z0_bar, 0.0), axis)
+        return z0_bar, pb_buf, args_bar
+
+    seq_spec = P(axis)
+    repl = P()
+
+    def specs(pieces):
+        if data_axis is None:
+            z_spec, out_spec = repl, repl
+            bnd_spec = P(axis)
+            pieces_spec = jax.tree.map(
+                lambda leaf: seq_spec if leaf.ndim < 2 else P(axis, None),
+                pieces,
+            )
+        else:
+            z_spec, out_spec = P(None, data_axis), P(None, data_axis)
+            bnd_spec = P(axis, None, data_axis)
+            pieces_spec = jax.tree.map(
+                lambda leaf: P(axis, data_axis) if leaf.ndim >= 2 else P(axis),
+                pieces,
+            )
+        return z_spec, out_spec, bnd_spec, pieces_spec
+
+    def run_fwd(z0_mb, t0s, t1s, pieces, args):
+        z_spec, out_spec, bnd_spec, pieces_spec = specs(pieces)
+        run = jax.shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(z_spec, seq_spec, seq_spec, pieces_spec, repl),
+            out_specs=(out_spec, bnd_spec), check_vma=False,
+        )
+        return jax.jit(run)(z0_mb, t0s, t1s, pieces, args)
+
+    @jax.custom_vjp
+    def solve(z0_mb, t0s, t1s, pieces, args):
+        return run_fwd(z0_mb, t0s, t1s, pieces, args)[0]
+
+    def solve_fwd(z0_mb, t0s, t1s, pieces, args):
+        outs, bnd = run_fwd(z0_mb, t0s, t1s, pieces, args)
+        return outs, (outs, bnd, t0s, t1s, pieces, args)
+
+    def solve_bwd(res, g):
+        outs, bnd, t0s, t1s, pieces, args = res
+        z_spec, out_spec, bnd_spec, pieces_spec = specs(pieces)
+        run = jax.shard_map(
+            local_bwd, mesh=mesh,
+            in_specs=(z_spec, z_spec, bnd_spec, seq_spec, seq_spec,
+                      pieces_spec, repl),
+            out_specs=(z_spec, pieces_spec, repl), check_vma=False,
+        )
+        z0_bar, piece_bars, args_bar = jax.jit(run)(g, outs, bnd, t0s, t1s,
+                                                    pieces, args)
+        return z0_bar, jnp.zeros_like(t0s), jnp.zeros_like(t1s), \
+            piece_bars, args_bar
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
 
 
 def pipelined_cde_solve(
@@ -66,6 +288,7 @@ def pipelined_cde_solve(
     vector_field_type: str = "matmul",
     return_sequences: bool = False,
     remat: bool = False,
+    adjoint: bool = False,
 ) -> jax.Array:
     """Solve dz = f(t, z) dX over ``X.interval`` with the knot axis
     pipelined across ``mesh[axis]``.  Returns the ``(B, H)`` terminal
@@ -92,6 +315,12 @@ def pipelined_cde_solve(
            activation memory drops from O(ticks × chunk work) to
            O(ticks × carries), the right trade for the long sequences
            this pipeline exists for.
+        adjoint: O(1)-activation-memory training (terminal-state solves
+           only): the backward pass is a REVERSE pipeline re-integrating
+           the augmented adjoint state stage-locally — no per-tick
+           residuals at all (see :func:`_pipelined_terminal_adjoint`).
+           Gradients match the stored-state interval adjoint to solver
+           order.  Mutually exclusive with ``return_sequences``.
 
     Returns:
         ``(B, H)`` terminal states — bitwise-comparable to the plain
@@ -144,6 +373,27 @@ def pipelined_cde_solve(
             z0.reshape(n_data, M, b // n_data, *z0.shape[1:])
             .swapaxes(0, 1)
             .reshape(M, b, *z0.shape[1:])
+        )
+
+    if adjoint:
+        if return_sequences:
+            raise ValueError(
+                "adjoint=True through the pipeline supports terminal-state "
+                "solves only: per-knot (online) outputs inject cotangents "
+                "at every knot, which the reverse-streamed adjoint does "
+                "not carry — use remat=True for online tasks."
+            )
+        solve_adj = _pipelined_terminal_adjoint(
+            pf, step, mesh, axis, data_axis, n, M, substeps
+        )
+        outs = solve_adj(z0_mb, t0s, t1s, pieces, args)
+        feat = z0.shape[1:]
+        if data_axis is None:
+            return outs.reshape(B, *feat)
+        return (
+            outs.reshape(M, n_data, b // n_data, *feat)
+            .swapaxes(0, 1)
+            .reshape(B, *feat)
         )
 
     def local(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
@@ -276,6 +526,7 @@ def ncde_apply_pipelined(
     data_axis: Optional[str] = None,
     microbatches: Optional[int] = None,
     remat: bool = False,
+    adjoint: bool = False,
 ):
     """NeuralCDE forward with the solve routed through the time pipeline:
     the model-zoo entry point for sequence-sharded long-context inference
@@ -310,6 +561,7 @@ def ncde_apply_pipelined(
         data_axis=data_axis, method=model.solver, substeps=substeps,
         microbatches=microbatches, vector_field_type=vf_type,
         return_sequences=model.return_sequences, remat=remat,
+        adjoint=adjoint,
     )
     if not model.return_sequences:
         # _make_outputs expects a time axis at -2.

@@ -334,3 +334,163 @@ def test_data_by_sequence_composed_pipeline():
     with pytest.raises(ValueError, match="divide over"):
         pipelined_cde_solve(spline, func, z0[:6], params, mesh=mesh,
                             data_axis="data", microbatches=2)
+
+
+def _adjoint_pipe_setup(L, B=16, C=3, H=8, seed=7):
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE, make_spline
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, L, C)) * 0.3, jnp.float32)
+    model = NeuralCDE(input_dim=C, hidden_dim=H, output_dim=2,
+                      hidden_hidden_dim=12, num_layers=1, adjoint=False)
+    field = model.field
+    params = model.init(jax.random.PRNGKey(0))["field"]
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    z0 = jnp.asarray(rng.normal(size=(B, H)) * 0.1, jnp.float32)
+    return x, func, z0, params
+
+
+def test_sequence_pipeline_adjoint_matches_interval_adjoint():
+    """VERDICT r2 #3: the O(1)-memory adjoint through the reverse-scheduled
+    pipeline must reproduce the plain interval adjoint's gradients at
+    tolerance on the 8-device mesh — for params, z0 AND the interpolation
+    coefficients.  The residual gap is within-chunk reverse-integration
+    truncation (the stored-state adjoint resets z per knot; the pipeline
+    resets per CHUNK boundary), so it must shrink at solver order as the
+    step refines — asserted via substeps."""
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    x, func, z0, params = _adjoint_pipe_setup(L=17)
+    mesh = make_sequence_mesh(8)
+
+    def loss_pipe(p, z, xx, substeps=1):
+        spline = make_spline("linear", linear_interpolation_coeffs(xx))
+        out = pipelined_cde_solve(spline, func, z, p, mesh=mesh,
+                                  microbatches=4, adjoint=True,
+                                  substeps=substeps)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(p, z, xx, substeps=1):
+        spline = make_spline("linear", linear_interpolation_coeffs(xx))
+        out = cdeint(spline, func, z, spline.interval, p, adjoint=True,
+                     method="rk4",
+                     options={"substeps": substeps})[..., -1, :]
+        return jnp.sum(out ** 2)
+
+    val_p = float(loss_pipe(params, z0, x))
+    val_r = float(loss_ref(params, z0, x))
+    np.testing.assert_allclose(val_p, val_r, rtol=1e-6)
+
+    g_pipe = jax.grad(loss_pipe, argnums=(0, 1, 2))(params, z0, x)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z0, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g_pipe, g_ref,
+    )
+
+    def max_gap(substeps):
+        gp = jax.grad(loss_pipe, argnums=(0, 1, 2))(params, z0, x, substeps)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z0, x, substeps)
+        return max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr))
+        )
+
+    gap1, gap4 = max_gap(1), max_gap(4)
+    assert gap4 < gap1 / 4, (gap1, gap4)   # truncation-order, not a bug
+    assert gap4 < 5e-5, (gap1, gap4)
+
+
+def test_sequence_pipeline_adjoint_composes_with_data_axis():
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import pipelined_cde_solve
+    from jax.sharding import Mesh
+
+    # 8 pieces over the 4-way seq axis: 2 intervals/chunk, matching the
+    # single-axis test's within-chunk reverse-integration drift scale.
+    x, func, z0, params = _adjoint_pipe_setup(L=9, B=16)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "seq"))
+    spline = make_spline("linear", linear_interpolation_coeffs(x))
+
+    def loss_pipe(p):
+        out = pipelined_cde_solve(spline, func, z0, p, mesh=mesh,
+                                  data_axis="data", microbatches=4,
+                                  adjoint=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(p):
+        out = cdeint(spline, func, z0, spline.interval, p, adjoint=True,
+                     method="rk4")[..., -1, :]
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(float(loss_pipe(params)),
+                               float(loss_ref(params)), rtol=1e-6)
+    g, gr = jax.grad(loss_pipe)(params), jax.grad(loss_ref)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g, gr,
+    )
+
+
+def test_sequence_pipeline_adjoint_rejects_return_sequences():
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    x, func, z0, params = _adjoint_pipe_setup(L=17, B=8)
+    spline = make_spline("linear", linear_interpolation_coeffs(x))
+    with pytest.raises(ValueError, match="terminal-state"):
+        pipelined_cde_solve(spline, func, z0, params,
+                            mesh=make_sequence_mesh(8), microbatches=4,
+                            adjoint=True, return_sequences=True)
+
+
+def test_sequence_pipeline_adjoint_memory_flat_in_ticks():
+    """The adjoint pipeline's compiled temp memory must stay ~flat as the
+    knot count (ticks x chunk length) grows, while direct AD's residuals
+    grow linearly — the measured curve VERDICT r2 #3 asks for."""
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    mesh = make_sequence_mesh(8)
+
+    def temp_bytes(L, adjoint):
+        x, func, z0, params = _adjoint_pipe_setup(L=L, B=8)
+        spline = make_spline("linear", linear_interpolation_coeffs(x))
+
+        def loss(p):
+            out = pipelined_cde_solve(spline, func, z0, p, mesh=mesh,
+                                      microbatches=4, adjoint=adjoint)
+            return jnp.sum(out ** 2)
+
+        compiled = jax.jit(jax.grad(loss)).lower(params).compile()
+        return compiled.memory_analysis().temp_size_in_bytes
+
+    lengths = (17, 65, 257)            # 16 -> 64 -> 256 pieces
+    adj = [temp_bytes(L, True) for L in lengths]
+    direct = [temp_bytes(L, False) for L in lengths]
+    # Direct AD stores per-interval residuals: 16x more pieces must grow
+    # its temp footprint substantially; the adjoint's must stay ~flat.
+    assert direct[2] > 4 * direct[0], (direct,)
+    assert adj[2] < 2 * adj[0] + 65536, (adj,)
+    assert adj[2] < direct[2] / 4, (adj, direct)
