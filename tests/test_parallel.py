@@ -486,11 +486,11 @@ def test_sequence_pipeline_adjoint_memory_flat_in_ticks():
         compiled = jax.jit(jax.grad(loss)).lower(params).compile()
         return compiled.memory_analysis().temp_size_in_bytes
 
-    lengths = (17, 65, 257)            # 16 -> 64 -> 256 pieces
+    lengths = (17, 129)                # 16 -> 128 pieces (8x)
     adj = [temp_bytes(L, True) for L in lengths]
     direct = [temp_bytes(L, False) for L in lengths]
-    # Direct AD stores per-interval residuals: 16x more pieces must grow
+    # Direct AD stores per-interval residuals: 8x more pieces must grow
     # its temp footprint substantially; the adjoint's must stay ~flat.
-    assert direct[2] > 4 * direct[0], (direct,)
-    assert adj[2] < 2 * adj[0] + 65536, (adj,)
-    assert adj[2] < direct[2] / 4, (adj, direct)
+    assert direct[1] > 4 * direct[0], (direct,)
+    assert adj[1] < 2 * adj[0] + 65536, (adj,)
+    assert adj[1] < direct[1] / 4, (adj, direct)
