@@ -26,7 +26,9 @@ jax.config.update("jax_enable_x64", True)
 # jitted shapes x 8 virtual devices); repeat runs hit the cache on disk.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# 0.1s threshold: the suite is dominated by many MEDIUM compiles
+# (0.1-0.5 s) that a 0.5 s threshold recompiled every run.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
