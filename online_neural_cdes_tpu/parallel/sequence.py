@@ -55,21 +55,28 @@ def make_sequence_mesh(n_seq: Optional[int] = None, axis: str = "seq") -> Mesh:
     return Mesh(np.array(devices[:n]).reshape(n), (axis,))
 
 
-def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps):
-    """O(1)-activation-memory training through the time pipeline
-    (terminal-state solves): a ``custom_vjp`` whose backward pass runs the
-    pipeline in REVERSE — hidden-state/adjoint pairs stream device
-    n-1 -> 0 over a backward ``ppermute`` schedule while each stage
-    re-integrates the augmented state ``(z, a_z, a_piece, a_args)`` through
-    its own knot chunk via :func:`ops.cdeint._interval_adjoint_bwd`.
-    The only forward residual beyond the terminal states is each device's
-    (M, b, H) chunk-BOUNDARY states — one batch-worth per device,
-    independent of the chunk length — handed down the reverse schedule so
-    every stage starts its adjoint from the exact forward state (only the
-    within-chunk ``z`` is reverse-integrated; gradients agree with the
-    stored-state interval adjoint to solver order — tested).  Activation
-    memory is O(carries), independent of ticks x chunk work (builder
-    NEXT.md r2 #5 / VERDICT r2 next #3)."""
+def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
+                       seq: bool):
+    """O(1)-activation-memory training through the time pipeline: a
+    ``custom_vjp`` whose backward pass runs the pipeline in REVERSE —
+    hidden-state/adjoint pairs stream device n-1 -> 0 over a backward
+    ``ppermute`` schedule while each stage re-integrates the augmented
+    state ``(z, a_z, a_piece, a_args)`` through its own knot chunk via
+    :func:`ops.cdeint._interval_adjoint_bwd`.  The only forward residual
+    beyond the outputs is each device's (M, b, H) chunk-BOUNDARY states —
+    one batch-worth per device, independent of the chunk length — handed
+    down the reverse schedule so every stage starts its adjoint from the
+    exact forward state (only the within-chunk ``z`` is
+    reverse-integrated; gradients agree with the stored-state interval
+    adjoint to solver order — tested).  Activation memory is O(carries),
+    independent of ticks x chunk work (builder NEXT.md r2 #5 / VERDICT r2
+    next #3).
+
+    With ``seq=True`` (online tasks) the solve also emits per-knot states,
+    and the backward injects each knot's cotangent at the device that owns
+    it: inside a stage's reverse interval scan, ``a += g_knot[i]`` before
+    interval i is re-integrated — the pipelined analogue of the plain
+    interval adjoint's per-output ``a += g_r`` (ops/cdeint.py)."""
     fwd_perm = [(i, i + 1) for i in range(n - 1)]
     bwd_perm = [(i, i - 1) for i in range(1, n)]
 
@@ -83,20 +90,22 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
     def local_fwd(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
         k = jax.lax.axis_index(axis)
         b_loc = z0_mb.shape[1]
+        Tc = t0s_l.shape[0]
 
         def chunk_solve(z, mb_start):
             p_mb = _local_slice(pieces_l, mb_start, b_loc)
 
             def interval(zz, inp):
                 piece, t0, t1 = inp
-                return _one_interval(step, pf, piece, t0, t1, zz, args_l,
-                                     substeps), None
+                zz = _one_interval(step, pf, piece, t0, t1, zz, args_l,
+                                   substeps)
+                return zz, zz
 
-            z, _ = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
-            return z
+            z, zs = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
+            return z, zs
 
         def tick(carry, s):
-            buf, outs, bnd = carry
+            buf, outs, bnd, seqb = carry
             inject = z0_mb[jnp.clip(s, 0, M - 1)]
             x_in = jnp.where(k == 0, inject, buf)
             m_here = jnp.clip(s - k, 0, M - 1)
@@ -108,7 +117,12 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
             bnd = jax.lax.dynamic_update_slice_in_dim(
                 bnd, jnp.where(here_valid, x_in, cur_b)[None], m_here, 0
             )
-            y = chunk_solve(x_in, m_here * b_loc)
+            y, zs = chunk_solve(x_in, m_here * b_loc)
+            if seq:
+                cur_s = jax.lax.dynamic_slice_in_dim(seqb, m_here, 1, 0)[0]
+                seqb = jax.lax.dynamic_update_slice_in_dim(
+                    seqb, jnp.where(here_valid, zs, cur_s)[None], m_here, 0
+                )
             buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
             m_out = s - (n - 1)
             slot = jnp.clip(m_out, 0, M - 1)
@@ -117,27 +131,38 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
             outs = jax.lax.dynamic_update_slice_in_dim(
                 outs, jnp.where(valid, y, current)[None], slot, 0
             )
-            return (buf, outs, bnd), None
+            return (buf, outs, bnd, seqb), None
 
-        (_, outs, bnd), _ = jax.lax.scan(
+        seq0 = (
+            jnp.zeros((M, Tc) + z0_mb.shape[1:], z0_mb.dtype)
+            if seq else jnp.zeros((0,), z0_mb.dtype)
+        )
+        (_, outs, bnd, seqb), _ = jax.lax.scan(
             tick,
             (jnp.zeros_like(z0_mb[0]), jnp.zeros_like(z0_mb),
-             jnp.zeros_like(z0_mb)),
+             jnp.zeros_like(z0_mb), seq0),
             jnp.arange(M + n - 1),
         )
-        return jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis), bnd[None]
+        outs = jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis)
+        if seq:
+            return outs, bnd[None], seqb
+        return outs, bnd[None]
 
-    def local_bwd(g_mb, zout_mb, bnd_l, t0s_l, t1s_l, pieces_l, args_l):
+    def local_bwd(g_mb, g_seq_l, zout_mb, bnd_l, t0s_l, t1s_l, pieces_l,
+                  args_l):
         k = jax.lax.axis_index(axis)
         b_loc = g_mb.shape[1]
         bnd_l = bnd_l[0]                    # (M, b_loc, H) own boundaries
 
-        def chunk_adjoint(z_end, a, args_bar, mb_start):
+        def chunk_adjoint(z_end, a, args_bar, mb_start, g_chunk):
             p_mb = _local_slice(pieces_l, mb_start, b_loc)
 
             def interval_bwd(carry, inp):
                 z, a_, ab = carry
-                piece, t0, t1 = inp
+                piece, t0, t1, g_knot = inp
+                # The state at this interval's END is an output knot: its
+                # cotangent joins the adjoint before the reverse step.
+                a_ = a_ + g_knot
                 z, a_, ab, pb = _interval_adjoint_bwd(
                     step, pf, piece, t0, t1, z, a_, args_l, ab, substeps,
                     return_state=True,
@@ -146,12 +171,14 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
 
             (z, a, args_bar), pbs = jax.lax.scan(
                 interval_bwd, (z_end, a, args_bar),
-                (p_mb, t0s_l, t1s_l), reverse=True,
+                (p_mb, t0s_l, t1s_l, g_chunk), reverse=True,
             )
             return z, a, args_bar, pbs
 
         zero_args = jax.tree.map(jnp.zeros_like, args_l)
         pb_buf0 = jax.tree.map(jnp.zeros_like, pieces_l)
+        Tc = t0s_l.shape[0]
+        zero_gchunk = jnp.zeros((Tc,) + g_mb.shape[1:], g_mb.dtype)
 
         def tick(carry, s):
             zbuf, abuf, args_bar, pb_buf, z0_bar = carry
@@ -163,8 +190,12 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
             m_here = M - 1 - (s - (n - 1 - k))
             valid = (m_here >= 0) & (m_here < M)
             mc = jnp.clip(m_here, 0, M - 1)
+            g_chunk = (
+                jax.lax.dynamic_slice_in_dim(g_seq_l, mc, 1, 0)[0]
+                if seq else zero_gchunk
+            )
             z, a, args_bar_new, pbs = chunk_adjoint(
-                z_in, a_in, args_bar, mc * b_loc
+                z_in, a_in, args_bar, mc * b_loc, g_chunk
             )
             args_bar = jax.tree.map(
                 lambda new, old: jnp.where(valid, new, old),
@@ -225,6 +256,7 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
         if data_axis is None:
             z_spec, out_spec = repl, repl
             bnd_spec = P(axis)
+            seq_out_spec = P(None, axis)
             pieces_spec = jax.tree.map(
                 lambda leaf: seq_spec if leaf.ndim < 2 else P(axis, None),
                 pieces,
@@ -232,40 +264,55 @@ def _pipelined_terminal_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps)
         else:
             z_spec, out_spec = P(None, data_axis), P(None, data_axis)
             bnd_spec = P(axis, None, data_axis)
+            seq_out_spec = P(None, axis, data_axis)
             pieces_spec = jax.tree.map(
                 lambda leaf: P(axis, data_axis) if leaf.ndim >= 2 else P(axis),
                 pieces,
             )
-        return z_spec, out_spec, bnd_spec, pieces_spec
+        return z_spec, out_spec, bnd_spec, seq_out_spec, pieces_spec
 
     def run_fwd(z0_mb, t0s, t1s, pieces, args):
-        z_spec, out_spec, bnd_spec, pieces_spec = specs(pieces)
+        z_spec, out_spec, bnd_spec, seq_out_spec, pieces_spec = specs(pieces)
+        out_specs = (
+            (out_spec, bnd_spec, seq_out_spec) if seq
+            else (out_spec, bnd_spec)
+        )
         run = jax.shard_map(
             local_fwd, mesh=mesh,
             in_specs=(z_spec, seq_spec, seq_spec, pieces_spec, repl),
-            out_specs=(out_spec, bnd_spec), check_vma=False,
+            out_specs=out_specs, check_vma=False,
         )
         return jax.jit(run)(z0_mb, t0s, t1s, pieces, args)
 
     @jax.custom_vjp
     def solve(z0_mb, t0s, t1s, pieces, args):
-        return run_fwd(z0_mb, t0s, t1s, pieces, args)[0]
+        res = run_fwd(z0_mb, t0s, t1s, pieces, args)
+        return (res[0], res[2]) if seq else res[0]
 
     def solve_fwd(z0_mb, t0s, t1s, pieces, args):
-        outs, bnd = run_fwd(z0_mb, t0s, t1s, pieces, args)
+        res = run_fwd(z0_mb, t0s, t1s, pieces, args)
+        if seq:
+            outs, bnd, seqb = res
+            return (outs, seqb), (outs, bnd, t0s, t1s, pieces, args)
+        outs, bnd = res
         return outs, (outs, bnd, t0s, t1s, pieces, args)
 
     def solve_bwd(res, g):
         outs, bnd, t0s, t1s, pieces, args = res
-        z_spec, out_spec, bnd_spec, pieces_spec = specs(pieces)
+        if seq:
+            g_outs, g_seq = g
+        else:
+            g_outs, g_seq = g, jnp.zeros((0,), outs.dtype)
+        z_spec, out_spec, bnd_spec, seq_out_spec, pieces_spec = specs(pieces)
+        g_seq_spec = seq_out_spec if seq else repl
         run = jax.shard_map(
             local_bwd, mesh=mesh,
-            in_specs=(z_spec, z_spec, bnd_spec, seq_spec, seq_spec,
-                      pieces_spec, repl),
+            in_specs=(z_spec, g_seq_spec, z_spec, bnd_spec, seq_spec,
+                      seq_spec, pieces_spec, repl),
             out_specs=(z_spec, pieces_spec, repl), check_vma=False,
         )
-        z0_bar, piece_bars, args_bar = jax.jit(run)(g, outs, bnd, t0s, t1s,
-                                                    pieces, args)
+        z0_bar, piece_bars, args_bar = jax.jit(run)(
+            g_outs, g_seq, outs, bnd, t0s, t1s, pieces, args)
         return z0_bar, jnp.zeros_like(t0s), jnp.zeros_like(t1s), \
             piece_bars, args_bar
 
@@ -315,12 +362,13 @@ def pipelined_cde_solve(
            activation memory drops from O(ticks × chunk work) to
            O(ticks × carries), the right trade for the long sequences
            this pipeline exists for.
-        adjoint: O(1)-activation-memory training (terminal-state solves
-           only): the backward pass is a REVERSE pipeline re-integrating
-           the augmented adjoint state stage-locally — no per-tick
-           residuals at all (see :func:`_pipelined_terminal_adjoint`).
+        adjoint: O(1)-activation-memory training: the backward pass is a
+           REVERSE pipeline re-integrating the augmented adjoint state
+           stage-locally — no per-tick residuals at all (see
+           :func:`_pipelined_adjoint`).  With ``return_sequences`` each
+           knot's cotangent is injected at the device that owns it.
            Gradients match the stored-state interval adjoint to solver
-           order.  Mutually exclusive with ``return_sequences``.
+           order.
 
     Returns:
         ``(B, H)`` terminal states — bitwise-comparable to the plain
@@ -376,25 +424,34 @@ def pipelined_cde_solve(
         )
 
     if adjoint:
-        if return_sequences:
-            raise ValueError(
-                "adjoint=True through the pipeline supports terminal-state "
-                "solves only: per-knot (online) outputs inject cotangents "
-                "at every knot, which the reverse-streamed adjoint does "
-                "not carry — use remat=True for online tasks."
-            )
-        solve_adj = _pipelined_terminal_adjoint(
-            pf, step, mesh, axis, data_axis, n, M, substeps
+        solve_adj = _pipelined_adjoint(
+            pf, step, mesh, axis, data_axis, n, M, substeps,
+            seq=return_sequences,
         )
-        outs = solve_adj(z0_mb, t0s, t1s, pieces, args)
         feat = z0.shape[1:]
+        if not return_sequences:
+            outs = solve_adj(z0_mb, t0s, t1s, pieces, args)
+            if data_axis is None:
+                return outs.reshape(B, *feat)
+            return (
+                outs.reshape(M, n_data, b // n_data, *feat)
+                .swapaxes(0, 1)
+                .reshape(B, *feat)
+            )
+        _, seq = solve_adj(z0_mb, t0s, t1s, pieces, args)
+        # (M, n_pieces, b, H) -> (B, n_pieces, H) (+ z0 row), matching the
+        # non-adjoint seq layout below; the concat is differentiable, so
+        # the z0 row's cotangent reaches z0 directly while per-knot
+        # cotangents flow through the reverse pipeline.
         if data_axis is None:
-            return outs.reshape(B, *feat)
-        return (
-            outs.reshape(M, n_data, b // n_data, *feat)
-            .swapaxes(0, 1)
-            .reshape(B, *feat)
-        )
+            seq = jnp.moveaxis(seq, 2, 1).reshape(B, n_pieces, *feat)
+        else:
+            seq = (
+                seq.reshape(M, n_pieces, n_data, b // n_data, *feat)
+                .transpose(2, 0, 3, 1, *range(4, 4 + len(feat)))
+                .reshape(B, n_pieces, *feat)
+            )
+        return jnp.concatenate([z0[:, None], seq], axis=1)
 
     def local(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
         # Shapes on each device: t0s_l/t1s_l (Tc,), pieces_l leaves

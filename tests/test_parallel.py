@@ -445,20 +445,88 @@ def test_sequence_pipeline_adjoint_composes_with_data_axis():
     )
 
 
-def test_sequence_pipeline_adjoint_rejects_return_sequences():
+def test_sequence_pipeline_adjoint_online_matches_interval_adjoint():
+    """return_sequences + adjoint: per-knot cotangents are injected at the
+    owning devices in the reverse pipeline — gradients (params, z0,
+    coeffs) of an ONLINE loss over every knot match the plain interval
+    adjoint at tolerance, on both the seq-8 and the composed 2x4 mesh."""
     from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
     from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
     from online_neural_cdes_tpu.parallel.sequence import (
         make_sequence_mesh,
         pipelined_cde_solve,
     )
+    from jax.sharding import Mesh
 
-    x, func, z0, params = _adjoint_pipe_setup(L=17, B=8)
+    x, func, z0, params = _adjoint_pipe_setup(L=17)
+    w = jnp.asarray(
+        np.random.default_rng(9).normal(size=(17,)), jnp.float32)
+
+    def loss_ref(p, z, xx):
+        spline = make_spline("linear", linear_interpolation_coeffs(xx))
+        out = cdeint(spline, func, z, spline.grid_points, p, adjoint=True,
+                     method="rk4", options={"substeps": 2})
+        return jnp.sum((out * w[:, None]) ** 2)
+
+    def make_loss_pipe(mesh, data_axis):
+        def loss_pipe(p, z, xx):
+            spline = make_spline("linear", linear_interpolation_coeffs(xx))
+            out = pipelined_cde_solve(
+                spline, func, z, p, mesh=mesh, data_axis=data_axis,
+                microbatches=4, adjoint=True, return_sequences=True,
+                substeps=2)
+            # pipeline layout (B, L, H) matches cdeint's (..., L, H)
+            return jnp.sum((jnp.moveaxis(out, 1, 1) * w[:, None]) ** 2)
+
+        return loss_pipe
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, z0, x)
+    val_r = float(loss_ref(params, z0, x))
+    loss_pipe = make_loss_pipe(make_sequence_mesh(8), None)
+    np.testing.assert_allclose(float(loss_pipe(params, z0, x)), val_r,
+                               rtol=1e-6)
+    g_pipe = jax.grad(loss_pipe, argnums=(0, 1, 2))(params, z0, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g_pipe, g_ref,
+    )
+
+
+def test_sequence_pipeline_adjoint_online_composes_with_data_axis():
+    """Online pipeline adjoint on the composed 2x4 (data, seq) mesh —
+    chunk length matched to the single-axis test (8 pieces / 4 stages)."""
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import pipelined_cde_solve
+    from jax.sharding import Mesh
+
+    x, func, z0, params = _adjoint_pipe_setup(L=9, B=16)
+    w = jnp.asarray(np.random.default_rng(9).normal(size=(9,)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "seq"))
     spline = make_spline("linear", linear_interpolation_coeffs(x))
-    with pytest.raises(ValueError, match="terminal-state"):
-        pipelined_cde_solve(spline, func, z0, params,
-                            mesh=make_sequence_mesh(8), microbatches=4,
-                            adjoint=True, return_sequences=True)
+
+    def loss_ref(p):
+        out = cdeint(spline, func, z0, spline.grid_points, p, adjoint=True,
+                     method="rk4", options={"substeps": 2})
+        return jnp.sum((out * w[:, None]) ** 2)
+
+    def loss_pipe(p):
+        out = pipelined_cde_solve(
+            spline, func, z0, p, mesh=mesh, data_axis="data",
+            microbatches=4, adjoint=True, return_sequences=True, substeps=2)
+        return jnp.sum((out * w[:, None]) ** 2)
+
+    np.testing.assert_allclose(float(loss_pipe(params)),
+                               float(loss_ref(params)), rtol=1e-6)
+    g, gr = jax.grad(loss_pipe)(params), jax.grad(loss_ref)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g, gr,
+    )
 
 
 def test_sequence_pipeline_adjoint_memory_flat_in_ticks():
