@@ -640,9 +640,11 @@ def roofline_decomposition():
 
     from online_neural_cdes_tpu.models.vector_fields import VectorField
     from online_neural_cdes_tpu.ops.kernels import (
-        fused_matmul_field, pack_fused_params,
+        fused_field_available, fused_matmul_field, pack_fused_params,
     )
 
+    if not fused_field_available():
+        return {"status": "skipped (no TPU)"}
     H, HH, I = 128, 128, 21
     N = 1000
 

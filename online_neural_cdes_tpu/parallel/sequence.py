@@ -88,6 +88,12 @@ def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
         )
 
     def local_fwd(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
+        # NOTE: this forward replica MUST stay schedule-identical to the
+        # plain pipeline body in pipelined_cde_solve.local (same m_here /
+        # valid / ppermute arithmetic): the stored boundary states feed
+        # the reverse schedule, so any schedule change must be applied to
+        # BOTH copies (the seq-8 / composed-mesh equivalence tests catch a
+        # desync).
         k = jax.lax.axis_index(axis)
         b_loc = z0_mb.shape[1]
         Tc = t0s_l.shape[0]

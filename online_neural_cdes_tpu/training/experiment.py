@@ -84,9 +84,11 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         val_metric_to_monitor=trainer_cfg.get("val_metric_to_monitor", "loss"),
         minimize=ds.get("minimize"),
         lr=trainer_cfg.get("lr", 5e-3),
+        final_lr_multiplier=trainer_cfg.get("final_lr_multiplier", 10.0),
         max_epochs=trainer_cfg.get("max_epochs", 1000),
         batch_size=ds.get("batch_size", 1024),
         plateau_patience=trainer_cfg.get("plateau_patience", 15),
+        plateau_factor=trainer_cfg.get("plateau_factor", 0.1),
         early_stop_patience=trainer_cfg.get("early_stop_patience", 60),
         seed=config.get("seed", 0),
         mesh=mesh,

@@ -228,6 +228,10 @@ def run_hyperopt(
             results = run_experiment(trial_config(point), data_root=data_root,
                                      mesh=mesh, verbose=verbose)
             score = sign * results[f"val.{metric}"]
+            if not np.isfinite(score):
+                # Same sentinel contract as the vmapped path: a NaN score
+                # must not poison the TPE history or best-trial compare.
+                score = FAILURE_SENTINEL
         except Exception as exc:  # failed trial -> sentinel, keep going
             logger.warning("hyperopt trial failed: %s", exc)
             results = {"error": str(exc)}
@@ -245,7 +249,10 @@ def run_hyperopt(
 
         out: list = [None] * len(points)
         for group in vmappable_groups(points):
-            if wave_vmap and len(group) > 1:
+            # The vmapped trainer is a single-chip program (the trial axis
+            # IS the parallel axis); with a data mesh the sequential path's
+            # sharded training is the correct execution.
+            if wave_vmap and len(group) > 1 and mesh is None:
                 try:
                     group_results = run_trials_vmapped(
                         [trial_config(points[i]) for i in group],

@@ -179,10 +179,11 @@ def run_trials_vmapped(
             preds_all.append(np.asarray(preds))
             labels_all.append(np.asarray(labels))
         losses = np.asarray(jnp.stack(losses))   # (n_batches, K)
+        labels_cat = _concat_ragged_time(labels_all)
         out = []
         for i in range(k):
             preds_i = _concat_ragged_time([p[i] for p in preds_all])
-            labels_i = _concat_ragged_time(labels_all)
+            labels_i = labels_cat
             res = {"loss": float(np.average(losses[:, i], weights=counts))}
             for name in metric_names:
                 if name == "loss":
@@ -253,8 +254,11 @@ def run_trials_vmapped(
     for i in range(k):
         res = {
             "num_params": num_params,
-            "elapsed_time": elapsed,
-            "time_per_epoch": elapsed / max(int(epochs_run[i]), 1),
+            # The wave's wall time is shared by all K trials; record each
+            # trial's amortised share so ledger cost stats stay comparable
+            # with sequential records.
+            "elapsed_time": elapsed / k,
+            "time_per_epoch": elapsed / k / max(int(epochs_run[i]), 1),
             "epochs_run": int(epochs_run[i]),
             "best_epoch": int(best_epoch[i]),
             "nfe_per_epoch": None,
