@@ -762,3 +762,34 @@ def test_wave_size_one_identical_to_previous_sequential(monkeypatch):
     b = ho.run_hyperopt({**cfg, "wave_size": 1})
     assert seen == first_seen
     assert a["best_score"] == b["best_score"]
+
+
+def test_logsig_keeps_static_features(tmp_path):
+    """logsig transforms the temporal series only; static features ride
+    through untouched and the (static, temporal) batch contract holds."""
+    import os
+
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+    from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
+
+    rng = np.random.default_rng(5)
+    n, length = 40, 24
+    values = rng.normal(size=(n, length, 2)).astype(np.float32)
+    temporal = add_time(values).astype(np.float32)
+    static = rng.normal(size=(n, 5)).astype(np.float32)
+    labels = (values[:, -1, 0] > 0).astype(np.float32)
+    root = str(tmp_path)
+    processed = process_all_interpolations(static, temporal,
+                                           labels.astype(np.int64))
+    save_processed(processed, labels, os.path.join(root, "T/S"))
+
+    splits = load_numpy_data(
+        os.path.join(root, "T/S/improved-neural-cdes_data.npz"),
+        "logsig-2-4", use_static=True, problem="oneshot")
+    train = splits[0]
+    assert train.static is not None and train.static_dim == 5
+    assert train.temporal.shape[1] == 24 // 4 + 1
+    (st, tp), lb = next(iter(Batches(train, batch_size=16)))
+    assert st.shape[1] == 5 and tp.shape[0] == st.shape[0] == lb.shape[0]

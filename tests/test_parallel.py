@@ -562,3 +562,59 @@ def test_sequence_pipeline_adjoint_memory_flat_in_ticks():
     assert direct[1] > 4 * direct[0], (direct,)
     assert adj[1] < 2 * adj[0] + 65536, (adj,)
     assert adj[1] < direct[1] / 4, (adj, direct)
+
+
+def test_harness_train_step_through_pipelined_adjoint():
+    """Long-context training wired through the STANDARD harness step: a
+    train step whose apply_fn routes the solve through the reverse-
+    pipeline adjoint produces the same update as the plain model's step,
+    and the loss decreases over a few steps."""
+    from functools import partial
+
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        ncde_apply_pipelined,
+    )
+
+    rng = np.random.default_rng(2)
+    B, L, C = 16, 9, 3                 # rectilinear -> 16 pieces / 8 devices
+    x = jnp.asarray(rng.normal(size=(B, L, C)) * 0.3, jnp.float32)
+    x = x.at[:, :, 0].set(jnp.arange(L, dtype=jnp.float32))
+    coeffs = linear_interpolation_coeffs(x, rectilinear=0)
+    labels = jnp.asarray((np.asarray(x[:, :, 1]).sum(1) > 0), jnp.float32)
+    mesh = make_sequence_mesh(8)
+
+    model = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=1,
+                      hidden_hidden_dim=12, num_layers=1,
+                      interpolation="rectilinear", return_sequences=False,
+                      adjoint=True, solver="rk4")
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = init_adam_state(params)
+
+    apply_piped = partial(
+        lambda p, inputs: ncde_apply_pipelined(
+            model, p, inputs, mesh=mesh, microbatches=4, adjoint=True
+        )[..., 0, :],
+    )
+
+    def apply_plain(p, inputs):
+        return model.apply(p, inputs)[..., 0, :]
+
+    step_piped = make_train_step(apply_piped, loss="bce", lr=1e-2,
+                                 donate=False)
+    step_plain = make_train_step(apply_plain, loss="bce", lr=1e-2,
+                                 donate=False)
+    p1, s1, l1 = step_piped(params, opt_state, coeffs, labels, 1.0)
+    p2, s2, l2 = step_plain(params, opt_state, coeffs, labels, 1.0)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        p1, p2,
+    )
+    losses = [float(l1)]
+    p, s = p1, s1
+    for _ in range(5):
+        p, s, l = step_piped(p, s, coeffs, labels, 1.0)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
