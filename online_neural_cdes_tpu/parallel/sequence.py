@@ -55,6 +55,26 @@ def make_sequence_mesh(n_seq: Optional[int] = None, axis: str = "seq") -> Mesh:
     return Mesh(np.array(devices[:n]).reshape(n), (axis,))
 
 
+def _fwd_slots(s, k, n, M):
+    """Forward pipeline schedule (ONE copy — shared by the plain pipeline,
+    the adjoint's forward replica, and, inverted, the reverse schedule):
+    at tick ``s`` device ``k`` holds microbatch ``s - k`` (valid when in
+    [0, M)); device n-1 finishes microbatch ``s - (n-1)``."""
+    m_here = jnp.clip(s - k, 0, M - 1)
+    here_valid = (s - k >= 0) & (s - k < M)
+    m_out = s - (n - 1)
+    return m_here, here_valid, m_out
+
+
+def _bwd_slots(s, k, n, M):
+    """Reverse pipeline schedule: device k processes microbatch
+    ``M-1 - (s - (n-1-k))`` at reverse tick ``s`` (the forward schedule
+    run backwards: m at device k at forward tick m + k)."""
+    m_here = M - 1 - (s - (n - 1 - k))
+    valid = (m_here >= 0) & (m_here < M)
+    return jnp.clip(m_here, 0, M - 1), valid
+
+
 def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
                        seq: bool):
     """O(1)-activation-memory training through the time pipeline: a
@@ -114,11 +134,10 @@ def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
             buf, outs, bnd, seqb = carry
             inject = z0_mb[jnp.clip(s, 0, M - 1)]
             x_in = jnp.where(k == 0, inject, buf)
-            m_here = jnp.clip(s - k, 0, M - 1)
             # Stash the chunk-boundary state z_{m,k} this device consumed:
             # the backward pass hands it down the reverse schedule so stage
             # k-1 starts its adjoint from the exact forward state.
-            here_valid = (s - k >= 0) & (s - k < M)
+            m_here, here_valid, m_out = _fwd_slots(s, k, n, M)
             cur_b = jax.lax.dynamic_slice_in_dim(bnd, m_here, 1, 0)[0]
             bnd = jax.lax.dynamic_update_slice_in_dim(
                 bnd, jnp.where(here_valid, x_in, cur_b)[None], m_here, 0
@@ -130,7 +149,6 @@ def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
                     seqb, jnp.where(here_valid, zs, cur_s)[None], m_here, 0
                 )
             buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
-            m_out = s - (n - 1)
             slot = jnp.clip(m_out, 0, M - 1)
             valid = (m_out >= 0) & (k == n - 1)
             current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
@@ -193,9 +211,7 @@ def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
             m_inj = jnp.clip(M - 1 - s, 0, M - 1)
             z_in = jnp.where(k == n - 1, zout_mb[m_inj], zbuf)
             a_in = jnp.where(k == n - 1, g_mb[m_inj], abuf)
-            m_here = M - 1 - (s - (n - 1 - k))
-            valid = (m_here >= 0) & (m_here < M)
-            mc = jnp.clip(m_here, 0, M - 1)
+            mc, valid = _bwd_slots(s, k, n, M)
             g_chunk = (
                 jax.lax.dynamic_slice_in_dim(g_seq_l, mc, 1, 0)[0]
                 if seq else zero_gchunk
@@ -499,18 +515,14 @@ def pipelined_cde_solve(
             x_in = jnp.where(k == 0, inject, buf)
             # Microbatch index this device holds at tick s is (s - k);
             # clamp for the fill/drain ticks (garbage, masked below).
-            m_here = jnp.clip(s - k, 0, M - 1)
+            m_here, here_valid, m_out = _fwd_slots(s, k, n, M)
             y, zs = chunk_solve(x_in, m_here * b_loc)
             buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
-            # This device computed chunk k of microbatch (s - k): keep its
-            # per-knot rows when that index is real.
-            here_valid = (s - k >= 0) & (s - k < M)
             cur_seq = jax.lax.dynamic_slice_in_dim(seq, m_here, 1, 0)[0]
             seq = jax.lax.dynamic_update_slice_in_dim(
                 seq, jnp.where(here_valid, zs, cur_seq)[None], m_here, 0
             )
             # Device n-1 finishes microbatch (s - (n-1)) at this tick.
-            m_out = s - (n - 1)
             slot = jnp.clip(m_out, 0, M - 1)
             valid = (m_out >= 0) & (k == n - 1)
             current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]

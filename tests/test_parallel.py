@@ -618,3 +618,45 @@ def test_harness_train_step_through_pipelined_adjoint():
         p, s, l = step_piped(p, s, coeffs, labels, 1.0)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("M", [2, 16])
+def test_sequence_pipeline_adjoint_microbatch_extremes(M):
+    """Schedule edge cases: fewer microbatches than devices (drain-
+    dominated) and more microbatches than devices — values bitwise vs the
+    plain scan, gradients at tolerance."""
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    x, func, z0, params = _adjoint_pipe_setup(L=17, B=16)
+    spline = make_spline("linear", linear_interpolation_coeffs(x))
+    mesh = make_sequence_mesh(8)
+
+    out = pipelined_cde_solve(spline, func, z0, params, mesh=mesh,
+                              microbatches=M, adjoint=True)
+    ref = cdeint(spline, func, z0, spline.interval, params, adjoint=True,
+                 method="rk4")[..., -1, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, mb):
+        return jnp.sum(pipelined_cde_solve(
+            spline, func, z0, p, mesh=mesh, microbatches=mb,
+            adjoint=True) ** 2)
+
+    def loss_ref(p):
+        return jnp.sum(cdeint(spline, func, z0, spline.interval, p,
+                              adjoint=True, method="rk4")[..., -1, :] ** 2)
+
+    g = jax.grad(lambda p: loss(p, M))(params)
+    gr = jax.grad(loss_ref)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g, gr,
+    )
