@@ -18,7 +18,7 @@ preserved (tested to tolerance).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
