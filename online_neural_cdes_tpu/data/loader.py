@@ -90,12 +90,29 @@ def apply_logsig_transform(temporal, depth: int, window: float,
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         if temporal.dtype == object:
-            return np.array(
-                [np.asarray(logsig_windows(
-                    np.asarray(t, np.float32), depth, window))
-                 for t in temporal],
-                dtype=object,
-            )
+            # Ragged corpora run as ONE batched transform: NaN-pad every
+            # series to the max length (the transform forward-fills NaNs,
+            # so pad rows have zero increments, and a zero increment is
+            # Chen's identity element — it contributes nothing to any
+            # window), then truncate each series back to its own window
+            # count.  One compile instead of one per distinct length.
+            lens = [len(t) for t in temporal]
+            lmax = max(lens)
+            c = np.asarray(temporal[0]).shape[-1]
+            padded = np.full((len(temporal), lmax, c), np.nan, np.float32)
+            for i, t in enumerate(temporal):
+                padded[i, : lens[i]] = np.asarray(t, np.float32)
+            out_all = [
+                np.asarray(logsig_windows(padded[i: i + chunk], depth,
+                                          window))
+                for i in range(0, len(padded), chunk)
+            ]
+            full = np.concatenate(out_all, axis=0)
+            out = np.empty(len(temporal), dtype=object)
+            for i, length in enumerate(lens):
+                n_windows = int(np.ceil((length - 1) / window - 1e-9))
+                out[i] = full[i, : n_windows + 1]
+            return out
         out = [
             np.asarray(logsig_windows(
                 np.asarray(temporal[i: i + chunk], np.float32), depth, window))

@@ -193,3 +193,23 @@ def test_depth4_linear_path_logsig_is_increment_only():
     last = out[0, -1]
     np.testing.assert_allclose(last[:C], [1.6, -0.8, 0.4], rtol=1e-5)
     np.testing.assert_allclose(last[C:], 0.0, atol=1e-5)
+
+
+def test_ragged_batched_transform_matches_per_series():
+    """apply_logsig_transform runs ragged corpora as ONE padded batch
+    (NaN pad rows forward-fill to zero increments = Chen identity): each
+    series' truncated result must equal its standalone transform."""
+    import numpy as np
+
+    from online_neural_cdes_tpu.data.loader import apply_logsig_transform
+
+    rng = np.random.default_rng(0)
+    series = [rng.normal(size=(L, 3)).astype(np.float32)
+              for L in (25, 13, 19, 25, 8)]
+    for s in series:
+        s[rng.random(s.shape) < 0.2] = np.nan
+    batched = apply_logsig_transform(np.array(series, dtype=object), 2, 4)
+    for i, s in enumerate(series):
+        direct = np.asarray(logsig_windows(s, 2, 4))
+        assert batched[i].shape == direct.shape
+        np.testing.assert_allclose(batched[i], direct, rtol=1e-5, atol=1e-5)

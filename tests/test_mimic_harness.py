@@ -81,3 +81,33 @@ def test_composite_models_on_mortality(mimic_root, model_string):
     cfg["trainer"]["max_epochs"] = 1
     results = run_experiment(cfg, data_root=mimic_root)
     assert np.isfinite(results["test.loss"])
+
+
+def test_logsig_on_ragged_mortality(mimic_root):
+    """The logsig transform's ragged (object-array) branch: MIMIC-style
+    variable-length stays ragged through per-series window transforms, and
+    the one-shot Mortality task trains end to end on the compressed
+    controls."""
+    import os
+
+    from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
+    from online_neural_cdes_tpu.ops.logsig import logsignature_channels
+
+    path = os.path.join(mimic_root, "MIMIC-IV/Mortality",
+                        "improved-neural-cdes_data.npz")
+    splits = load_numpy_data(path, "logsig-2-6", use_static=True,
+                             problem="oneshot")
+    train = splits[0]
+    raw_c = np.load(path, allow_pickle=True)["temporal_data_raw"][0].shape[-1]
+    n_ch = logsignature_channels(raw_c, 2)
+    assert train.input_dim == n_ch
+    if isinstance(train.temporal, list):
+        lens = {len(t) for t in train.temporal}
+        assert len(lens) > 1, "expected ragged window counts"
+    (st, tp), lb = next(iter(Batches(train, batch_size=16)))
+    assert tp.shape[-1] == n_ch and np.isfinite(tp).all()
+
+    cfg = _base_config("ncde", "logsig-2-6", dataset="Mortality")
+    cfg["trainer"]["max_epochs"] = 1
+    results = run_experiment(cfg, data_root=mimic_root)
+    assert np.isfinite(results["test.loss"])
