@@ -75,8 +75,96 @@ def _bwd_slots(s, k, n, M):
     return jnp.clip(m_here, 0, M - 1), valid
 
 
-def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
-                       seq: bool):
+def _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l, args_l, substeps):
+    """Integrate one microbatch's (b, H) state through a device's chunk.
+    With ``pf_e`` the chunk runs as (even, odd) interval PAIRS — the
+    rectilinear time-advance intervals contract only the control's time
+    channel (ops/cdeint.py's paired scan, chunk-local; requires an even
+    chunk length so pairs never straddle devices).  Returns
+    ``(z_end, per-knot zs)`` with zs[i] = state after local interval i."""
+    if pf_e is None:
+
+        def interval(zz, inp):
+            piece, t0, t1 = inp
+            zz = _one_interval(step, pf, piece, t0, t1, zz, args_l, substeps)
+            return zz, zz
+
+        return jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
+
+    pe = jax.tree.map(lambda x: x[0::2], p_mb)
+    po = jax.tree.map(lambda x: x[1::2], p_mb)
+
+    def pair(zz, inp):
+        ppe, ppo, ta, tb, tc = inp
+        z_mid = _one_interval(step, pf_e, ppe, ta, tb, zz, args_l, substeps)
+        z_end = _one_interval(step, pf, ppo, tb, tc, z_mid, args_l, substeps)
+        return z_end, (z_mid, z_end)
+
+    z, (mids, ends) = jax.lax.scan(
+        pair, z, (pe, po, t0s_l[0::2], t1s_l[0::2], t1s_l[1::2])
+    )
+    zs = jnp.stack([mids, ends], 1).reshape((-1,) + mids.shape[1:])
+    return z, zs
+
+
+def _interleave_pairs(pb_e, pb_o):
+    return jax.tree.map(
+        lambda e, o: jnp.stack([e, o], axis=1).reshape((-1,) + e.shape[1:]),
+        pb_e, pb_o,
+    )
+
+
+def _chunk_adjoint(step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
+                   args_l, substeps, g_chunk):
+    """Reverse one device's chunk of the augmented adjoint state; per-knot
+    cotangents ``g_chunk[i]`` join ``a`` before their interval reverses.
+    Paired variant mirrors :func:`_chunk_solve`'s pairing."""
+    if pf_e is None:
+
+        def interval_bwd(carry, inp):
+            z, a_, ab = carry
+            piece, t0, t1, g_knot = inp
+            a_ = a_ + g_knot
+            z, a_, ab, pb = _interval_adjoint_bwd(
+                step, pf, piece, t0, t1, z, a_, args_l, ab, substeps,
+                return_state=True,
+            )
+            return (z, a_, ab), pb
+
+        return jax.lax.scan(
+            interval_bwd, (z_end, a, args_bar),
+            (p_mb, t0s_l, t1s_l, g_chunk), reverse=True,
+        )
+
+    pe = jax.tree.map(lambda x: x[0::2], p_mb)
+    po = jax.tree.map(lambda x: x[1::2], p_mb)
+
+    def pair_bwd(carry, inp):
+        z, a_, ab = carry
+        ppe, ppo, ta, tb, tc, g_m, g_e = inp
+        a_ = a_ + g_e
+        z, a_, ab, pb_o = _interval_adjoint_bwd(
+            step, pf, ppo, tb, tc, z, a_, args_l, ab, substeps,
+            return_state=True,
+        )
+        a_ = a_ + g_m
+        z, a_, ab, pb_e = _interval_adjoint_bwd(
+            step, pf_e, ppe, ta, tb, z, a_, args_l, ab, substeps,
+            return_state=True,
+        )
+        return (z, a_, ab), (pb_e, pb_o)
+
+    carry, (pb_e, pb_o) = jax.lax.scan(
+        pair_bwd, (z_end, a, args_bar),
+        (pe, po, t0s_l[0::2], t1s_l[0::2], t1s_l[1::2],
+         g_chunk[0::2], g_chunk[1::2]),
+        reverse=True,
+    )
+    return carry, _interleave_pairs(pb_e, pb_o)
+
+
+def _pipelined_adjoint(pf, pf_e, step, mesh, axis, data_axis, n, M,
+                       substeps, seq: bool):
     """O(1)-activation-memory training through the time pipeline: a
     ``custom_vjp`` whose backward pass runs the pipeline in REVERSE —
     hidden-state/adjoint pairs stream device n-1 -> 0 over a backward
@@ -120,15 +208,8 @@ def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
 
         def chunk_solve(z, mb_start):
             p_mb = _local_slice(pieces_l, mb_start, b_loc)
-
-            def interval(zz, inp):
-                piece, t0, t1 = inp
-                zz = _one_interval(step, pf, piece, t0, t1, zz, args_l,
-                                   substeps)
-                return zz, zz
-
-            z, zs = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
-            return z, zs
+            return _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l,
+                                args_l, substeps)
 
         def tick(carry, s):
             buf, outs, bnd, seqb = carry
@@ -180,22 +261,9 @@ def _pipelined_adjoint(pf, step, mesh, axis, data_axis, n, M, substeps,
 
         def chunk_adjoint(z_end, a, args_bar, mb_start, g_chunk):
             p_mb = _local_slice(pieces_l, mb_start, b_loc)
-
-            def interval_bwd(carry, inp):
-                z, a_, ab = carry
-                piece, t0, t1, g_knot = inp
-                # The state at this interval's END is an output knot: its
-                # cotangent joins the adjoint before the reverse step.
-                a_ = a_ + g_knot
-                z, a_, ab, pb = _interval_adjoint_bwd(
-                    step, pf, piece, t0, t1, z, a_, args_l, ab, substeps,
-                    return_state=True,
-                )
-                return (z, a_, ab), pb
-
-            (z, a, args_bar), pbs = jax.lax.scan(
-                interval_bwd, (z_end, a, args_bar),
-                (p_mb, t0s_l, t1s_l, g_chunk), reverse=True,
+            (z, a, args_bar), pbs = _chunk_adjoint(
+                step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
+                args_l, substeps, g_chunk,
             )
             return z, a, args_bar, pbs
 
@@ -358,6 +426,7 @@ def pipelined_cde_solve(
     return_sequences: bool = False,
     remat: bool = False,
     adjoint: bool = False,
+    even_func: Optional[Callable] = None,
 ) -> jax.Array:
     """Solve dz = f(t, z) dX over ``X.interval`` with the knot axis
     pipelined across ``mesh[axis]``.  Returns the ``(B, H)`` terminal
@@ -408,6 +477,10 @@ def pipelined_cde_solve(
     spline_cls = type(X)
     pf = _piece_field(spline_cls, func, vector_field_type)
     step = solvers.tree_fixed_step(method)
+    pf_e = (
+        _piece_field(spline_cls, even_func, vector_field_type)
+        if even_func is not None else None
+    )
 
     grid_t = X.grid_points.astype(z0.dtype)
     pieces = X.piece_data()
@@ -417,6 +490,13 @@ def pipelined_cde_solve(
             f"knot pieces ({n_pieces}) must divide evenly over the {n}-way "
             f"'{axis}' mesh axis — pad the series to a multiple."
         )
+    # The paired (even/odd) chunk scan needs whole pairs per device: an
+    # even chunk length with chunks starting at even piece indices (both
+    # hold when Tc = n_pieces/n is even).  Otherwise fall back to the
+    # unpaired chunk body (same values, full-field evens) — mirroring the
+    # cdeint paired-scan gating.
+    if pf_e is not None and (n_pieces // n) % 2 != 0:
+        pf_e = None
     B = z0.shape[0]
     M = microbatches or n
     if B % M != 0:
@@ -447,7 +527,7 @@ def pipelined_cde_solve(
 
     if adjoint:
         solve_adj = _pipelined_adjoint(
-            pf, step, mesh, axis, data_axis, n, M, substeps,
+            pf, pf_e, step, mesh, axis, data_axis, n, M, substeps,
             seq=return_sequences,
         )
         feat = z0.shape[1:]
@@ -486,23 +566,16 @@ def pipelined_cde_solve(
         def chunk_solve(z, mb_start):
             """Integrate one microbatch's (b_loc, H) state through this
             device's Tc intervals, slicing its batch columns out of the
-            chunk-local pieces.  Returns (final state, per-knot states).
-            Per-piece leaves carry batch at axis 1; <2-D leaves (e.g. the
-            smoothing splines' per-piece flags) are batch-free and pass
-            through unsliced."""
+            chunk-local pieces (per-piece leaves carry batch at axis 1;
+            <2-D leaves are batch-free and pass through unsliced).
+            Delegates to the shared chunk body — paired when pf_e is set."""
             p_mb = jax.tree.map(
                 lambda leaf: leaf if leaf.ndim < 2 else
                 jax.lax.dynamic_slice_in_dim(leaf, mb_start, b_loc, axis=1),
                 pieces_l,
             )
-
-            def interval(zz, inp):
-                piece, t0, t1 = inp
-                zz = _one_interval(step, pf, piece, t0, t1, zz, args_l, substeps)
-                return zz, zz
-
-            z, zs = jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
-            return z, zs
+            return _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l,
+                                args_l, substeps)
 
         fwd_perm = [(i, i + 1) for i in range(n - 1)]
 
@@ -624,7 +697,7 @@ def ncde_apply_pipelined(
     # custom_vjp (+ Pallas where lane-aligned) fires inside the pipeline
     # ticks too — the long-sequence production configuration runs the same
     # per-stage kernel as the plain scan.
-    func, _, field_args, vf_type = model.make_solve_func(params, h0)
+    func, even_func, field_args, vf_type = model.make_solve_func(params, h0)
 
     from online_neural_cdes_tpu.ops.cdeint import _resolve_substeps
 
@@ -636,7 +709,7 @@ def ncde_apply_pipelined(
         data_axis=data_axis, method=model.solver, substeps=substeps,
         microbatches=microbatches, vector_field_type=vf_type,
         return_sequences=model.return_sequences, remat=remat,
-        adjoint=adjoint,
+        adjoint=adjoint, even_func=even_func,
     )
     if not model.return_sequences:
         # _make_outputs expects a time axis at -2.

@@ -660,3 +660,73 @@ def test_sequence_pipeline_adjoint_microbatch_extremes(M):
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
         g, gr,
     )
+
+
+def test_pipeline_paired_rectilinear_matches_plain_paired():
+    """The paired rectilinear optimisation inside pipeline chunks
+    (even/time-advance intervals contract only the time channel): values
+    bitwise vs the plain paired cdeint scan, gradients at tolerance —
+    forward, remat, and the reverse-pipeline adjoint, online and
+    terminal."""
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE, make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    rng = np.random.default_rng(11)
+    B, L, C, H = 16, 17, 3, 8          # rectilinear 32 pieces / 8 devices
+    x = jnp.asarray(rng.normal(size=(B, L, C)) * 0.3, jnp.float32)
+    x = x.at[:, :, 0].set(jnp.arange(L, dtype=jnp.float32))
+    coeffs = linear_interpolation_coeffs(x, rectilinear=0)
+    spline = make_spline("rectilinear", coeffs)
+    model = NeuralCDE(input_dim=C, hidden_dim=H, output_dim=2,
+                      hidden_hidden_dim=12, num_layers=1,
+                      interpolation="rectilinear", adjoint=False)
+    params = model.init(jax.random.PRNGKey(0))
+    func, even_func, field_args, vf_type = model.make_solve_func(
+        params, jnp.zeros((B, H), jnp.float32))
+    assert even_func is not None
+    z0 = jnp.asarray(rng.normal(size=(B, H)) * 0.1, jnp.float32)
+    mesh = make_sequence_mesh(8)
+
+    ref_seq = cdeint(spline, func, z0, spline.grid_points, field_args,
+                     adjoint=False, vector_field_type=vf_type,
+                     method="rk4", even_func=even_func)
+    out_seq = pipelined_cde_solve(
+        spline, func, z0, field_args, mesh=mesh, microbatches=4,
+        vector_field_type=vf_type, return_sequences=True,
+        even_func=even_func)
+    np.testing.assert_allclose(np.asarray(out_seq), np.asarray(ref_seq),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_pipe(fa, adjoint, ss=1):
+        out = pipelined_cde_solve(
+            spline, func, z0, fa, mesh=mesh, microbatches=4,
+            vector_field_type=vf_type, adjoint=adjoint, substeps=ss,
+            even_func=even_func)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(fa, adjoint, ss=1):
+        out = cdeint(spline, func, z0, spline.interval, fa, adjoint=adjoint,
+                     vector_field_type=vf_type, method="rk4",
+                     options={"substeps": ss},
+                     even_func=even_func)[..., -1, :]
+        return jnp.sum(out ** 2)
+
+    # Like-for-like: direct pipeline vs direct cdeint must be (near-)exact;
+    # adjoint pipeline vs adjoint cdeint agrees at solver order (the
+    # gradient magnitudes here are O(1e4), so relative tolerance governs).
+    # (substeps=2 for the adjoint leg: cuts the within-chunk reverse-
+    # integration drift to solver-order noise, as in the other adjoint
+    # equivalence tests.)
+    for adjoint, ss, rtol in ((False, 1, 1e-5), (True, 2, 5e-3)):
+        g = jax.grad(lambda fa: loss_pipe(fa, adjoint, ss))(field_args)
+        gr = jax.grad(lambda fa: loss_ref(fa, adjoint, ss))(field_args)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol,
+                atol=rtol * 1e2),
+            g, gr,
+        )
