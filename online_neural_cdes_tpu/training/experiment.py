@@ -97,5 +97,6 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         checkpoint_every=trainer_cfg.get("checkpoint_every", 0),
         resume=trainer_cfg.get("resume", False),
         prefetch=trainer_cfg.get("prefetch") or 0,
+        profile_dir=trainer_cfg.get("profile_dir"),
     )
     return results

@@ -301,6 +301,7 @@ def train(
     checkpoint_every: int = 0,
     resume: bool = False,
     prefetch: int = 0,
+    profile_dir: Optional[str] = None,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics.
@@ -316,7 +317,12 @@ def train(
     batches are moved host->device up to N batches ahead of the executing
     step (pre-sharded over the mesh's data axis when ``mesh`` is given), so
     the H2D copy overlaps the previous step's compute instead of sitting on
-    the critical path (``data/prefetch.py``)."""
+    the critical path (``data/prefetch.py``).
+
+    ``profile_dir``: capture a ``jax.profiler`` trace of the SECOND epoch
+    (the first compiles) into the directory, viewable in TensorBoard /
+    Perfetto (the TPU-native analogue of the reference's CUDA memory/time
+    counters, SURVEY §5 tracing)."""
     if minimize is None:
         minimize = val_metric_to_monitor in ("loss",)
     sign = 1.0 if minimize else -1.0
@@ -402,11 +408,27 @@ def train(
     t_start = time.perf_counter()
     epochs_run = start_epoch
     for epoch in range(start_epoch, max_epochs):
-        for inputs, labels in epoch_batches():
-            prepared = bundle.prepare_batch(inputs)
-            params, opt_state, loss_val = step(
-                params, opt_state, prepared, jnp.asarray(labels), lr_scale
-            )
+        import contextlib
+
+        profiling = (
+            profile_dir is not None and epoch == start_epoch + 1
+        )
+        if profiling:
+            from online_neural_cdes_tpu.utils.profiling import trace
+
+            ctx = trace(profile_dir)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            for inputs, labels in epoch_batches():
+                prepared = bundle.prepare_batch(inputs)
+                params, opt_state, loss_val = step(
+                    params, opt_state, prepared, jnp.asarray(labels), lr_scale
+                )
+            if profiling:
+                from online_neural_cdes_tpu.utils.profiling import device_sync
+
+                device_sync(loss_val)
         jax.block_until_ready(loss_val)
         epochs_run += 1
         if nfe_adaptive:

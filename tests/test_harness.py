@@ -793,3 +793,30 @@ def test_logsig_keeps_static_features(tmp_path):
     assert train.temporal.shape[1] == 24 // 4 + 1
     (st, tp), lb = next(iter(Batches(train, batch_size=16)))
     assert st.shape[1] == 5 and tp.shape[0] == st.shape[0] == lb.shape[0]
+
+
+def test_train_captures_profiler_trace(toy_dataset, tmp_path):
+    """train(profile_dir=...) captures a jax.profiler trace of the second
+    epoch (SURVEY §5 tracing: the TPU-native observability surface)."""
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+
+    trace_dir = str(tmp_path / "trace")
+    cfg = {
+        "dataset_name": "ToyBM",
+        "seed": 0,
+        "dataset": {"data_loc": "Toy/BM", "problem": "online",
+                     "use_static": True, "interpolation": "linear",
+                     "batch_size": 128},
+        "model": {"model_string": "ncde", "hidden_dim": 8,
+                   "hidden_hidden_dim": 8, "num_layers": 1,
+                   "adjoint": False, "solver": "rk4"},
+        "trainer": {"loss_str": "bce", "metrics": ["loss"],
+                     "val_metric_to_monitor": "loss", "max_epochs": 2,
+                     "profile_dir": trace_dir},
+    }
+    results = run_experiment(cfg, data_root=toy_dataset)
+    assert np.isfinite(results["test.loss"])
+    import glob
+
+    traces = glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
+    assert any(os.path.isfile(t) for t in traces), traces
