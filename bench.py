@@ -387,7 +387,11 @@ def bench_speechcommands_baselines():
 def bench_flagship_step(n=30):
     """Config 5: MIMIC-scale online NCDE training step (B=512, 100 knots ->
     rectilinear length 199, H=HH=128, C=21, adjoint rk4, fused + paired
-    rectilinear scan)."""
+    rectilinear scan).  Also sweeps the BACKWARD-solver knob
+    (adjoint_method, reference adjoint_options["method"] semantics):
+    midpoint/euler backwards halve/quarter the reverse stage count at
+    O(h^2)/O(h) gradient order — measured training-parity on the toy task
+    (identical loss/accuracy to 4 decimals, DESIGN.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -395,18 +399,30 @@ def bench_flagship_step(n=30):
     from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
 
     B, L, C, H = 512, 100, 21, 128
-    model = NeuralCDE(
-        input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
-        hidden_hidden_dim=H, num_layers=2, interpolation="rectilinear",
-        return_sequences=True, adjoint=True, solver="rk4", solver_unroll=4,
-    )
     rng = np.random.default_rng(0)
     x = rng.normal(size=(B, L, C)).astype(np.float32)
     x[:, :, 0] = np.arange(L)
     static = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
     coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
     labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
-    ms = _time_train_step(model, (static, coeffs), labels, loss="bce", lr=5e-4, n=n)
+
+    def measure(adjoint_method, n_=n):
+        model = NeuralCDE(
+            input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
+            hidden_hidden_dim=H, num_layers=2, interpolation="rectilinear",
+            return_sequences=True, adjoint=True, solver="rk4",
+            solver_unroll=4, adjoint_method=adjoint_method,
+        )
+        return _time_train_step(model, (static, coeffs), labels, loss="bce",
+                                lr=5e-4, n=n_)
+
+    ms = measure(None)
+    ms_mid = measure("midpoint", 20)
+    bwd_sweep = {
+        "rk4 (default)": round(ms, 2),
+        "midpoint": round(ms_mid, 2),
+        "euler": round(measure("euler", 20), 2),
+    }
     fwd_nfe = (2 * L - 2) * 4
     # Paired rectilinear scan: (L-1) odd intervals run the full I-channel
     # field, (L-1) even intervals contract the time channel only
@@ -421,8 +437,14 @@ def bench_flagship_step(n=30):
         "step_ms": round(ms, 2),
         "nfe_per_s": round(fwd_nfe / (ms / 1e3), 1),
         "eff_tf_s": round(step_flops / (ms * 1e-3) / 1e12, 2),
+        "backward_method_step_ms": bwd_sweep,
+        "backward_method_note": (
+            "adjoint_options method knob (reference semantics): cheaper "
+            "reverse steppers at lower gradient order; toy-task training "
+            "parity to 4 decimals for all three (DESIGN.md r3)"
+        ),
         "multichip": "validated by driver dryrun_multichip (virtual 8-dev mesh)",
-    }, ms, fwd_nfe / (ms / 1e3)
+    }, ms, fwd_nfe / (ms / 1e3), ms_mid
 
 
 def assert_pallas_parity():
@@ -735,7 +757,7 @@ def main():
     parity = assert_pallas_parity()
     x, y = _make_data()
     jax_epoch_s, jax_loss = bench_jax(x, y)
-    flagship, flagship_ms, flagship_nfe_s = bench_flagship_step()
+    flagship, flagship_ms, flagship_nfe_s, flagship_mid_ms = bench_flagship_step()
     flagship_h256 = bench_flagship_h256()
     chartraj = bench_chartraj()
     beijing = bench_beijing_hermite()
@@ -780,6 +802,7 @@ def main():
                     "identical algorithm; reference published no GPU numbers"
                 ),
                 "flagship_mimic_scale_step_ms": round(flagship_ms, 2),
+                "flagship_midpoint_bwd_step_ms": round(flagship_mid_ms, 2),
                 "flagship_vector_field_nfe_per_s": round(flagship_nfe_s, 1),
                 "pallas_parity": (
                     parity["status"] if isinstance(parity, dict) else parity

@@ -107,11 +107,12 @@ def apply_logsig_transform(temporal, depth: int, window: float,
                                           window))
                 for i in range(0, len(padded), chunk)
             ]
+            from online_neural_cdes_tpu.ops.logsig import num_windows
+
             full = np.concatenate(out_all, axis=0)
             out = np.empty(len(temporal), dtype=object)
             for i, length in enumerate(lens):
-                n_windows = int(np.ceil((length - 1) / window - 1e-9))
-                out[i] = full[i, : n_windows + 1]
+                out[i] = full[i, : num_windows(length - 1, window) + 1]
             return out
         out = [
             np.asarray(logsig_windows(

@@ -72,6 +72,11 @@ class NeuralCDE:
     vector_field: str = "original"
     vector_field_type: str = "matmul"
     adjoint: bool = True
+    # Backward-solve override for the fixed-grid adjoint (reference
+    # adjoint_options["method"] semantics): e.g. "midpoint" halves the
+    # backward's stage count at O(h^2) gradient order — a documented
+    # speed-vs-gradient-accuracy knob for long production solves.
+    adjoint_method: "str | None" = None
     solver: str = "rk4"
     return_sequences: bool = False
     apply_final_linear: bool = True
@@ -309,6 +314,10 @@ class NeuralCDE:
             )
         func, even_func, field_args, vf_type = self.make_solve_func(params, h0)
 
+        adjoint_options = (
+            {"method": self.adjoint_method}
+            if self.adjoint_method is not None else None
+        )
         result = cdeint(
             spline,
             func,
@@ -320,6 +329,7 @@ class NeuralCDE:
             method=self.solver,
             return_stats=return_stats,
             even_func=even_func,
+            adjoint_options=adjoint_options,
             **settings,
         )
         if return_stats:

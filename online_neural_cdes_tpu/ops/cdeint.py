@@ -175,7 +175,7 @@ def _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat,
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fixed_cde_adjoint(bundle, cfg, z0, grid_t, pieces, args):
     spline_cls, func = bundle
-    vf_type, method, substeps, unroll = cfg
+    vf_type, method, substeps, unroll = cfg[:4]
     pf = _piece_field(spline_cls, func, vf_type)
     return _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps,
                                False, unroll)
@@ -220,10 +220,11 @@ def _interval_adjoint_bwd(step, pf, piece, t0, t1, z_end, a, args, args_bar,
 
 def _fixed_cde_adjoint_bwd(bundle, cfg, residuals, grad_zs):
     spline_cls, func = bundle
-    vf_type, method, substeps, unroll = cfg
+    vf_type, method, substeps, unroll, adj_method, adj_substeps = cfg
     pf = _piece_field(spline_cls, func, vf_type)
     zs, grid_t, pieces, args = residuals
-    step = solvers.tree_fixed_step(method)
+    step = solvers.tree_fixed_step(adj_method)
+    substeps = adj_substeps
 
     zero_args = jax.tree.map(jnp.zeros_like, args)
 
@@ -316,7 +317,7 @@ def _fixed_scan_forward_paired(pf_even, pf_odd, z0, grid_t, pieces, args,
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fixed_cde_adjoint_paired(bundle, cfg, z0, grid_t, pieces, args):
     spline_cls, func, even_func = bundle
-    vf_type, method, substeps, unroll = cfg
+    vf_type, method, substeps, unroll = cfg[:4]
     pf_o = _piece_field(spline_cls, func, vf_type)
     pf_e = _piece_field(spline_cls, even_func, vf_type)
     return _fixed_scan_forward_paired(pf_e, pf_o, z0, grid_t, pieces, args,
@@ -330,11 +331,12 @@ def _fixed_cde_adjoint_paired_fwd(bundle, cfg, z0, grid_t, pieces, args):
 
 def _fixed_cde_adjoint_paired_bwd(bundle, cfg, residuals, grad_zs):
     spline_cls, func, even_func = bundle
-    vf_type, method, substeps, unroll = cfg
+    vf_type, method, substeps, unroll, adj_method, adj_substeps = cfg
     pf_o = _piece_field(spline_cls, func, vf_type)
     pf_e = _piece_field(spline_cls, even_func, vf_type)
     zs, grid_t, pieces, args = residuals
-    step = solvers.tree_fixed_step(method)
+    step = solvers.tree_fixed_step(adj_method)
+    substeps = adj_substeps
 
     def interval_bwd(pf, piece, t0, t1, z_end, a, args_bar):
         return _interval_adjoint_bwd(
@@ -641,7 +643,30 @@ def cdeint(
         remat = bool(options.get("remat", False))
         unroll = int(options.get("unroll", 1))
         pieces = X.piece_data()
-        cfg = (vector_field_type, method, substeps, unroll)
+        # The backward (adjoint) solve may use a different fixed-grid
+        # stepper / substep count than the forward (the reference's
+        # adjoint_options method/step overrides, adjoint.py:148-215):
+        # e.g. ``adjoint_options={"method": "midpoint"}`` halves the
+        # backward's stage count at O(h^2) gradient order — a
+        # speed-vs-gradient-accuracy knob for long production solves.
+        adj = dict(adjoint_options or {})
+        adj_method = str(adj.get("method", method))
+        if adj_method not in solvers.FIXED_METHODS:
+            raise ValueError(
+                f"fixed-grid adjoint_options method {adj_method!r} must be "
+                f"one of {solvers.FIXED_METHODS}"
+            )
+        if "substeps" in adj or "step_size" in adj:
+            # Same grid-from-step_size contract as the forward options.
+            adj_substeps = _resolve_substeps(
+                {k: v for k, v in adj.items()
+                 if k in ("substeps", "step_size")},
+                grid_t,
+            )
+        else:
+            adj_substeps = substeps
+        cfg = (vector_field_type, method, substeps, unroll, adj_method,
+               adj_substeps)
         paired = even_func is not None and (n_knots - 1) % 2 == 0 and n_knots > 2
         if paired and adjoint:
             zs = _fixed_cde_adjoint_paired(

@@ -42,6 +42,7 @@ from online_neural_cdes_tpu.ops.cdeint import (
     _interval_adjoint_bwd,
     _one_interval,
     _piece_field,
+    _split_pairs,
 )
 
 __all__ = ["make_sequence_mesh", "ncde_apply_pipelined", "pipelined_cde_solve"]
@@ -91,8 +92,7 @@ def _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l, args_l, substeps):
 
         return jax.lax.scan(interval, z, (p_mb, t0s_l, t1s_l))
 
-    pe = jax.tree.map(lambda x: x[0::2], p_mb)
-    po = jax.tree.map(lambda x: x[1::2], p_mb)
+    pe, po = _split_pairs(p_mb)
 
     def pair(zz, inp):
         ppe, ppo, ta, tb, tc = inp
@@ -103,8 +103,7 @@ def _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l, args_l, substeps):
     z, (mids, ends) = jax.lax.scan(
         pair, z, (pe, po, t0s_l[0::2], t1s_l[0::2], t1s_l[1::2])
     )
-    zs = jnp.stack([mids, ends], 1).reshape((-1,) + mids.shape[1:])
-    return z, zs
+    return z, _interleave_pairs(mids, ends)
 
 
 def _interleave_pairs(pb_e, pb_o):
@@ -114,7 +113,7 @@ def _interleave_pairs(pb_e, pb_o):
     )
 
 
-def _chunk_adjoint(step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
+def _chunk_adjoint(bwd_step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
                    args_l, substeps, g_chunk):
     """Reverse one device's chunk of the augmented adjoint state; per-knot
     cotangents ``g_chunk[i]`` join ``a`` before their interval reverses.
@@ -126,7 +125,7 @@ def _chunk_adjoint(step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
             piece, t0, t1, g_knot = inp
             a_ = a_ + g_knot
             z, a_, ab, pb = _interval_adjoint_bwd(
-                step, pf, piece, t0, t1, z, a_, args_l, ab, substeps,
+                bwd_step, pf, piece, t0, t1, z, a_, args_l, ab, substeps,
                 return_state=True,
             )
             return (z, a_, ab), pb
@@ -136,20 +135,19 @@ def _chunk_adjoint(step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
             (p_mb, t0s_l, t1s_l, g_chunk), reverse=True,
         )
 
-    pe = jax.tree.map(lambda x: x[0::2], p_mb)
-    po = jax.tree.map(lambda x: x[1::2], p_mb)
+    pe, po = _split_pairs(p_mb)
 
     def pair_bwd(carry, inp):
         z, a_, ab = carry
         ppe, ppo, ta, tb, tc, g_m, g_e = inp
         a_ = a_ + g_e
         z, a_, ab, pb_o = _interval_adjoint_bwd(
-            step, pf, ppo, tb, tc, z, a_, args_l, ab, substeps,
+            bwd_step, pf, ppo, tb, tc, z, a_, args_l, ab, substeps,
             return_state=True,
         )
         a_ = a_ + g_m
         z, a_, ab, pb_e = _interval_adjoint_bwd(
-            step, pf_e, ppe, ta, tb, z, a_, args_l, ab, substeps,
+            bwd_step, pf_e, ppe, ta, tb, z, a_, args_l, ab, substeps,
             return_state=True,
         )
         return (z, a_, ab), (pb_e, pb_o)
@@ -163,8 +161,8 @@ def _chunk_adjoint(step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
     return carry, _interleave_pairs(pb_e, pb_o)
 
 
-def _pipelined_adjoint(pf, pf_e, step, mesh, axis, data_axis, n, M,
-                       substeps, seq: bool):
+def _pipelined_adjoint(pf, pf_e, step, bwd_step, mesh, axis, data_axis,
+                       n, M, substeps, seq: bool):
     """O(1)-activation-memory training through the time pipeline: a
     ``custom_vjp`` whose backward pass runs the pipeline in REVERSE —
     hidden-state/adjoint pairs stream device n-1 -> 0 over a backward
@@ -262,7 +260,7 @@ def _pipelined_adjoint(pf, pf_e, step, mesh, axis, data_axis, n, M,
         def chunk_adjoint(z_end, a, args_bar, mb_start, g_chunk):
             p_mb = _local_slice(pieces_l, mb_start, b_loc)
             (z, a, args_bar), pbs = _chunk_adjoint(
-                step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
+                bwd_step, pf, pf_e, z_end, a, args_bar, p_mb, t0s_l, t1s_l,
                 args_l, substeps, g_chunk,
             )
             return z, a, args_bar, pbs
@@ -426,6 +424,7 @@ def pipelined_cde_solve(
     return_sequences: bool = False,
     remat: bool = False,
     adjoint: bool = False,
+    adjoint_method: Optional[str] = None,
     even_func: Optional[Callable] = None,
 ) -> jax.Array:
     """Solve dz = f(t, z) dX over ``X.interval`` with the knot axis
@@ -526,8 +525,12 @@ def pipelined_cde_solve(
         )
 
     if adjoint:
+        bwd_step = (
+            solvers.tree_fixed_step(adjoint_method)
+            if adjoint_method is not None else step
+        )
         solve_adj = _pipelined_adjoint(
-            pf, pf_e, step, mesh, axis, data_axis, n, M, substeps,
+            pf, pf_e, step, bwd_step, mesh, axis, data_axis, n, M, substeps,
             seq=return_sequences,
         )
         feat = z0.shape[1:]
@@ -709,7 +712,8 @@ def ncde_apply_pipelined(
         data_axis=data_axis, method=model.solver, substeps=substeps,
         microbatches=microbatches, vector_field_type=vf_type,
         return_sequences=model.return_sequences, remat=remat,
-        adjoint=adjoint, even_func=even_func,
+        adjoint=adjoint, adjoint_method=getattr(model, "adjoint_method", None),
+        even_func=even_func,
     )
     if not model.return_sequences:
         # _make_outputs expects a time axis at -2.

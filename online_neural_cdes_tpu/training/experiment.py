@@ -70,7 +70,7 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         **{k: v for k, v in model_cfg.items() if k in (
             "hidden_dim", "hidden_hidden_dim", "num_layers", "vector_field",
             "vector_field_type", "interpolation_eps", "sparsity", "adjoint",
-            "solver",
+            "adjoint_method", "solver",
         )},
     )
 

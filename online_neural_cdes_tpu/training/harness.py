@@ -22,6 +22,7 @@ TPU memory_stats.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -91,6 +92,7 @@ def setup_model(
     interpolation_eps: Optional[float] = None,
     sparsity: Optional[float] = None,
     adjoint: bool = True,
+    adjoint_method: Optional[str] = None,
     solver: str = "rk4",
     return_sequences: bool = False,
     train_data: Optional[LoadedData] = None,
@@ -108,7 +110,8 @@ def setup_model(
             num_layers=num_layers, vector_field=vector_field,
             vector_field_type=vector_field_type, interpolation=interpolation,
             interpolation_eps=interpolation_eps, sparsity=sparsity,
-            adjoint=adjoint, solver=solver, return_sequences=return_sequences,
+            adjoint=adjoint, adjoint_method=adjoint_method, solver=solver,
+            return_sequences=return_sequences,
         )
         return ModelBundle(model, model_string, identity, model.apply)
 
@@ -405,14 +408,16 @@ def train(
         def epoch_batches():
             return train_batches
 
+    # Profile the second epoch (the first compiles) — or the only epoch
+    # when just one will run, so profile_dir never silently captures
+    # nothing.
+    profile_epoch = (
+        start_epoch + 1 if max_epochs - start_epoch > 1 else start_epoch
+    )
     t_start = time.perf_counter()
     epochs_run = start_epoch
     for epoch in range(start_epoch, max_epochs):
-        import contextlib
-
-        profiling = (
-            profile_dir is not None and epoch == start_epoch + 1
-        )
+        profiling = profile_dir is not None and epoch == profile_epoch
         if profiling:
             from online_neural_cdes_tpu.utils.profiling import trace
 

@@ -123,7 +123,7 @@ def run_trials_vmapped(
         **{kk: v for kk, v in model_cfg.items() if kk in (
             "hidden_dim", "hidden_hidden_dim", "num_layers", "vector_field",
             "vector_field_type", "interpolation_eps", "sparsity", "adjoint",
-            "solver",
+            "adjoint_method", "solver",
         )},
     )
 

@@ -203,3 +203,133 @@ def test_nfe_stats_surface():
                         method="dopri5", options={"min_step": 0.5},
                         return_stats=True)
     assert int(stats_a["nfe"]) > 0
+
+
+def test_fixed_adjoint_method_override():
+    """adjoint_options={"method": "midpoint"} runs the backward solve with
+    a cheaper stepper (reference adjoint_options semantics): gradients
+    stay close to the rk4-backward adjoint at the lower order's accuracy,
+    converging to it under backward sub-stepping."""
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE, make_spline
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(6, 9, 3)) * 0.3, jnp.float32)
+    spline = make_spline("linear", linear_interpolation_coeffs(x))
+    model = NeuralCDE(input_dim=3, hidden_dim=6, output_dim=2,
+                      hidden_hidden_dim=8, num_layers=1,
+                      interpolation="linear", adjoint=False)
+    field = model.field
+    params = model.init(jax.random.PRNGKey(0))["field"]
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    z0 = jnp.zeros((6, 6), jnp.float32)
+
+    def grads(adjoint_options):
+        def loss(p):
+            out = cdeint(spline, func, z0, spline.interval, p, adjoint=True,
+                         method="rk4", adjoint_options=adjoint_options)
+            return jnp.sum(out ** 2)
+
+        return jax.grad(loss)(params)
+
+    g_rk4 = grads(None)
+    g_mid = grads({"method": "midpoint"})
+
+    def maxdiff(a, b):
+        return max(float(jnp.max(jnp.abs(x_ - y_)))
+                   for x_, y_ in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    mag = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_rk4))
+    coarse = maxdiff(g_mid, g_rk4)
+    # Both backward methods converge to the SAME continuous-adjoint limit
+    # as the backward refines: at matched substeps the midpoint and rk4
+    # backwards must agree far more tightly than at one step per knot
+    # (the knob trades gradient order for stage count, as the reference's
+    # adjoint_options method override does).
+    fine = maxdiff(grads({"method": "midpoint", "substeps": 8}),
+                   grads({"substeps": 8}))
+    assert coarse < 0.5 * mag, (coarse, mag)
+    assert fine < coarse / 8, (coarse, fine)
+    with pytest.raises(ValueError, match="fixed-grid adjoint_options"):
+        grads({"method": "dopri5"})
+
+
+def test_ncde_adjoint_method_field():
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 7, 3)) * 0.3, jnp.float32)
+    x = x.at[:, :, 0].set(jnp.arange(7, dtype=jnp.float32))
+    coeffs = linear_interpolation_coeffs(x, rectilinear=0)
+    base = dict(input_dim=3, hidden_dim=6, output_dim=1, hidden_hidden_dim=8,
+                num_layers=1, interpolation="rectilinear", adjoint=True)
+    m_rk4 = NeuralCDE(**base)
+    m_mid = NeuralCDE(**base, adjoint_method="midpoint")
+    params = m_rk4.init(jax.random.PRNGKey(0))
+
+    def g(model):
+        return jax.grad(
+            lambda p: jnp.sum(model.apply(p, coeffs) ** 2))(params)
+
+    # Forward values identical; gradients differ (cheaper backward) but
+    # stay bounded relative to the rk4-adjoint gradients.
+    np.testing.assert_allclose(np.asarray(m_mid.apply(params, coeffs)),
+                               np.asarray(m_rk4.apply(params, coeffs)))
+    ga, gb = g(m_mid), g(m_rk4)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) < 0.5 * scale + 1e-6
+
+
+def test_adjoint_method_training_parity():
+    """The cheaper backward steppers train to the same optimum: a short
+    rectilinear NCDE run reaches the same loss under rk4/midpoint/euler
+    backwards (the discretisation bias is optimiser-neutral — the
+    measured basis for the bench's backward_method sweep)."""
+    import optax
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    rng = np.random.default_rng(0)
+    N, L = 128, 6
+    inc = rng.normal(size=(N, L - 1)) / np.sqrt(L - 1)
+    bm = np.concatenate([np.zeros((N, 1)), np.cumsum(inc, 1)], 1)
+    x = np.stack([np.tile(np.arange(L), (N, 1)), bm], -1).astype(np.float32)
+    y = jnp.asarray((bm[:, -1:] > 0).astype(np.float32)
+                    * np.ones((1, L), np.float32))
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+
+    def train(adjoint_method, epochs=25):
+        model = NeuralCDE(input_dim=2, hidden_dim=6, output_dim=1,
+                          hidden_hidden_dim=12, num_layers=1,
+                          interpolation="rectilinear",
+                          return_sequences=True, adjoint=True,
+                          solver="rk4", adjoint_method=adjoint_method)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(3e-3)
+        s = opt.init(params)
+
+        def loss_fn(p):
+            logits = model.apply(p, coeffs)[..., 0]
+            return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        for _ in range(epochs):
+            params, s, l = step(params, s)
+        return float(l)
+
+    l_rk4 = train(None)
+    l_mid = train("midpoint")
+    l_eul = train("euler")
+    assert abs(l_mid - l_rk4) < 0.01, (l_rk4, l_mid)
+    assert abs(l_eul - l_rk4) < 0.02, (l_rk4, l_eul)
