@@ -614,7 +614,7 @@ def test_harness_train_step_through_pipelined_adjoint():
     )
     losses = [float(l1)]
     p, s = p1, s1
-    for _ in range(5):
+    for _ in range(3):
         p, s, l = step_piped(p, s, coeffs, labels, 1.0)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
@@ -644,22 +644,25 @@ def test_sequence_pipeline_adjoint_microbatch_extremes(M):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
 
-    def loss(p, mb):
-        return jnp.sum(pipelined_cde_solve(
-            spline, func, z0, p, mesh=mesh, microbatches=mb,
-            adjoint=True) ** 2)
+    if M == 2:
+        # Gradient check on the drain-dominated schedule only (M=16's
+        # backward compiles a second large program for the same code path).
+        def loss(p):
+            return jnp.sum(pipelined_cde_solve(
+                spline, func, z0, p, mesh=mesh, microbatches=M,
+                adjoint=True) ** 2)
 
-    def loss_ref(p):
-        return jnp.sum(cdeint(spline, func, z0, spline.interval, p,
-                              adjoint=True, method="rk4")[..., -1, :] ** 2)
+        def loss_ref(p):
+            return jnp.sum(cdeint(spline, func, z0, spline.interval, p,
+                                  adjoint=True, method="rk4")[..., -1, :] ** 2)
 
-    g = jax.grad(lambda p: loss(p, M))(params)
-    gr = jax.grad(loss_ref)(params)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
-        g, gr,
-    )
+        g = jax.grad(loss)(params)
+        gr = jax.grad(loss_ref)(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+            g, gr,
+        )
 
 
 def test_pipeline_paired_rectilinear_matches_plain_paired():
