@@ -820,3 +820,52 @@ def test_train_captures_profiler_trace(toy_dataset, tmp_path):
 
     traces = glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True)
     assert any(os.path.isfile(t) for t in traces), traces
+
+
+def test_wave_search_resumes_mid_wave(monkeypatch, tmp_path):
+    """A crash MID-WAVE must resume bit-identically: recorded wave members
+    replay, the missing ones regenerate from the same wave-start history
+    (wave candidates condition on completed waves only)."""
+    import json
+
+    import online_neural_cdes_tpu.training.hyperopt as ho
+    from online_neural_cdes_tpu.training.ledger import Ledger
+
+    calls = {"n": 0}
+
+    def fake_run_experiment(cfg, **kw):
+        calls["n"] += 1
+        return {"val.loss": (float(cfg["model"]["hidden_dim"]) - 150.0) ** 2}
+
+    monkeypatch.setattr(ho, "run_experiment", fake_run_experiment)
+    cfg = {
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]},
+        ],
+        "evaluation_metric": "loss",
+        "total_trials": 9,
+        "wave_size": 3,
+        "seed": 0,
+        "model": {}, "trainer": {},
+    }
+    path = str(tmp_path / "ledger.jsonl")
+    full = ho.run_hyperopt(dict(cfg), ledger=Ledger(path), run_name="h")
+    assert calls["n"] == 9
+
+    # Simulate a crash after trial 7 (mid third wave): drop the last
+    # trial's record from the ledger file.
+    lines = [l for l in open(path).read().splitlines() if l.strip()]
+    kept = [l for l in lines
+            if not (json.loads(l).get("config", {}).get("trial") == 8)]
+    assert len(kept) == len(lines) - 1
+    with open(path + ".new", "w") as fh:
+        fh.write("\n".join(kept) + "\n")
+    import os
+
+    os.replace(path + ".new", path)
+
+    calls["n"] = 0
+    resumed = ho.run_hyperopt(dict(cfg), ledger=Ledger(path), run_name="h")
+    assert calls["n"] == 1, "only the lost mid-wave trial re-runs"
+    assert resumed["best_score"] == full["best_score"]
+    assert resumed["best_parameters"] == full["best_parameters"]

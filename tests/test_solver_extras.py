@@ -538,3 +538,24 @@ def test_output_time_gradients_zero_when_field_autonomous_interiors():
     # t_1 does not appear in the loss: boundary term zero, and for the
     # reconstruction-exact adjoint the interior contribution vanishes too.
     np.testing.assert_allclose(g[1], 0.0, atol=1e-8)
+
+
+def test_output_time_gradients_adjoint_pytree_state():
+    """vjp_t with a PYTREE state: the augmented vt slot rides the ravelled
+    tuple state; FD check on an interior output time."""
+    def f(t, y, args):
+        a, b = y
+        return (-a + jnp.sin(2.0 * t) * b, -0.5 * b + jnp.cos(t))
+
+    y0 = (jnp.array([0.5, -0.2]), jnp.array([1.0, 0.3]))
+    t = jnp.array([0.2, 1.0, 1.9])
+
+    def loss(tvec):
+        ys = odeint_adjoint(f, y0, tvec, rtol=1e-10, atol=1e-12)
+        return jnp.sum(ys[0][1] * 1.5) + jnp.sum(ys[1][2] ** 2)
+
+    g = np.asarray(jax.grad(loss)(t))
+    eps = 1e-5
+    for i in (1, 2):
+        fd = (float(loss(t.at[i].add(eps))) - float(loss(t.at[i].add(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-4, atol=1e-7)
