@@ -229,3 +229,48 @@ def test_oversized_request_chunks_through_largest_bucket():
     singles = [pred.predict([s])[0] for s in series]
     for a, b in zip(out, singles):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_serves_logsig_models():
+    """Log-ODE models serve through the standard Predictor: the coeff_fn
+    hook applies the window transform to the bucket-padded batch (pad rows
+    forward-fill to zero increments = Chen identity, so padding cannot
+    change any request's prediction) — ragged requests match per-request
+    direct computation."""
+    import jax
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.ops.logsig import logsig_windows, logsignature_channels
+    from online_neural_cdes_tpu.serving import Predictor
+
+    depth, window = 2, 4
+    C = 3
+    n_ch = logsignature_channels(C, depth)
+    model = NeuralCDE(input_dim=n_ch, hidden_dim=6, output_dim=2,
+                      hidden_hidden_dim=8, num_layers=1,
+                      interpolation="linear", adjoint=False,
+                      return_sequences=False)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def coeff_fn(x):
+        return linear_interpolation_coeffs(logsig_windows(x, depth, window))
+
+    pred = Predictor(model, params, coeff_fn=coeff_fn,
+                     batch_buckets=(1, 4), length_multiple=8)
+
+    rng = np.random.default_rng(0)
+    series = [rng.normal(size=(L, C)).astype(np.float32) * 0.3
+              for L in (13, 21, 9)]
+    outs = pred.predict(series)
+    assert len(outs) == 3
+    for s, out in zip(series, outs):
+        direct = model.apply(
+            params, linear_interpolation_coeffs(
+                logsig_windows(jnp.asarray(s)[None], depth, window)))
+        # Bucket padding appends zero-increment windows; the terminal
+        # logsig row (cumsum) is constant through them, so predictions
+        # agree to float tolerance.
+        np.testing.assert_allclose(np.asarray(out).ravel(),
+                                   np.asarray(direct).ravel(),
+                                   rtol=1e-4, atol=1e-5)
