@@ -196,7 +196,10 @@ def run_hyperopt(
         else min(total_trials, max(5, int(config.get(
             "startup_trials", total_trials // 2))))
     )
-    startup_unit = _sobol_unit(len(dims), n_startup, seed)
+    # Full-length Sobol table: trials whose wave begins before ANY scored
+    # history exists (a wave spanning the whole startup phase) continue
+    # the low-discrepancy sequence instead of calling TPE with nothing.
+    startup_unit = _sobol_unit(len(dims), total_trials, seed)
 
     from online_neural_cdes_tpu.training.ledger import config_hash
 
@@ -307,7 +310,7 @@ def run_hyperopt(
                             t + 1, total_trials, wave_out[t][0])
             else:
                 replaying = False
-                if t < n_startup:
+                if t < n_startup or hist_rows.size == 0:
                     row = startup_unit[t]
                 else:
                     rng = np.random.default_rng((seed, t))

@@ -869,3 +869,33 @@ def test_wave_search_resumes_mid_wave(monkeypatch, tmp_path):
     assert calls["n"] == 1, "only the lost mid-wave trial re-runs"
     assert resumed["best_score"] == full["best_score"]
     assert resumed["best_parameters"] == full["best_parameters"]
+
+
+def test_fuzz_wave_sizes_reproduce_sequential_best(monkeypatch):
+    """Every wave size yields the best trial its own sequential evaluation
+    would (wave structure is part of the search definition; parallel
+    evaluation must not change outcomes) — fake objective, no training."""
+    import online_neural_cdes_tpu.training.hyperopt as ho
+
+    def fake_run_experiment(cfg, **kw):
+        h = float(cfg["model"]["hidden_dim"])
+        lr = float(cfg["trainer"].get("lr", 1e-3))
+        return {"val.loss": (h - 140.0) ** 2 + (np.log(lr) + 6.0) ** 2}
+
+    monkeypatch.setattr(ho, "run_experiment", fake_run_experiment)
+    cfg = {
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]},
+            {"name": "trainer__lr", "type": "range", "bounds": [1e-4, 1e-1],
+             "log_scale": True},
+        ],
+        "evaluation_metric": "loss",
+        "total_trials": 10,
+        "seed": 3,
+        "model": {}, "trainer": {},
+    }
+    for wave in (2, 3, 5, 10):
+        a = ho.run_hyperopt({**cfg, "wave_size": wave, "wave_vmap": True})
+        b = ho.run_hyperopt({**cfg, "wave_size": wave, "wave_vmap": False})
+        assert a["best_score"] == b["best_score"], wave
+        assert a["best_parameters"] == b["best_parameters"], wave

@@ -733,3 +733,41 @@ def test_pipeline_paired_rectilinear_matches_plain_paired():
                 atol=rtol * 1e2),
             g, gr,
         )
+
+
+def test_fuzz_pipeline_schedules_match_plain_scan():
+    """Randomised (pieces, mesh size, microbatches, batch) combinations:
+    the pipelined forward must match the plain scan bitwise on every
+    sampled schedule (catches slot-arithmetic regressions the fixed-shape
+    tests cannot)."""
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE, make_spline
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    rng = np.random.default_rng(123)
+    model = NeuralCDE(input_dim=3, hidden_dim=8, output_dim=1,
+                      hidden_hidden_dim=8, num_layers=1, adjoint=False)
+    field = model.field
+    params = model.init(jax.random.PRNGKey(0))["field"]
+
+    def func(t, z, fp):
+        return field.apply(fp, t, z)
+
+    for n_seq, pieces_per_dev, M, B in (
+        (2, 3, 5, 10), (4, 2, 3, 12), (8, 1, 2, 8), (3, 4, 6, 12),
+    ):
+        L = n_seq * pieces_per_dev + 1
+        x = jnp.asarray(rng.normal(size=(B, L, 3)) * 0.3, jnp.float32)
+        spline = make_spline("linear", linear_interpolation_coeffs(x))
+        z0 = jnp.asarray(rng.normal(size=(B, 8)) * 0.1, jnp.float32)
+        mesh = make_sequence_mesh(n_seq)
+        out = pipelined_cde_solve(spline, func, z0, params, mesh=mesh,
+                                  microbatches=M)
+        ref = cdeint(spline, func, z0, spline.interval, params,
+                     adjoint=False, method="rk4")[..., -1, :]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6,
+            err_msg=f"n={n_seq} Tc={pieces_per_dev} M={M} B={B}")
