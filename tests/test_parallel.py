@@ -789,29 +789,34 @@ def test_pipeline_adjoint_honours_adjoint_method():
     spline = make_spline("linear", linear_interpolation_coeffs(x))
     mesh = make_sequence_mesh(8)
 
-    def loss_pipe(p, am):
+    def loss_pipe(p, am, ss=1):
         out = pipelined_cde_solve(spline, func, z0, p, mesh=mesh,
                                   microbatches=4, adjoint=True,
-                                  adjoint_method=am)
+                                  adjoint_method=am, substeps=ss)
         return jnp.sum(out ** 2)
 
-    def loss_ref(p, am):
+    def loss_ref(p, am, ss=1):
         out = cdeint(spline, func, z0, spline.interval, p, adjoint=True,
-                     method="rk4",
-                     adjoint_options={"method": am} if am else None,
+                     method="rk4", options={"substeps": ss},
+                     adjoint_options=(
+                         {"method": am, "substeps": ss} if am
+                         else {"substeps": ss}),
                      )[..., -1, :]
         return jnp.sum(out ** 2)
 
-    g_pipe = jax.grad(lambda p: loss_pipe(p, "midpoint"))(params)
-    g_ref = jax.grad(lambda p: loss_ref(p, "midpoint"))(params)
     # The pipeline additionally reverse-integrates z within chunks with
     # the SAME cheaper stepper (cdeint resets z per stored knot), so the
-    # agreement tolerance is the O(h^2) stepper's own accuracy class.
+    # comparison runs at substeps=2 where that drift sits inside tolerance
+    # (measured gap 0.041 -> 0.0045 -> 0.0006 at substeps 1/2/4 — clean
+    # O(h^3)-rate convergence).
+    g_pipe = jax.grad(lambda p: loss_pipe(p, "midpoint", 2))(params)
+    g_ref = jax.grad(lambda p: loss_ref(p, "midpoint", 2))(params)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-2),
         g_pipe, g_ref,
     )
+    g_pipe = jax.grad(lambda p: loss_pipe(p, "midpoint"))(params)
     g_rk4 = jax.grad(lambda p: loss_pipe(p, None))(params)
     diffs = [float(jnp.max(jnp.abs(a - b)))
              for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_rk4))]
