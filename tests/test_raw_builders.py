@@ -159,3 +159,48 @@ def test_speech_builder_on_synthetic_wavs(tmp_path):
     assert npz["temporal_data_linear"].shape[0] == 20
     assert npz["temporal_data_linear"].shape[-1] == 11  # time + 10 MFCC
     assert set(np.unique(npz["labels"])) == set(range(10))
+
+
+def test_download_helpers_with_mocked_transport(monkeypatch, tmp_path):
+    """Zero-egress coverage of the download/unzip/untar helpers (reference
+    get_data/download/helpers.py roles): urlretrieve is mocked to write a
+    real zip/tar, and the extract + already-present short-circuit paths
+    run for real."""
+    import io
+    import os
+    import tarfile
+    import zipfile
+
+    from online_neural_cdes_tpu.data import download as dl
+
+    calls = []
+
+    def fake_urlretrieve(url, loc):
+        calls.append(url)
+        with zipfile.ZipFile(loc, "w") as zf:
+            zf.writestr("Data_TRAIN.ts", "@data\n1.0:a\n")
+
+    monkeypatch.setattr("urllib.request.urlretrieve", fake_urlretrieve)
+
+    folder = str(tmp_path / "uea")
+    loc = dl.download_zip(folder, "Data", dl.UEA_URL.format(name="Data"))
+    assert loc and calls == [dl.UEA_URL.format(name="Data")]
+    assert os.path.exists(os.path.join(folder, "Data_TRAIN.ts"))
+    # Second call short-circuits (files exist).
+    assert dl.download_zip(folder, "Data", "http://never-hit") is None
+    assert calls == [dl.UEA_URL.format(name="Data")]
+
+    # untar path with a real tarball.
+    tar_path = str(tmp_path / "sc.tar.gz")
+    payload = io.BytesIO(b"audio")
+    with tarfile.open(tar_path, "w:gz") as tf:
+        info = tarfile.TarInfo("speech/yes/a.wav")
+        info.size = len(payload.getvalue())
+        payload.seek(0)
+        tf.addfile(info, payload)
+    out = str(tmp_path / "sc")
+    dl.untar(tar_path, out)
+    assert os.path.exists(os.path.join(out, "speech/yes/a.wav"))
+
+    assert dl.mkdir_if_not_exists(str(tmp_path / "new")) is False
+    assert dl.mkdir_if_not_exists(str(tmp_path / "new")) is True
