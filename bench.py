@@ -133,9 +133,11 @@ def bench_jax(x, y, epochs=None):
     return float(np.median(times)), float(loss)
 
 
-def bench_torch(x, y, epochs=1):
+def bench_torch(x, y, epochs=3):
     """From-scratch torch implementation of the same algorithm (rectilinear
-    linear interpolation + piecewise rk4 CDE + sequence BCE + Adam)."""
+    linear interpolation + piecewise rk4 CDE + sequence BCE + Adam).
+    Multi-epoch mean: a single epoch's timing carries allocator warm-up
+    noise that made vs_baseline swing between runs."""
     import torch
 
     torch.manual_seed(0)

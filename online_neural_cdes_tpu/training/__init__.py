@@ -8,4 +8,5 @@ from online_neural_cdes_tpu.training import (  # noqa: F401
     loop,
     metrics,
     sweep,
+    wave,
 )
