@@ -111,3 +111,13 @@ def test_logsig_on_ragged_mortality(mimic_root):
     cfg["trainer"]["max_epochs"] = 1
     results = run_experiment(cfg, data_root=mimic_root)
     assert np.isfinite(results["test.loss"])
+
+
+def test_online_ncde_on_ventilation(mimic_root):
+    """The fourth MIMIC task (online, 12h-shifted labels) through the
+    harness — completes the 4-task training matrix."""
+    cfg = _base_config("ncde", "rectilinear", dataset="Ventilation")
+    cfg["trainer"]["max_epochs"] = 1
+    results = run_experiment(cfg, data_root=mimic_root)
+    assert np.isfinite(results["test.loss"])
+    assert results["nfe_per_epoch"] > 0
