@@ -136,8 +136,9 @@ def bench_jax(x, y, epochs=None):
 def bench_torch(x, y, epochs=3):
     """From-scratch torch implementation of the same algorithm (rectilinear
     linear interpolation + piecewise rk4 CDE + sequence BCE + Adam).
-    Multi-epoch mean: a single epoch's timing carries allocator warm-up
-    noise that made vs_baseline swing between runs."""
+    One untimed warm-up epoch then a multi-epoch mean — symmetric with
+    the jax side's warm-up + median protocol (a single timed epoch
+    carried allocator warm-up noise that swung vs_baseline)."""
     import torch
 
     torch.manual_seed(0)
@@ -190,8 +191,7 @@ def bench_torch(x, y, epochs=3):
             zs.append(z)
         return readout(torch.stack(zs, 1))[:, ::2, 0]
 
-    t0 = time.perf_counter()
-    for _ in range(epochs):
+    def one_epoch():
         for i in range(STEPS_PER_EPOCH):
             xb = xt[i * BATCH:(i + 1) * BATCH]
             yb = yt[i * BATCH:(i + 1) * BATCH]
@@ -199,6 +199,12 @@ def bench_torch(x, y, epochs=3):
             opt.zero_grad()
             loss.backward()
             opt.step()
+        return loss
+
+    one_epoch()                       # warm-up (allocator), untimed
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        loss = one_epoch()
     return (time.perf_counter() - t0) / epochs, float(loss.detach())
 
 

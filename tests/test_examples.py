@@ -9,10 +9,8 @@ import pytest
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
-# long_context.py's content is covered by the pipeline/logsig unit tests;
-# running it here would double-pay its mesh compiles.
 @pytest.mark.parametrize("script", [
-    "quickstart.py", "streaming_inference.py",
+    "quickstart.py", "streaming_inference.py", "long_context.py",
 ])
 def test_example_runs(script, capsys):
     import runpy

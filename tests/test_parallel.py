@@ -644,25 +644,24 @@ def test_sequence_pipeline_adjoint_microbatch_extremes(M):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
 
-    if M == 2:
-        # Gradient check on the drain-dominated schedule only (M=16's
-        # backward compiles a second large program for the same code path).
-        def loss(p):
-            return jnp.sum(pipelined_cde_solve(
-                spline, func, z0, p, mesh=mesh, microbatches=M,
-                adjoint=True) ** 2)
+    # Gradient check on BOTH extreme schedules: the drain-dominated M=2
+    # and the fill-dominated M=16 exercise distinct reverse-slot paths.
+    def loss(p):
+        return jnp.sum(pipelined_cde_solve(
+            spline, func, z0, p, mesh=mesh, microbatches=M,
+            adjoint=True) ** 2)
 
-        def loss_ref(p):
-            return jnp.sum(cdeint(spline, func, z0, spline.interval, p,
-                                  adjoint=True, method="rk4")[..., -1, :] ** 2)
+    def loss_ref(p):
+        return jnp.sum(cdeint(spline, func, z0, spline.interval, p,
+                              adjoint=True, method="rk4")[..., -1, :] ** 2)
 
-        g = jax.grad(loss)(params)
-        gr = jax.grad(loss_ref)(params)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
-            g, gr,
-        )
+    g = jax.grad(loss)(params)
+    gr = jax.grad(loss_ref)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        g, gr,
+    )
 
 
 def test_pipeline_paired_rectilinear_matches_plain_paired():
