@@ -245,13 +245,17 @@ def _calibrate_protocol():
 
 def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3):
     """Median of ``_CHAINS`` chains of ``n`` steps with ONE host sync per
-    chain: per-step numbers amortise the tunnel round-trip over the chain
-    (n=30 keeps the latency share under ~2 ms/step at a 50 ms RT); the
-    chain count adapts to the measured RT (see _calibrate_protocol)."""
+    chain: per-step numbers amortise the tunnel round-trip over the chain.
+    The chain length scales with the measured RT so the per-step latency
+    share stays ~<=1 ms even in congested sessions (a 54 ms RT over a
+    20-step chain silently added 2.7 ms/step to r3's sweep legs); the
+    chain count adapts too (see _calibrate_protocol)."""
     import jax
 
     from online_neural_cdes_tpu.training.loop import init_adam_state, make_train_step
 
+    if _TUNNEL_RT_S is not None and _TUNNEL_RT_S < 1.0:
+        n = min(max(n, int(_TUNNEL_RT_S * 1000.0)), 80)
     params = model.init(jax.random.PRNGKey(0))
     opt_state = init_adam_state(params)
     step = make_train_step(model, loss=loss, lr=lr, donate=False)
