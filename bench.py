@@ -402,8 +402,9 @@ def bench_flagship_step(n=30):
     rectilinear scan).  Also sweeps the BACKWARD-solver knob
     (adjoint_method, reference adjoint_options["method"] semantics):
     midpoint/euler backwards halve/quarter the reverse stage count at
-    O(h^2)/O(h) gradient order — measured training-parity on the toy task
-    (identical loss/accuracy to 4 decimals, DESIGN.md)."""
+    O(h^2)/O(h) gradient order — a task-dependent speed-vs-accuracy
+    trade (toy parity, slower convergence on harder tasks; DESIGN.md
+    section 1c)."""
     import jax
     import jax.numpy as jnp
 
@@ -452,8 +453,10 @@ def bench_flagship_step(n=30):
         "backward_method_step_ms": bwd_sweep,
         "backward_method_note": (
             "adjoint_options method knob (reference semantics): cheaper "
-            "reverse steppers at lower gradient order; toy-task training "
-            "parity to 4 decimals for all three (DESIGN.md r3)"
+            "reverse steppers at lower gradient order. Task-dependent "
+            "accuracy trade: toy-task parity to 4 decimals, but slower "
+            "convergence on a harder CharTraj-scale config (DESIGN.md "
+            "section 1c) — validate per task"
         ),
         "multichip": "validated by driver dryrun_multichip (virtual 8-dev mesh)",
     }, ms, fwd_nfe / (ms / 1e3), ms_mid

@@ -286,10 +286,10 @@ def test_ncde_adjoint_method_field():
 
 
 def test_adjoint_method_training_parity():
-    """The cheaper backward steppers train to the same optimum: a short
-    rectilinear NCDE run reaches the same loss under rk4/midpoint/euler
-    backwards (the discretisation bias is optimiser-neutral — the
-    measured basis for the bench's backward_method sweep)."""
+    """On the EASY toy task the cheaper backward steppers reach the same
+    optimum (rk4/midpoint/euler losses agree) — the favourable end of the
+    knob's task-dependent accuracy trade (harder tasks converge slower
+    under the cheap backwards; DESIGN.md section 1c records both)."""
     import optax
 
     from online_neural_cdes_tpu.models.ncde import NeuralCDE
