@@ -26,9 +26,11 @@ jax.config.update("jax_enable_x64", True)
 # jitted shapes x 8 virtual devices); repeat runs hit the cache on disk.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-# 0.1s threshold: the suite is dominated by many MEDIUM compiles
-# (0.1-0.5 s) that a 0.5 s threshold recompiled every run.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# 0.02s threshold: the suite is dominated by a long tail of SMALL
+# compiles that higher thresholds recompiled every run — measured warm
+# full-suite: 0.5s threshold ~520 s, 0.1s ~480 s, 0.02s ~322 s (the cold
+# write pass once costs ~17 min; the cache persists on disk).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.02)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
