@@ -10,17 +10,21 @@
 4. SpeechCommands-scale ODE-RNN and GRU-dt baselines.
 5. MIMIC-scale online NCDE, adjoint rk4, fused + paired rectilinear scan
    (the flagship; multi-chip data parallelism is validated separately by
-   the driver's dryrun_multichip on a virtual mesh).
+   the driver's dryrun_multichip on a virtual mesh) + the backward-solver
+   knob sweep (adjoint_method rk4/midpoint/euler).
+6. The H=256 width-scaling flagship leg.
+7. Log-ODE long-sequence leg (depth-2/window-8 vs the raw L=4096 control).
 
-Datasets cannot be downloaded in this image (zero egress), so configs 2-5
+Datasets cannot be downloaded in this image (zero egress), so configs 2-7
 use synthetic data at the real datasets' shapes — the measured quantity is
-compute (step time / NFE/s / effective TF/s), which depends on shapes, not
-values.  Every run also executes a Pallas-vs-XLA parity assertion on the
-hardware (forward + gradients), so each benchmark doubles as a TPU
-correctness check of the fused kernel.
+compute (step time / NFE/s / effective TF/s vs the 197 TF/s bf16 peak),
+which depends on shapes, not values.  Every run also executes a six-check
+Pallas-vs-XLA parity sweep on the hardware (fwd+bwd across shapes/packing,
+the whole-interval RK4 kernel, the one-pass Pallas backward) and emits a
+per-stage "roofline" decomposition of the flagship stage.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"configs": [5 entries], "pallas_parity": "ok"}.
+"configs": [7 entries], "pallas_parity": "ok", "roofline": {...}}.
 
 NOTE: on the experimental axon backend block_until_ready does not reliably
 block; a host transfer (float()/np.asarray) is the only true sync.
