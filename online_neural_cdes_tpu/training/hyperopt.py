@@ -243,9 +243,10 @@ def run_hyperopt(
 
     def run_wave(points: List[dict]):
         """Evaluate one wave's candidates.  Groups whose members share a
-        parameter-shape signature (differ only in trainer__lr) train as ONE
-        vmapped program (training/wave.py); the rest run sequentially.
-        Results are order-aligned with ``points``."""
+        parameter-shape/program signature (differ only in the waveable
+        trainer scalars — lr, final_lr_multiplier, scheduler knobs) train
+        as ONE vmapped program (training/wave.py); the rest run
+        sequentially.  Results are order-aligned with ``points``."""
         from online_neural_cdes_tpu.training.wave import (
             run_trials_vmapped, vmappable_groups,
         )

@@ -51,7 +51,9 @@ def _resolve_apply(model_or_fn) -> Callable:
 def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier, final_key):
     """The un-jitted per-batch update shared by :func:`make_train_step`
     (jitted directly) and :func:`make_epoch_step` (scanned over stacked
-    batches).  Returns ``(step, takes_lr_scale)``."""
+    batches).  Returns ``(step, n_runtime)`` where ``n_runtime`` counts the
+    trailing runtime-scalar arguments (0: fixed optimizer; 1: ``lr_scale``;
+    2: ``lr_scale, final_mult`` when ``final_lr_multiplier is None``)."""
     apply_fn = _resolve_apply(model)
     pointwise = make_loss(loss)
     sqrt = loss == "rmse"
@@ -68,37 +70,52 @@ def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier, final_key):
             params = optax.apply_updates(params, updates)
             return params, opt_state, value
 
-        return step, False
+        return step, 0
 
     adam = optax.scale_by_adam()
 
-    def step(params, opt_state, inputs, labels, lr_scale):
-        value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+    def apply_scaled(params, opt_state, grads, lr_scale, final_mult):
         updates, opt_state = adam.update(grads, opt_state)
         scaled = {
             k: jax.tree.map(
-                lambda u: -(lr * (final_lr_multiplier if k == final_key else 1.0))
+                lambda u: -(lr * (final_mult if k == final_key else 1.0))
                 * lr_scale * u,
                 v,
             )
             for k, v in updates.items()
         }
-        params = optax.apply_updates(params, scaled)
+        return optax.apply_updates(params, scaled), opt_state
+
+    if final_lr_multiplier is None:
+        # The readout boost rides as runtime data (per-trial in vmapped
+        # hyperopt waves, training/wave.py) instead of a closure constant.
+        def step(params, opt_state, inputs, labels, lr_scale, final_mult):
+            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+            params, opt_state = apply_scaled(
+                params, opt_state, grads, lr_scale, final_mult
+            )
+            return params, opt_state, value
+
+        return step, 2
+
+    def step(params, opt_state, inputs, labels, lr_scale):
+        value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+        params, opt_state = apply_scaled(
+            params, opt_state, grads, lr_scale, final_lr_multiplier
+        )
         return params, opt_state, value
 
-    return step, True
+    return step, 1
 
 
-def _jit_with_mesh(fn, mesh, takes_lr_scale, batch_spec, donate):
+def _jit_with_mesh(fn, mesh, n_runtime, batch_spec, donate):
     """Shared jit/sharding scaffolding: params+opt replicated, batch data
-    sharded per ``batch_spec``, optional replicated lr_scale."""
+    sharded per ``batch_spec``, replicated trailing runtime scalars."""
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0, 1) if donate else ())
     batch_sh = NamedSharding(mesh, batch_spec)
     repl_sh = NamedSharding(mesh, P())
-    in_sh = [repl_sh, repl_sh, batch_sh, batch_sh]
-    if takes_lr_scale:
-        in_sh.append(repl_sh)
+    in_sh = [repl_sh, repl_sh, batch_sh, batch_sh] + [repl_sh] * n_runtime
     return jax.jit(
         fn,
         in_shardings=tuple(in_sh),
@@ -125,16 +142,19 @@ def make_train_step(
         ``step(params, opt_state, inputs, labels, lr_scale) -> ...`` where
         the effective LR is ``lr * lr_scale`` (x ``final_lr_multiplier`` on
         the ``final_key`` subtree) — the plateau scheduler shrinks
-        ``lr_scale`` without retracing.
+        ``lr_scale`` without retracing.  ``final_lr_multiplier=None`` makes
+        the boost a runtime scalar too:
+        ``step(params, opt_state, inputs, labels, lr_scale, final_mult)``
+        (per-trial readout boosts in vmapped hyperopt waves).
 
     ``model`` is a model object with ``.apply(params, inputs)`` or a plain
     ``apply_fn(params, inputs)``.  NaN labels are masked (reference
     TemporalLossWrapper).
     """
-    step, takes_lr_scale = _make_step_body(
+    step, n_runtime = _make_step_body(
         model, optimizer, loss, lr, final_lr_multiplier, final_key
     )
-    return _jit_with_mesh(step, mesh, takes_lr_scale, P("data"), donate)
+    return _jit_with_mesh(step, mesh, n_runtime, P("data"), donate)
 
 
 def make_epoch_step(
@@ -162,7 +182,7 @@ def make_epoch_step(
     Requires all steps to share one compiled shape (stack equal-size
     batches; use :func:`make_train_step` for ragged tails).
     """
-    step, takes_lr_scale = _make_step_body(
+    step, n_runtime = _make_step_body(
         model, optimizer, loss, lr, final_lr_multiplier, final_key
     )
 
@@ -178,7 +198,7 @@ def make_epoch_step(
         return params, opt_state, losses
 
     # (steps, batch, ...) — the batch axis shards at position 1.
-    return _jit_with_mesh(epoch, mesh, takes_lr_scale, P(None, "data"), donate)
+    return _jit_with_mesh(epoch, mesh, n_runtime, P(None, "data"), donate)
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:

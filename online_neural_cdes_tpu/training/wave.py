@@ -3,14 +3,17 @@ that share one model shape as a single SPMD program.
 
 The reference evaluates Ax trials strictly sequentially (one full training
 per candidate, experiments/hyperoptimize.py:86-94).  On TPU, candidates
-whose hyperparameters do not change parameter SHAPES (e.g. the
-``trainer__lr`` dimension of the gru-family/odernn search spaces,
-configurations.json5) can instead train side by side: the trial axis is
-``vmap``-ed over the jitted train step — K models advance per dispatch,
-one compiled program, K× fewer host round-trips.  Per-trial learning
-rates ride the step's runtime ``lr_scale`` argument (training/loop.py), so
-the plateau scheduler, early stopping and best-checkpoint bookkeeping run
-vectorised on host exactly as the sequential harness does
+whose hyperparameters do not change parameter SHAPES or the traced program
+(e.g. the ``trainer__lr`` dimension of the gru-family/odernn search
+spaces, configurations.json5) can instead train side by side: the trial
+axis is ``vmap``-ed over the jitted train step — K models advance per
+dispatch, one compiled program, K× fewer host round-trips.  Per-trial
+learning rates and readout boosts ride the step's runtime ``lr_scale`` /
+``final_mult`` arguments (training/loop.py), and the scheduler knobs
+(plateau patience/factor, early-stop patience, max_epochs —
+:data:`WAVEABLE_TRAINER_KEYS`) are per-trial rows of the host bookkeeping
+arrays, so the plateau scheduler, early stopping and best-checkpoint
+bookkeeping run vectorised on host exactly as the sequential harness does
 (training/harness.py:train) — each trial's parameter trajectory is the
 same function of the data as its sequential run, so the search outcome is
 preserved (tested to tolerance).
@@ -24,24 +27,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["run_trials_vmapped", "vmappable_groups"]
+__all__ = ["run_trials_vmapped", "vmappable_groups", "WAVEABLE_TRAINER_KEYS"]
+
+# Trainer scalars the vmapped wave can vary PER TRIAL without changing the
+# compiled program: ``lr`` and ``final_lr_multiplier`` ride the step's
+# runtime arguments (training/loop.py, final_lr_multiplier=None); the
+# scheduler knobs live entirely in the host loop's per-trial bookkeeping
+# arrays.  Everything else (shape dims, solver/field choices, dataset keys)
+# changes the traced program and keeps candidates in separate groups.
+WAVEABLE_TRAINER_KEYS = frozenset({
+    "trainer__lr",
+    "trainer__final_lr_multiplier",
+    "trainer__plateau_patience",
+    "trainer__plateau_factor",
+    "trainer__early_stop_patience",
+    "trainer__max_epochs",
+})
 
 
-def _strip_lr(point: dict) -> tuple:
-    """Shape signature of a dunder-encoded candidate: everything except the
-    per-trial runtime scalars that the vmapped step can vary (lr)."""
+def _shape_signature(point: dict) -> tuple:
+    """Shape/program signature of a dunder-encoded candidate: everything
+    except the per-trial waveable trainer scalars."""
     return tuple(sorted(
-        (k, v) for k, v in point.items() if k != "trainer__lr"
+        (k, v) for k, v in point.items() if k not in WAVEABLE_TRAINER_KEYS
     ))
 
 
 def vmappable_groups(points: List[dict]):
     """Partition wave candidates into groups evaluable as one vmapped
-    program (same shape signature, differing only in trainer__lr) and
-    singletons.  Returns a list of lists of indices into ``points``."""
+    program (same shape/program signature, differing only in
+    :data:`WAVEABLE_TRAINER_KEYS`) and singletons.  Returns a list of lists
+    of indices into ``points``."""
     groups: dict = {}
     for i, p in enumerate(points):
-        groups.setdefault(_strip_lr(p), []).append(i)
+        groups.setdefault(_shape_signature(p), []).append(i)
     return list(groups.values())
 
 
@@ -70,8 +89,10 @@ def run_trials_vmapped(
     step and return one results dict per trial (the keys hyperopt reads:
     ``val.<metric>`` plus the split metrics / cost stats).
 
-    Contract: the configs must be identical except ``trainer.lr`` (the
-    caller groups by shape signature).  Raises on mismatch."""
+    Contract: the configs must be identical except the waveable trainer
+    scalars (``trainer.lr``, ``trainer.final_lr_multiplier`` and the
+    host-side scheduler knobs — :data:`WAVEABLE_TRAINER_KEYS`); the caller
+    groups by shape signature.  Raises on mismatch."""
     import time
 
     from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
@@ -83,21 +104,34 @@ def run_trials_vmapped(
     )
     from online_neural_cdes_tpu.utils.params import count_params
 
+    waveable = {key.split("__", 1)[1] for key in WAVEABLE_TRAINER_KEYS}
     k = len(trial_cfgs)
     cfg0 = trial_cfgs[0]
-    lrs = []
+
+    def _per_trial(key, default, dtype):
+        return np.asarray([
+            dtype(cfg.get("trainer", {}).get(key, default))
+            for cfg in trial_cfgs
+        ])
+
     for cfg in trial_cfgs:
         base = {key: val for key, val in cfg.items() if key != "trainer"}
         base0 = {key: val for key, val in cfg0.items() if key != "trainer"}
-        tr = {key: val for key, val in cfg.get("trainer", {}).items() if key != "lr"}
-        tr0 = {key: val for key, val in cfg0.get("trainer", {}).items() if key != "lr"}
+        tr = {key: val for key, val in cfg.get("trainer", {}).items()
+              if key not in waveable}
+        tr0 = {key: val for key, val in cfg0.get("trainer", {}).items()
+               if key not in waveable}
         if base != base0 or tr != tr0:
             raise ValueError(
-                "run_trials_vmapped requires configs identical except "
-                "trainer.lr"
+                "run_trials_vmapped requires configs identical except the "
+                f"waveable trainer scalars {sorted(waveable)}"
             )
-        lrs.append(float(cfg.get("trainer", {}).get("lr", 5e-3)))
-    lrs = np.asarray(lrs, np.float64)
+    lrs = _per_trial("lr", 5e-3, float)
+    final_mults = _per_trial("final_lr_multiplier", 10.0, float)
+    plateau_patience = _per_trial("plateau_patience", 15, int)
+    plateau_factor = _per_trial("plateau_factor", 0.1, float)
+    early_stop_patience = _per_trial("early_stop_patience", 60, int)
+    max_epochs_arr = _per_trial("max_epochs", 1000, int)
 
     ds = dict(cfg0.get("dataset", {}))
     model_cfg = dict(cfg0.get("model", {}))
@@ -134,11 +168,7 @@ def run_trials_vmapped(
     if minimize is None:
         minimize = monitor in ("loss",)
     sign = 1.0 if minimize else -1.0
-    max_epochs = int(trainer_cfg.get("max_epochs", 1000))
     batch_size = int(ds.get("batch_size", 1024))
-    plateau_patience = int(trainer_cfg.get("plateau_patience", 15))
-    plateau_factor = float(trainer_cfg.get("plateau_factor", 0.1))
-    early_stop_patience = int(trainer_cfg.get("early_stop_patience", 60))
     seed = int(cfg0.get("seed", 0))
 
     # Same config seed for every trial (the reference's hyperopt trials
@@ -150,13 +180,15 @@ def run_trials_vmapped(
 
     # Per-trial LR via the runtime lr_scale: base lr 1.0, scale = lr_i x
     # plateau decay_i (identical arithmetic to the sequential step, whose
-    # effective LR is lr * lr_scale).
+    # effective LR is lr * lr_scale).  final_lr_multiplier=None makes the
+    # readout boost a runtime scalar too, so trials may differ in it.
     base_step = make_train_step(
         bundle.apply_fn, loss=loss_str, lr=1.0,
-        final_lr_multiplier=float(trainer_cfg.get("final_lr_multiplier", 10.0)),
+        final_lr_multiplier=None,
         donate=False,
     )
-    vstep = jax.jit(jax.vmap(base_step, in_axes=(0, 0, None, None, 0)))
+    vstep = jax.jit(jax.vmap(base_step, in_axes=(0, 0, None, None, 0, 0)))
+    final_mult_dev = jnp.asarray(final_mults, jnp.float32)
     veval = jax.jit(jax.vmap(bundle.apply_fn, in_axes=(0, None)))
     pointwise = make_loss(loss_str)
 
@@ -206,12 +238,19 @@ def run_trials_vmapped(
     histories: List[list] = [[] for _ in range(k)]
 
     t_start = time.perf_counter()
-    for epoch in range(max_epochs):
+    for epoch in range(int(max_epochs_arr.max())):
+        # Per-trial epoch budgets: a trial past its own max_epochs freezes
+        # (bookkeeping stops; it still rides the stacked program, like
+        # early-stopped trials).
+        active = active & (epoch < max_epochs_arr)
+        if not active.any():
+            break
         lr_scale = jnp.asarray(lrs * decay, jnp.float32)
         for inputs, labels in train_batches:
             prepared = bundle.prepare_batch(inputs)
             params, opt_state, loss_val = vstep(
-                params, opt_state, prepared, jnp.asarray(labels), lr_scale
+                params, opt_state, prepared, jnp.asarray(labels), lr_scale,
+                final_mult_dev,
             )
         jax.block_until_ready(loss_val)
         epochs_run[active] = epoch + 1

@@ -702,6 +702,51 @@ def test_wave_vmapped_matches_sequential_and_is_faster(toy_dataset, _wave_cfg,
     assert speedup >= 2.0, f"wave speedup {speedup:.2f}x (seq {t_seq:.1f}s, vmap {t_vmap:.1f}s)"
 
 
+def test_wave_vmapped_nonshape_scalars_match_sequential(toy_dataset, _wave_cfg):
+    """NEXT.md r3 #5: candidates differing in non-shape trainer scalars
+    BEYOND lr — readout boost (final_lr_multiplier, a second runtime scalar
+    of the step), plateau/early-stop knobs and the epoch budget (per-trial
+    host bookkeeping rows) — join one vmapped wave, and every trial's
+    trajectory matches its own sequential run: scores, epoch bookkeeping,
+    history length and the per-epoch plateau-decay trail."""
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+    from online_neural_cdes_tpu.training.wave import (
+        run_trials_vmapped, vmappable_groups,
+    )
+
+    base = {k: v for k, v in _wave_cfg.items()
+            if k not in ("total_trials", "wave_size", "search",
+                         "parameterization")}
+    trainers = [
+        {"lr": 1e-3, "final_lr_multiplier": 10.0, "max_epochs": 4},
+        {"lr": 1e-2, "final_lr_multiplier": 1.0, "max_epochs": 4},
+        # Large lr + zero plateau patience: any non-improving epoch decays
+        # the lr_scale trail, which must then match the sequential trail.
+        {"lr": 2e-1, "final_lr_multiplier": 10.0, "plateau_patience": 0,
+         "plateau_factor": 0.5, "max_epochs": 3},
+    ]
+    cfgs = [{**base, "trainer": {**base["trainer"], **tr}} for tr in trainers]
+
+    points = [
+        {"model__hidden_dim": 8,
+         **{f"trainer__{k}": v for k, v in tr.items()}}
+        for tr in trainers
+    ]
+    assert vmappable_groups(points) == [[0, 1, 2]]
+
+    wave_results = run_trials_vmapped(cfgs, data_root=toy_dataset)
+    for cfg, res in zip(cfgs, wave_results):
+        seq = run_experiment(cfg, data_root=toy_dataset)
+        np.testing.assert_allclose(res["val.loss"], seq["val.loss"],
+                                   rtol=1e-4, atol=1e-6)
+        assert res["epochs_run"] == seq["epochs_run"]
+        assert res["best_epoch"] == seq["best_epoch"]
+        assert len(res["history"]) == len(seq["history"])
+        for hw, hs in zip(res["history"], seq["history"]):
+            assert hw["lr_scale"] == pytest.approx(hs["lr_scale"])
+            assert hw["loss"] == pytest.approx(hs["loss"], rel=1e-4, abs=1e-6)
+
+
 def test_wave_search_resumes_from_ledger(monkeypatch, tmp_path):
     """Wave-structured searches keep the crash-resume contract: recorded
     trials replay; nothing re-runs on a second invocation."""
