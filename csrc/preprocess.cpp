@@ -184,6 +184,37 @@ void natural_cubic_channel(const float* x, const double* t, int64_t length,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Hermite cubic with backward differences — the causal cubic scheme
+// (ops/interpolation.py::hermite_cubic_coefficients_with_backward_differences;
+// behavioural spec: reference sim_bm_toy_example.py:164,189).  Linear NaN
+// infill, then closed-form coefficients: on piece i the cubic matches
+// x_i, x_{i+1} and the backward-difference derivatives d_i = m_{i-1}
+// (d_0 = m_0), d_{i+1} = m_i.  No global solve — one pass per series.
+// ---------------------------------------------------------------------------
+void hermite_one(const float* x_in, const double* t, int64_t length,
+                 int64_t channels, float* coeffs) {
+  std::vector<float> x(x_in, x_in + length * channels);
+  linear_fill_one(x.data(), t, length, channels);
+  const int64_t n_pieces = length - 1;
+  for (int64_t c = 0; c < channels; ++c) {
+    double m_prev = 0.0;
+    for (int64_t i = 0; i < n_pieces; ++i) {
+      const double h = t[i + 1] - t[i];
+      const double xi = x[i * channels + c];
+      const double m = (x[(i + 1) * channels + c] - xi) / h;
+      const double d0 = (i == 0) ? m : m_prev;
+      const double d1 = m;
+      float* row = coeffs + i * channels * 4;
+      row[0 * channels + c] = static_cast<float>(xi);
+      row[1 * channels + c] = static_cast<float>(d0);
+      row[2 * channels + c] = static_cast<float>(2.0 * (3.0 * m - 2.0 * d0 - d1) / h);
+      row[3 * channels + c] = static_cast<float>(3.0 * (d0 + d1 - 2.0 * m) / (h * h));
+      m_prev = m;
+    }
+  }
+}
+
 void parallel_for(int64_t n, const std::function<void(int64_t)>& fn) {
   const int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
   const int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw, n));
@@ -258,6 +289,20 @@ void ncde_natural_cubic(const float* x, const double* t, float* coeffs,
       row0[i * channels * 4 + 2 * channels + c] = c2[i];
       row0[i * channels * 4 + 3 * channels + c] = d3[i];
     }
+  });
+}
+
+// Hermite-cubic (backward differences) coefficients for a ragged batch:
+// same packing as ncde_natural_cubic — [a | b | two_c | three_d] on the
+// channel axis, rows = sum(len_s - 1).
+void ncde_hermite(const float* x, const double* t, float* coeffs,
+                  const int64_t* offsets, const int64_t* piece_offsets,
+                  int64_t n_series, int64_t channels) {
+  parallel_for(n_series, [&](int64_t s) {
+    const int64_t length = offsets[s + 1] - offsets[s];
+    if (length < 2) return;
+    hermite_one(x + offsets[s] * channels, t + offsets[s], length, channels,
+                coeffs + piece_offsets[s] * channels * 4);
   });
 }
 

@@ -134,7 +134,8 @@ def _interpolate_native(data, method: str, initial_nan_to_zero: bool):
         from online_neural_cdes_tpu.data import native
     except Exception:
         return None
-    if method not in ("linear", "rectilinear", "linear_forward_fill", "cubic"):
+    if method not in ("linear", "rectilinear", "linear_forward_fill", "cubic",
+                      "hermite"):
         return None
     if not native.available():
         return None
@@ -147,6 +148,8 @@ def _interpolate_native(data, method: str, initial_nan_to_zero: bool):
         series.append(d)
     if method == "cubic":
         return native.natural_cubic_ragged(series)
+    if method == "hermite":
+        return native.hermite_ragged(series)
     if method == "rectilinear":
         series = native.rectilinear_ragged(series, time_index=0)
         return native.linear_fill_ragged(series)

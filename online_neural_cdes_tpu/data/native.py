@@ -1,6 +1,7 @@
 """ctypes bindings for the native C++ preprocessing library (csrc/
 preprocess.cpp): ragged forward fill, linear NaN infill, rectilinear
-preparation, natural-cubic coefficient construction and GRU-D delta/mask —
+preparation, natural-cubic and Hermite-cubic coefficient construction and
+GRU-D delta/mask —
 one pass per series, threaded over series, no per-length XLA compiles.
 
 ``build()`` compiles the shared library with g++ on first use; every entry
@@ -24,6 +25,7 @@ __all__ = [
     "linear_fill_ragged",
     "rectilinear_ragged",
     "natural_cubic_ragged",
+    "hermite_ragged",
     "delta_mask_ragged",
 ]
 
@@ -76,6 +78,9 @@ def _load() -> Optional[ctypes.CDLL]:
         _f32p, _f32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64
     ]
     lib.ncde_natural_cubic.argtypes = [
+        _f32p, _f64p, _f32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64
+    ]
+    lib.ncde_hermite.argtypes = [
         _f32p, _f64p, _f32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64
     ]
     lib.ncde_delta_mask.argtypes = [_f32p, _f32p, _f32p, _i64p, ctypes.c_int64,
@@ -174,6 +179,27 @@ def natural_cubic_ragged(series: Sequence[np.ndarray],
     coeffs = np.zeros((piece_offsets[-1], 4 * channels), np.float32)
     lib.ncde_natural_cubic(flat, _check_times(t, flat), coeffs, offsets,
                            piece_offsets, len(series), channels)
+    return _unpack(coeffs, piece_offsets)
+
+
+def hermite_ragged(series: Sequence[np.ndarray],
+                   times: Optional[Sequence[np.ndarray]] = None) -> List[np.ndarray]:
+    """Hermite-cubic (backward differences) coefficients, packed
+    [a|b|two_c|three_d] per series, rows = len-1 — the causal cubic scheme
+    (ops/interpolation.py:246-280) without per-length XLA compiles."""
+    lib = _load()
+    flat, offsets = _ragged_pack(series, min_length=2)
+    channels = flat.shape[-1]
+    if times is None:
+        t = _times_for(series, offsets)
+    else:
+        t = np.concatenate([np.asarray(x, np.float64) for x in times])
+    piece_lengths = np.diff(offsets) - 1
+    piece_offsets = np.zeros(len(series) + 1, np.int64)
+    np.cumsum(piece_lengths, out=piece_offsets[1:])
+    coeffs = np.zeros((piece_offsets[-1], 4 * channels), np.float32)
+    lib.ncde_hermite(flat, _check_times(t, flat), coeffs, offsets,
+                     piece_offsets, len(series), channels)
     return _unpack(coeffs, piece_offsets)
 
 

@@ -9,6 +9,7 @@ from online_neural_cdes_tpu.data import native
 from online_neural_cdes_tpu.models.grud import time_since_last_observation
 from online_neural_cdes_tpu.ops.fill import forward_fill, linear_fill
 from online_neural_cdes_tpu.ops.interpolation import (
+    hermite_cubic_coefficients_with_backward_differences,
     linear_interpolation_coeffs,
     natural_cubic_coeffs,
     prepare_rectilinear_interpolation,
@@ -64,6 +65,16 @@ def test_natural_cubic_matches():
     got = native.natural_cubic_ragged(series)
     for s, g in zip(series, got):
         expected = np.asarray(natural_cubic_coeffs(jnp.asarray(s)[None]))[0]
+        np.testing.assert_allclose(g, expected, atol=2e-4, rtol=1e-4)
+
+
+def test_hermite_matches():
+    series = _ragged(7)
+    got = native.hermite_ragged(series)
+    for s, g in zip(series, got):
+        expected = np.asarray(
+            hermite_cubic_coefficients_with_backward_differences(
+                jnp.asarray(s)[None]))[0]
         np.testing.assert_allclose(g, expected, atol=2e-4, rtol=1e-4)
 
 
