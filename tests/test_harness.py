@@ -633,9 +633,10 @@ def test_wave_vmapped_matches_sequential_and_is_faster(toy_dataset, _wave_cfg,
     must (a) select the same best trial as the sequential evaluation of
     the identical candidate sequence, with per-trial scores equal to
     tolerance, and (b) run >=2x faster in wall clock (one trace/compile/
-    dispatch stream instead of one per trial).  A 4-candidate wave keeps
-    the timed region small; an 8-candidate wave in a fresh process shows
-    ~4x (docs/ROUND3.md item 4)."""
+    dispatch stream instead of one per trial).  Timed at an 8-candidate
+    wave: a fresh process shows ~4x, and that margin is what keeps the
+    wall-clock assertion stable under full-suite load (a 4-candidate wave
+    measures ~2x and flakes below the threshold under contention)."""
     import time
 
     import jax
@@ -647,7 +648,7 @@ def test_wave_vmapped_matches_sequential_and_is_faster(toy_dataset, _wave_cfg,
     # program whose per-trial lrs are runtime data.  That amortisation is
     # the measured win — the persistent disk cache would mask it on warm
     # suite re-runs, so it is disabled for the timed region.
-    cfg = {**_wave_cfg, "total_trials": 4, "wave_size": 4}
+    cfg = {**_wave_cfg, "total_trials": 8, "wave_size": 8}
     from online_neural_cdes_tpu.training.ledger import Ledger
 
     cache_dir = jax.config.jax_compilation_cache_dir
@@ -680,7 +681,7 @@ def test_wave_vmapped_matches_sequential_and_is_faster(toy_dataset, _wave_cfg,
                     lambda e: e.get("run_name") == f"{name}::trials")}
 
     sv, ss = scores(lv, "wv"), scores(ls, "ws")
-    assert sorted(sv) == sorted(ss) == list(range(4))
+    assert sorted(sv) == sorted(ss) == list(range(8))
     for t in sv:
         np.testing.assert_allclose(sv[t], ss[t], rtol=1e-4, atol=1e-6)
     speedup = t_seq / t_vmap
