@@ -249,17 +249,21 @@ def _calibrate_protocol():
 
 def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3):
     """Median of ``_CHAINS`` chains of ``n`` steps with ONE host sync per
-    chain: per-step numbers amortise the tunnel round-trip over the chain.
-    The chain length scales with the measured RT so the per-step latency
-    share stays ~<=1 ms even in congested sessions (a 54 ms RT over a
-    20-step chain silently added 2.7 ms/step to r3's sweep legs); the
-    chain count adapts too (see _calibrate_protocol)."""
+    chain: each chain's elapsed time is ``n * step + one tunnel round-trip``
+    (a 54 ms RT over a 20-step chain silently added 2.7 ms/step to r3's
+    sweep legs).  Two defences, covering every RT regime: the chain length
+    scales with the measured RT (share before correction <=1 ms up to
+    RT=300 ms, where the cap bounds compute), and the single round-trip is
+    subtracted explicitly using a fresh probe taken just before the chain
+    (bounded at half the elapsed time so a spiking probe cannot halve the
+    result).  The residual error is the probe-to-sync RT jitter over n.
+    The chain count adapts too (see _calibrate_protocol)."""
     import jax
 
     from online_neural_cdes_tpu.training.loop import init_adam_state, make_train_step
 
-    if _TUNNEL_RT_S is not None and _TUNNEL_RT_S < 1.0:
-        n = min(max(n, int(_TUNNEL_RT_S * 1000.0)), 80)
+    if _TUNNEL_RT_S is not None:
+        n = min(max(n, int(_TUNNEL_RT_S * 1000.0)), 300)
     params = model.init(jax.random.PRNGKey(0))
     opt_state = init_adam_state(params)
     step = make_train_step(model, loss=loss, lr=lr, donate=False)
@@ -267,11 +271,13 @@ def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3):
     float(l)
     times = []
     for _ in range(_CHAINS):
+        rt = _measure_tunnel_rt()
         t0 = time.perf_counter()
         for _ in range(n):
             params, opt_state, l = step(params, opt_state, inputs, labels, 1.0)
         float(l)
-        times.append((time.perf_counter() - t0) / n)
+        elapsed = time.perf_counter() - t0
+        times.append((elapsed - min(rt, 0.5 * elapsed)) / n)
     return float(np.median(times)) * 1000.0
 
 

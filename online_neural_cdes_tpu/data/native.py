@@ -163,9 +163,10 @@ def rectilinear_ragged(series: Sequence[np.ndarray], time_index: int = 0) -> Lis
     return _unpack(out, out_offsets)
 
 
-def natural_cubic_ragged(series: Sequence[np.ndarray],
-                         times: Optional[Sequence[np.ndarray]] = None) -> List[np.ndarray]:
-    """Packed [a|b|two_c|three_d] coefficients per series, rows = len-1."""
+def _cubic_coeffs_ragged(entry_point, series, times) -> List[np.ndarray]:
+    """Shared packing for the cubic-coefficient entry points: ragged pack,
+    per-series times, piece offsets (len-1 rows each), [a|b|two_c|three_d]
+    output buffer."""
     lib = _load()
     flat, offsets = _ragged_pack(series, min_length=2)
     channels = flat.shape[-1]
@@ -177,9 +178,15 @@ def natural_cubic_ragged(series: Sequence[np.ndarray],
     piece_offsets = np.zeros(len(series) + 1, np.int64)
     np.cumsum(piece_lengths, out=piece_offsets[1:])
     coeffs = np.zeros((piece_offsets[-1], 4 * channels), np.float32)
-    lib.ncde_natural_cubic(flat, _check_times(t, flat), coeffs, offsets,
-                           piece_offsets, len(series), channels)
+    getattr(lib, entry_point)(flat, _check_times(t, flat), coeffs, offsets,
+                              piece_offsets, len(series), channels)
     return _unpack(coeffs, piece_offsets)
+
+
+def natural_cubic_ragged(series: Sequence[np.ndarray],
+                         times: Optional[Sequence[np.ndarray]] = None) -> List[np.ndarray]:
+    """Packed [a|b|two_c|three_d] coefficients per series, rows = len-1."""
+    return _cubic_coeffs_ragged("ncde_natural_cubic", series, times)
 
 
 def hermite_ragged(series: Sequence[np.ndarray],
@@ -187,20 +194,7 @@ def hermite_ragged(series: Sequence[np.ndarray],
     """Hermite-cubic (backward differences) coefficients, packed
     [a|b|two_c|three_d] per series, rows = len-1 — the causal cubic scheme
     (ops/interpolation.py:246-280) without per-length XLA compiles."""
-    lib = _load()
-    flat, offsets = _ragged_pack(series, min_length=2)
-    channels = flat.shape[-1]
-    if times is None:
-        t = _times_for(series, offsets)
-    else:
-        t = np.concatenate([np.asarray(x, np.float64) for x in times])
-    piece_lengths = np.diff(offsets) - 1
-    piece_offsets = np.zeros(len(series) + 1, np.int64)
-    np.cumsum(piece_lengths, out=piece_offsets[1:])
-    coeffs = np.zeros((piece_offsets[-1], 4 * channels), np.float32)
-    lib.ncde_hermite(flat, _check_times(t, flat), coeffs, offsets,
-                     piece_offsets, len(series), channels)
-    return _unpack(coeffs, piece_offsets)
+    return _cubic_coeffs_ragged("ncde_hermite", series, times)
 
 
 def delta_mask_ragged(series: Sequence[np.ndarray]):

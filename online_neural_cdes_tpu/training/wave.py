@@ -238,6 +238,7 @@ def run_trials_vmapped(
     histories: List[list] = [[] for _ in range(k)]
 
     t_start = time.perf_counter()
+    n_wave_epochs = 0
     for epoch in range(int(max_epochs_arr.max())):
         # Per-trial epoch budgets: a trial past its own max_epochs freezes
         # (bookkeeping stops; it still rides the stacked program, like
@@ -254,6 +255,7 @@ def run_trials_vmapped(
             )
         jax.block_until_ready(loss_val)
         epochs_run[active] = epoch + 1
+        n_wave_epochs = epoch + 1
 
         val_results = evaluate(params, val_batches)
         scores = np.asarray(
@@ -289,15 +291,19 @@ def run_trials_vmapped(
             ("test", test_batches),
         )
     }
+    # Cost attribution: every wave epoch advances all K lanes in lockstep,
+    # so one epoch costs ``wall / k`` per lane, and a trial accrues only
+    # the epochs it was itself active (a trial whose max_epochs/early-stop
+    # froze it early keeps riding the program — that lockstep waste is the
+    # wave's, not the trial's, so ledger cost stats stay comparable with
+    # sequential records even when epoch budgets differ across the wave).
+    per_epoch_share = elapsed / max(n_wave_epochs, 1) / k
     results = []
     for i in range(k):
         res = {
             "num_params": num_params,
-            # The wave's wall time is shared by all K trials; record each
-            # trial's amortised share so ledger cost stats stay comparable
-            # with sequential records.
-            "elapsed_time": elapsed / k,
-            "time_per_epoch": elapsed / k / max(int(epochs_run[i]), 1),
+            "elapsed_time": per_epoch_share * max(int(epochs_run[i]), 1),
+            "time_per_epoch": per_epoch_share,
             "epochs_run": int(epochs_run[i]),
             "best_epoch": int(best_epoch[i]),
             "nfe_per_epoch": None,
