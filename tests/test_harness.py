@@ -748,6 +748,18 @@ def test_wave_vmapped_nonshape_scalars_match_sequential(toy_dataset, _wave_cfg):
             assert hw["lr_scale"] == pytest.approx(hs["lr_scale"])
             assert hw["loss"] == pytest.approx(hs["loss"], rel=1e-4, abs=1e-6)
 
+    # Cost attribution under heterogeneous epoch budgets: one wave epoch
+    # costs wall/k per lane, and a trial accrues only its own active
+    # epochs — the 3-epoch trial must not be billed the wave's 4 (nor its
+    # time_per_epoch inflated by lockstep epochs it sat out).
+    shares = {res["time_per_epoch"] for res in wave_results}
+    assert len(shares) == 1
+    for res in wave_results:
+        assert res["elapsed_time"] == pytest.approx(
+            res["time_per_epoch"] * res["epochs_run"])
+    assert wave_results[2]["epochs_run"] == 3
+    assert wave_results[2]["elapsed_time"] < wave_results[0]["elapsed_time"]
+
 
 def test_wave_search_resumes_from_ledger(monkeypatch, tmp_path):
     """Wave-structured searches keep the crash-resume contract: recorded
