@@ -14,8 +14,10 @@
    knob sweep (adjoint_method rk4/midpoint/euler).
 6. The H=256 width-scaling flagship leg.
 7. Log-ODE long-sequence leg (depth-2/window-8 vs the raw L=4096 control).
+8. Serving latency (streaming OnlineNCDEStepper ticks + bucketed
+   Predictor batches; the reference has no serving path).
 
-Datasets cannot be downloaded in this image (zero egress), so configs 2-7
+Datasets cannot be downloaded in this image (zero egress), so configs 2-8
 use synthetic data at the real datasets' shapes — the measured quantity is
 compute (step time / NFE/s / effective TF/s vs the 197 TF/s bf16 peak),
 which depends on shapes, not values.  Every run also executes a six-check
@@ -24,7 +26,7 @@ the whole-interval RK4 kernel, the one-pass Pallas backward) and emits a
 per-stage "roofline" decomposition of the flagship stage.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"configs": [7 entries], "pallas_parity": "ok", "roofline": {...}}.
+"configs": [8 entries], "pallas_parity": "ok", "roofline": {...}}.
 
 NOTE: on the experimental axon backend block_until_ready does not reliably
 block; a host transfer (float()/np.asarray) is the only true sync.
@@ -674,6 +676,89 @@ def bench_logsig_long_sequence():
     }
 
 
+def bench_serving():
+    """Config 8 (beyond reference — the reference has no serving path):
+    production-inference latency at the flagship field size.
+
+    (a) Streaming: ``OnlineNCDEStepper`` per-tick device time for 64
+        concurrent streams (H=HH=128, C=21) — a chain of ticks with ONE
+        host sync, single round-trip subtracted (the _time_train_step
+        protocol).  A deployed per-tick latency adds one dispatch
+        round-trip on top, which is transport-bound, not model-bound.
+    (b) Bucketed offline: ``Predictor.predict`` end-to-end per 64-request
+        batch (L=199 linear NCDE) including host pad/pack and coefficient
+        build, minus the per-call sync round-trip; the shape is
+        precompiled so serve time never compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper, Predictor
+
+    B, L, C, H = 64, 199, 21, 128
+    rng = np.random.default_rng(5)
+
+    stream_model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, hidden_hidden_dim=H,
+        num_layers=2, interpolation="rectilinear", solver="rk4",
+        return_sequences=True,
+    )
+    params = stream_model.init(jax.random.PRNGKey(0))
+    stepper = OnlineNCDEStepper(stream_model, params)
+    obs = rng.normal(size=(L, B, C)).astype(np.float32)
+    obs[..., 0] = np.arange(L)[:, None]
+    state, _ = stepper.step(stepper.init(jnp.asarray(obs[0])),
+                            jnp.asarray(obs[1]))  # warm the jitted tick
+    ticks = [jnp.asarray(o) for o in obs[1:]]
+    n = len(ticks)
+    rt = _measure_tunnel_rt()
+    t0 = time.perf_counter()
+    for x_new in ticks:
+        state, y = stepper.step(state, x_new)
+    np.asarray(y)
+    elapsed = time.perf_counter() - t0
+    tick_ms = (elapsed - min(rt, 0.5 * elapsed)) / n * 1000.0
+
+    batch_model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, hidden_hidden_dim=H,
+        num_layers=2, interpolation="linear", solver="rk4",
+        return_sequences=False,
+    )
+    predictor = Predictor(
+        batch_model, batch_model.init(jax.random.PRNGKey(1)),
+        coeff_fn=linear_interpolation_coeffs,
+        batch_buckets=(B,), length_multiple=16,
+    )
+    series = list(rng.normal(size=(B, L, C)).astype(np.float32))
+    for s in series:
+        s[:, 0] = np.arange(L)
+    predictor.predict(series)  # warm the (64, 208) bucket
+    m = 10
+    rt = _measure_tunnel_rt()
+    t0 = time.perf_counter()
+    for _ in range(m):
+        predictor.predict(series)
+    elapsed = time.perf_counter() - t0
+    request_ms = (elapsed / m - min(rt, 0.5 * elapsed / m)) * 1000.0
+
+    return {
+        "config": "Serving latency (streaming stepper + bucketed predictor; no reference counterpart)",
+        "shape": f"B={B} L={L} C={C} H={H}",
+        "streaming_tick_ms": round(tick_ms, 3),
+        "streaming_note": (
+            "device time per observation tick for 64 concurrent streams "
+            "(2 rectilinear pieces/tick); deployed latency adds one "
+            "dispatch round-trip (transport-bound)"
+        ),
+        "bucketed_batch_ms": round(request_ms, 2),
+        "bucketed_note": (
+            "end-to-end per 64-request batch incl. host pad/pack + "
+            "coefficient build, shape precompiled (no serve-time compiles)"
+        ),
+    }
+
+
 def roofline_decomposition():
     """Per-stage decomposition of the flagship's fused field eval, fwd and
     bwd, emitted into the artifact (VERDICT r2 next #1): sequential-chain
@@ -788,6 +873,7 @@ def main():
     beijing = bench_beijing_hermite()
     speech = bench_speechcommands_baselines()
     logsig = bench_logsig_long_sequence()
+    serving = bench_serving()
     roofline = roofline_decomposition()
     try:
         torch_epoch_s, _ = bench_torch(x, y)
@@ -810,7 +896,7 @@ def main():
         ),
     }
     configs = [toy, chartraj, beijing, speech, flagship, flagship_h256,
-               logsig]
+               logsig, serving]
     print(
         json.dumps(
             {
