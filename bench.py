@@ -753,8 +753,11 @@ def bench_serving():
         ),
         "bucketed_batch_ms": round(request_ms, 2),
         "bucketed_note": (
-            "end-to-end per 64-request batch incl. host pad/pack + "
-            "coefficient build, shape precompiled (no serve-time compiles)"
+            "end-to-end per 64-request batch incl. host pad/pack, "
+            "coefficient build and the host->device transfer (which costs "
+            "~one extra round-trip on this tunneled box; direct-attached "
+            "hosts pay PCIe instead), shape precompiled (no serve-time "
+            "compiles)"
         ),
     }
 
