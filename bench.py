@@ -742,6 +742,13 @@ def bench_serving():
     elapsed = time.perf_counter() - t0
     request_ms = (elapsed / m - min(rt, 0.5 * elapsed / m)) * 1000.0
 
+    # Throughput mode: the same m batches with bounded in-flight
+    # pipelining — transfers and syncs overlap compute, so the per-batch
+    # time approaches pure device time + host packing.
+    t0 = time.perf_counter()
+    predictor.predict_many([series] * m, in_flight=4)
+    throughput_ms = (time.perf_counter() - t0) / m * 1000.0
+
     return {
         "config": "Serving latency (streaming stepper + bucketed predictor; no reference counterpart)",
         "shape": f"B={B} L={L} C={C} H={H}",
@@ -758,6 +765,11 @@ def bench_serving():
             "~one extra round-trip on this tunneled box; direct-attached "
             "hosts pay PCIe instead), shape precompiled (no serve-time "
             "compiles)"
+        ),
+        "throughput_batch_ms": round(throughput_ms, 2),
+        "throughput_note": (
+            "predict_many (in_flight=4): transfers/syncs overlap compute "
+            "across a stream of batches — amortised per-batch latency"
         ),
     }
 

@@ -87,25 +87,12 @@ class Predictor:
                 compiled += 1
         return compiled
 
-    def predict(self, series, static: Optional[np.ndarray] = None) -> List[np.ndarray]:
-        """series: list of (L_i, C) raw observations (NaN = missing) or an
-        (N, L, C) array.  Returns per-request outputs with padding removed
-        (sequence outputs truncated to each request's own length).
-
-        Requests larger than the biggest batch bucket are chunked through
-        it, so every executed shape is one ``precompile()`` warmed — the
-        no-recompiles-at-serve-time contract holds for any request size."""
-        if isinstance(series, np.ndarray) and series.ndim == 3:
-            series = [s for s in series]
-        n = len(series)
-        top = self.batch_buckets[-1]
-        if n > top:
-            out: List[np.ndarray] = []
-            for start in range(0, n, top):
-                st = None if static is None else static[start:start + top]
-                out.extend(self.predict(series[start:start + top], static=st))
-            return out
+    def _dispatch(self, series, static: Optional[np.ndarray]):
+        """Pack one <=top-bucket batch and enqueue the jitted forward.
+        Returns (device output, request lengths) WITHOUT synchronising —
+        the device array is a future until :meth:`_collect` transfers it."""
         lengths = [len(s) for s in series]
+        n = len(series)
         nb = self._bucket_batch(n)
 
         padded = pad_ragged(
@@ -124,8 +111,12 @@ class Predictor:
         inputs = self.coeff_fn(jnp.asarray(padded))
         if static is not None:
             inputs = (jnp.asarray(static, jnp.float32), inputs)
-        out = np.asarray(self._fwd(self.params, inputs))
+        return self._fwd(self.params, inputs), lengths
 
+    def _collect(self, device_out, lengths) -> List[np.ndarray]:
+        """Transfer a dispatched batch to host (the sync point) and strip
+        the padding per request."""
+        out = np.asarray(device_out)
         results = []
         for i, L in enumerate(lengths):
             o = out[i]
@@ -138,6 +129,73 @@ class Predictor:
                 results.append(o[:L])
             else:
                 results.append(o)
+        return results
+
+    def predict(self, series, static: Optional[np.ndarray] = None) -> List[np.ndarray]:
+        """series: list of (L_i, C) raw observations (NaN = missing) or an
+        (N, L, C) array.  Returns per-request outputs with padding removed
+        (sequence outputs truncated to each request's own length).
+
+        Requests larger than the biggest batch bucket are chunked through
+        it, so every executed shape is one ``precompile()`` warmed — the
+        no-recompiles-at-serve-time contract holds for any request size."""
+        if isinstance(series, np.ndarray) and series.ndim == 3:
+            series = [s for s in series]
+        n = len(series)
+        top = self.batch_buckets[-1]
+        if n > top:
+            out: List[np.ndarray] = []
+            for start in range(0, n, top):
+                st = None if static is None else static[start:start + top]
+                out.extend(self.predict(series[start:start + top], static=st))
+            return out
+        return self._collect(*self._dispatch(series, static))
+
+    def predict_many(
+        self,
+        batches,
+        statics: Optional[Sequence[Optional[np.ndarray]]] = None,
+        in_flight: int = 4,
+    ) -> List[List[np.ndarray]]:
+        """Throughput mode: serve a stream of request batches keeping up to
+        ``in_flight`` dispatched batches ahead of the sync point, so each
+        batch's host packing, host->device transfer and sync round-trip
+        overlap the previous batches' device compute (JAX's async dispatch
+        provides the pipelining; the latency-mode :meth:`predict`
+        serialises on its per-call sync instead).  Outputs are identical
+        to calling :meth:`predict` per batch (tested bit-exact), in order;
+        oversized batches chunk through the top bucket like
+        :meth:`predict`."""
+        from collections import deque
+
+        batches = list(batches)
+        statics_list = list(statics) if statics is not None else [None] * len(batches)
+        if len(statics_list) != len(batches):
+            raise ValueError("statics must match batches in length")
+        top = self.batch_buckets[-1]
+
+        units = []  # (batch index, series chunk, static chunk)
+        for bi, (series, static) in enumerate(zip(batches, statics_list)):
+            if isinstance(series, np.ndarray) and series.ndim == 3:
+                series = [s for s in series]
+            for start in range(0, len(series), top):
+                st = None if static is None else static[start:start + top]
+                units.append((bi, series[start:start + top], st))
+
+        results: List[List[np.ndarray]] = [[] for _ in batches]
+        pending: deque = deque()
+
+        def drain_one():
+            bi, dev, lengths = pending.popleft()
+            results[bi].extend(self._collect(dev, lengths))
+
+        for bi, chunk, st in units:
+            dev, lengths = self._dispatch(chunk, st)
+            pending.append((bi, dev, lengths))
+            if len(pending) >= max(int(in_flight), 1):
+                drain_one()
+        while pending:
+            drain_one()
         return results
 
 

@@ -274,3 +274,48 @@ def test_predictor_serves_logsig_models():
         np.testing.assert_allclose(np.asarray(out).ravel(),
                                    np.asarray(direct).ravel(),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_predict_many_bit_identical_to_per_batch_predict():
+    """Throughput mode (bounded in-flight pipelining) must return exactly
+    what latency-mode predict returns per batch — including an oversized
+    batch that chunks through the top bucket, sequence outputs, and an
+    in_flight window smaller than the unit count (so the drain path
+    interleaves with dispatch)."""
+    pred = _predictor(return_sequences=True)
+    batches = [
+        _requests(3, seed=2),
+        _requests(20, seed=3),   # > top bucket (16): chunks into 16 + 4
+        _requests(1, seed=4),
+        _requests(5, seed=5),
+    ]
+    many = pred.predict_many(batches, in_flight=2)
+    assert [len(m) for m in many] == [len(b) for b in batches]
+    for batch, outs in zip(batches, many):
+        expected = pred.predict(batch)
+        for o, e in zip(outs, expected):
+            np.testing.assert_array_equal(o, e)
+
+
+def test_predict_many_with_statics_and_validation():
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=6, output_dim=2, num_layers=1, static_dim=2,
+        interpolation="linear", return_sequences=False,
+        adjoint=False, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    pred = Predictor(
+        model, params, coeff_fn=lambda x: linear_interpolation_coeffs(x),
+        batch_buckets=(4,), length_multiple=8,
+    )
+    rng = np.random.default_rng(6)
+    batches = [_requests(3, seed=7), _requests(6, seed=8)]
+    statics = [rng.normal(size=(len(b), 2)).astype(np.float32)
+               for b in batches]
+    many = pred.predict_many(batches, statics=statics, in_flight=1)
+    for batch, static, outs in zip(batches, statics, many):
+        expected = pred.predict(batch, static=static)
+        for o, e in zip(outs, expected):
+            np.testing.assert_array_equal(o, e)
+    with pytest.raises(ValueError):
+        pred.predict_many(batches, statics=statics[:1])
