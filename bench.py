@@ -711,11 +711,16 @@ def bench_serving():
     state, _ = stepper.step(stepper.init(jnp.asarray(obs[0])),
                             jnp.asarray(obs[1]))  # warm the jitted tick
     ticks = [jnp.asarray(o) for o in obs[1:]]
-    n = len(ticks)
     rt = _measure_tunnel_rt()
+    # One sync rides the whole chain, so the chain must dwarf the RT in
+    # every regime (the _time_train_step recipe): repeat the tick list
+    # until n * ~1 ms >> RT, capped to bound compute.
+    reps = min(max(1, int(rt * 1000.0) // len(ticks) + 1), 20)
+    n = reps * len(ticks)
     t0 = time.perf_counter()
-    for x_new in ticks:
-        state, y = stepper.step(state, x_new)
+    for _ in range(reps):
+        for x_new in ticks:
+            state, y = stepper.step(state, x_new)
     np.asarray(y)
     elapsed = time.perf_counter() - t0
     tick_ms = (elapsed - min(rt, 0.5 * elapsed)) / n * 1000.0
@@ -734,13 +739,18 @@ def bench_serving():
     for s in series:
         s[:, 0] = np.arange(L)
     predictor.predict(series)  # warm the (64, 208) bucket
+    # Both bucketed numbers are RAW end-to-end wall clock so they are
+    # directly comparable in the artifact: a client waiting on predict()
+    # really pays its sync round-trip, and predict_many's win IS hiding
+    # that round-trip — subtracting it from one side would report the
+    # throughput mode as a slowdown.  The share is self-describing via
+    # rt_ms_during_run.
     m = 10
     rt = _measure_tunnel_rt()
     t0 = time.perf_counter()
     for _ in range(m):
         predictor.predict(series)
-    elapsed = time.perf_counter() - t0
-    request_ms = (elapsed / m - min(rt, 0.5 * elapsed / m)) * 1000.0
+    request_ms = (time.perf_counter() - t0) / m * 1000.0
 
     # Throughput mode: the same m batches with bounded in-flight
     # pipelining — transfers and syncs overlap compute, so the per-batch
@@ -760,17 +770,19 @@ def bench_serving():
         ),
         "bucketed_batch_ms": round(request_ms, 2),
         "bucketed_note": (
-            "end-to-end per 64-request batch incl. host pad/pack, "
-            "coefficient build and the host->device transfer (which costs "
-            "~one extra round-trip on this tunneled box; direct-attached "
-            "hosts pay PCIe instead), shape precompiled (no serve-time "
-            "compiles)"
+            "RAW end-to-end per 64-request predict() call: host pad/pack, "
+            "coefficient build, host->device transfer AND the sync "
+            "round-trip a waiting client really pays (on this tunneled "
+            "box transfer+sync cost ~2 round-trips; direct-attached hosts "
+            "pay PCIe instead); shape precompiled (no serve-time compiles)"
         ),
         "throughput_batch_ms": round(throughput_ms, 2),
         "throughput_note": (
-            "predict_many (in_flight=4): transfers/syncs overlap compute "
-            "across a stream of batches — amortised per-batch latency"
+            "predict_many (in_flight=4), same raw accounting: transfers/"
+            "syncs overlap compute across the batch stream, so the delta "
+            "vs bucketed_batch_ms is the hidden round-trip share"
         ),
+        "rt_ms_during_run": round(rt * 1000.0, 1),
     }
 
 

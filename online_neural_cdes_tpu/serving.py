@@ -131,6 +131,19 @@ class Predictor:
                 results.append(o)
         return results
 
+    def _chunks(self, series, static: Optional[np.ndarray]):
+        """Normalise one request batch (array -> list) and split it into
+        <=top-bucket chunks — the single chunking path shared by
+        :meth:`predict` and :meth:`predict_many`."""
+        if isinstance(series, np.ndarray) and series.ndim == 3:
+            series = [s for s in series]
+        if not series:
+            raise ValueError("empty request batch")
+        top = self.batch_buckets[-1]
+        for start in range(0, len(series), top):
+            st = None if static is None else static[start:start + top]
+            yield series[start:start + top], st
+
     def predict(self, series, static: Optional[np.ndarray] = None) -> List[np.ndarray]:
         """series: list of (L_i, C) raw observations (NaN = missing) or an
         (N, L, C) array.  Returns per-request outputs with padding removed
@@ -139,17 +152,10 @@ class Predictor:
         Requests larger than the biggest batch bucket are chunked through
         it, so every executed shape is one ``precompile()`` warmed — the
         no-recompiles-at-serve-time contract holds for any request size."""
-        if isinstance(series, np.ndarray) and series.ndim == 3:
-            series = [s for s in series]
-        n = len(series)
-        top = self.batch_buckets[-1]
-        if n > top:
-            out: List[np.ndarray] = []
-            for start in range(0, n, top):
-                st = None if static is None else static[start:start + top]
-                out.extend(self.predict(series[start:start + top], static=st))
-            return out
-        return self._collect(*self._dispatch(series, static))
+        out: List[np.ndarray] = []
+        for chunk, st in self._chunks(series, static):
+            out.extend(self._collect(*self._dispatch(chunk, st)))
+        return out
 
     def predict_many(
         self,
@@ -172,15 +178,11 @@ class Predictor:
         statics_list = list(statics) if statics is not None else [None] * len(batches)
         if len(statics_list) != len(batches):
             raise ValueError("statics must match batches in length")
-        top = self.batch_buckets[-1]
 
         units = []  # (batch index, series chunk, static chunk)
         for bi, (series, static) in enumerate(zip(batches, statics_list)):
-            if isinstance(series, np.ndarray) and series.ndim == 3:
-                series = [s for s in series]
-            for start in range(0, len(series), top):
-                st = None if static is None else static[start:start + top]
-                units.append((bi, series[start:start + top], st))
+            for chunk, st in self._chunks(series, static):
+                units.append((bi, chunk, st))
 
         results: List[List[np.ndarray]] = [[] for _ in batches]
         pending: deque = deque()
