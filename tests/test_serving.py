@@ -319,3 +319,11 @@ def test_predict_many_with_statics_and_validation():
             np.testing.assert_array_equal(o, e)
     with pytest.raises(ValueError):
         pred.predict_many(batches, statics=statics[:1])
+
+
+def test_empty_request_batch_raises_in_both_modes():
+    pred = _predictor(return_sequences=False)
+    with pytest.raises(ValueError, match="empty"):
+        pred.predict([])
+    with pytest.raises(ValueError, match="empty"):
+        pred.predict_many([_requests(2), []])
