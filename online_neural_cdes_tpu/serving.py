@@ -41,6 +41,11 @@ class Predictor:
             — 2L-1 rows per length-L request); outputs are then mapped back
             to one row per observation time (the reference's ::2 filtering,
             ncde.py:200-212) before truncating to the request length.
+        mesh: optional ``jax.sharding.Mesh`` with a ``"data"`` axis —
+            bucket batches shard across it (params replicated, XLA
+            propagates the batch sharding through the coefficient build
+            and the forward), scaling one predictor over a multi-chip
+            slice.  Every batch bucket must divide by the mesh size.
     """
 
     def __init__(
@@ -51,13 +56,26 @@ class Predictor:
         batch_buckets: Sequence[int] = (1, 8, 64, 256),
         length_multiple: int = 16,
         rectilinear_rows: bool = False,
+        mesh=None,
     ):
         self.model = model
-        self.params = params
         self.coeff_fn = coeff_fn or (lambda x: x)
         self.batch_buckets = sorted(batch_buckets)
         self.length_multiple = length_multiple
         self.rectilinear_rows = rectilinear_rows
+        self.mesh = mesh
+        if mesh is not None:
+            from online_neural_cdes_tpu.parallel.mesh import replicate
+
+            n_mesh = int(np.prod(mesh.devices.shape))
+            bad = [b for b in self.batch_buckets if b % n_mesh]
+            if bad:
+                raise ValueError(
+                    f"batch_buckets {bad} do not divide the {n_mesh}-device "
+                    "mesh; every bucket must shard evenly over the data axis"
+                )
+            params = replicate(params, mesh)
+        self.params = params
         self._fwd = jax.jit(lambda p, inputs: model.apply(p, inputs))
 
     def _bucket_batch(self, n: int) -> int:
@@ -108,6 +126,12 @@ class Predictor:
                     [static, np.repeat(static[:1], nb - n, axis=0)], axis=0
                 )
 
+        if self.mesh is not None:
+            from online_neural_cdes_tpu.parallel.mesh import shard_batch
+
+            padded = shard_batch(padded, self.mesh)
+            if static is not None:
+                static = shard_batch(np.asarray(static, np.float32), self.mesh)
         inputs = self.coeff_fn(jnp.asarray(padded))
         if static is not None:
             inputs = (jnp.asarray(static, jnp.float32), inputs)

@@ -820,3 +820,45 @@ def test_pipeline_adjoint_honours_adjoint_method():
     diffs = [float(jnp.max(jnp.abs(a - b)))
              for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_rk4))]
     assert max(diffs) > 1e-4, diffs    # the knob is live, not ignored
+
+
+def test_mesh_sharded_predictor_matches_single_device():
+    """Serving over a data mesh: a Predictor given a mesh shards each
+    bucket batch over the data axis (params replicated, sharding
+    propagated through the coefficient build and forward) and returns the
+    single-device outputs; buckets that don't divide the mesh are
+    rejected at construction."""
+    from online_neural_cdes_tpu.serving import Predictor
+
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+        interpolation="linear", return_sequences=True,
+        adjoint=False, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    reqs = []
+    for _ in range(12):  # chunks through top bucket 8: units of 8 + 4->8
+        L = int(rng.integers(4, 14))
+        s = rng.normal(size=(L, 3)).astype(np.float32)
+        s[:, 0] = np.arange(L)
+        reqs.append(s)
+
+    kw = dict(coeff_fn=lambda x: linear_interpolation_coeffs(x),
+              batch_buckets=(8,), length_multiple=8)
+    plain = Predictor(model, params, **kw)
+    sharded = Predictor(model, params, mesh=mesh, **kw)
+    outs_p = plain.predict(reqs)
+    outs_s = sharded.predict(reqs)
+    # Sharded compute reorders reductions; ~1e-6-level f32 drift expected.
+    for p, s in zip(outs_p, outs_s):
+        np.testing.assert_allclose(s, p, rtol=1e-5, atol=1e-6)
+
+    many = sharded.predict_many([reqs[:8], reqs[8:]], in_flight=2)
+    for outs, expected in zip(many, [outs_p[:8], outs_p[8:]]):
+        for o, e in zip(outs, expected):
+            np.testing.assert_allclose(o, e, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divide"):
+        Predictor(model, params, mesh=mesh, batch_buckets=(4,))
