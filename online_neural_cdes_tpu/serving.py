@@ -18,7 +18,7 @@ import numpy as np
 
 from online_neural_cdes_tpu.data.loader import pad_ragged
 
-__all__ = ["OnlineNCDEStepper", "Predictor"]
+__all__ = ["OnlineNCDEStepper", "Predictor", "predictor_from_bundle"]
 
 
 def _round_up(n: int, m: int) -> int:
@@ -46,6 +46,14 @@ class Predictor:
             propagates the batch sharding through the coefficient build
             and the forward), scaling one predictor over a multi-chip
             slice.  Every batch bucket must divide by the mesh size.
+        pad_forward_fill: how the length-pad region is filled.  True
+            (default) repeats each request's final row — for interpolated
+            controls the pad intervals then have dX = 0, freezing the CDE
+            state.  Set False to pad with NaN rows instead for models
+            whose preparation derives observation masks from NaN (the
+            GRU-family adapters) — fabricated pad "observations" would
+            corrupt their mask/delta channels, while NaN pad rows stay
+            causally isolated from every request's own rows.
     """
 
     def __init__(
@@ -57,6 +65,7 @@ class Predictor:
         length_multiple: int = 16,
         rectilinear_rows: bool = False,
         mesh=None,
+        pad_forward_fill: bool = True,
     ):
         self.model = model
         self.coeff_fn = coeff_fn or (lambda x: x)
@@ -64,6 +73,7 @@ class Predictor:
         self.length_multiple = length_multiple
         self.rectilinear_rows = rectilinear_rows
         self.mesh = mesh
+        self.pad_forward_fill = pad_forward_fill
         if mesh is not None:
             from online_neural_cdes_tpu.parallel.mesh import replicate
 
@@ -116,7 +126,7 @@ class Predictor:
         padded = pad_ragged(
             [np.asarray(s, np.float32) for s in series],
             bucket_multiple=self.length_multiple,
-            forward_fill=True,
+            forward_fill=self.pad_forward_fill,
         )
         if nb > n:  # pad batch with repeats of the first request
             filler = np.repeat(padded[:1], nb - n, axis=0)
@@ -223,6 +233,49 @@ class Predictor:
         while pending:
             drain_one()
         return results
+
+
+def predictor_from_bundle(bundle, params, **kw) -> Predictor:
+    """Serve any harness ``ModelBundle`` (training/harness.py::setup_model)
+    — the full model zoo, including the recurrent baselines whose inputs
+    are prepared tensors (GRU-D masks/deltas, gru-intensity channels)
+    rather than interpolation coefficients.
+
+    The bundle's ``prepare_batch`` becomes the predictor's ``coeff_fn``
+    (override via ``coeff_fn=`` for NCDE bundles, whose prepare is the
+    identity over precomputed coefficients) and its ``apply_fn`` the
+    forward.  Recurrent bundles pad with NaN rows (``pad_forward_fill=
+    False``): their preparation derives observation masks from NaN, so
+    forward-fill padding would fabricate observations, while NaN pad rows
+    stay causally isolated from every request's own (earlier) rows.
+
+    A recurrent ONE-SHOT bundle is rejected: its output is read after the
+    pad rows, which a recurrent cell keeps mutating even on padding
+    (unlike the NCDE, whose pad intervals have dX = 0 — see
+    ``test_padding_does_not_change_results``).  Build the bundle with
+    ``return_sequences=True`` and read each request's final row
+    (``outs[i][-1]``) — the one-shot output for the same params.
+    """
+    recurrent = bundle.model_string not in (
+        "ncde", "ncde-stacked", "ncde-attention"
+    )
+    return_sequences = bool(getattr(bundle.model, "return_sequences", False))
+    if recurrent and not return_sequences:
+        raise ValueError(
+            f"Cannot serve a one-shot {bundle.model_string!r} bundle: a "
+            "recurrent cell keeps mutating state across the length-pad "
+            "rows, so the final-state output would include padding. Build "
+            "the bundle with return_sequences=True and read each "
+            "request's final row (outs[i][-1]) instead."
+        )
+
+    class _BundleModel:
+        apply = staticmethod(bundle.apply_fn)
+    _BundleModel.return_sequences = return_sequences
+
+    kw.setdefault("coeff_fn", bundle.prepare_batch)
+    kw.setdefault("pad_forward_fill", not recurrent)
+    return Predictor(_BundleModel, params, **kw)
 
 
 class OnlineNCDEStepper:

@@ -327,3 +327,50 @@ def test_empty_request_batch_raises_in_both_modes():
         pred.predict([])
     with pytest.raises(ValueError, match="empty"):
         pred.predict_many([_requests(2), []])
+
+
+def test_predictor_from_bundle_serves_recurrent_zoo():
+    """The whole model zoo is servable: predictor_from_bundle wires a
+    harness bundle's prepare/apply into the bucketed predictor with NaN
+    length-padding (masks derive from NaN — forward-fill would fabricate
+    observations).  Each ragged request's served rows must equal the
+    direct bundle forward on the UNPADDED request: pad rows are causally
+    isolated and the missingness pattern survives the padding."""
+    from online_neural_cdes_tpu.serving import predictor_from_bundle
+    from online_neural_cdes_tpu.training.harness import setup_model
+
+    rng = np.random.default_rng(9)
+    reqs = []
+    for _ in range(5):
+        L = int(rng.integers(4, 14))
+        s = rng.normal(size=(L, 3)).astype(np.float32)
+        s[rng.random(size=s.shape) < 0.25] = np.nan
+        s[:, 0] = np.arange(L)  # time channel observed
+        reqs.append(s)
+
+    for model_string in ("gru-d", "gru-dt", "odernn"):
+        bundle = setup_model(
+            model_string, input_dim=3, output_dim=2, hidden_dim=6,
+            hidden_hidden_dim=6, num_layers=1, return_sequences=True,
+            adjoint=False,
+        )
+        params = bundle.init(jax.random.PRNGKey(0))
+        pred = predictor_from_bundle(bundle, params,
+                                     batch_buckets=(4,), length_multiple=8)
+        assert pred.pad_forward_fill is False
+        outs = pred.predict(reqs)
+        for r, o in zip(reqs, outs):
+            direct = np.asarray(bundle.apply_fn(
+                params, bundle.prepare_batch(jnp.asarray(r)[None])))[0]
+            np.testing.assert_allclose(o, direct[: len(r)],
+                                       rtol=1e-5, atol=1e-6), model_string
+
+
+def test_predictor_from_bundle_rejects_recurrent_one_shot():
+    from online_neural_cdes_tpu.serving import predictor_from_bundle
+    from online_neural_cdes_tpu.training.harness import setup_model
+
+    bundle = setup_model("gru-d", input_dim=3, output_dim=2, hidden_dim=6,
+                         return_sequences=False)
+    with pytest.raises(ValueError, match="one-shot"):
+        predictor_from_bundle(bundle, bundle.init(jax.random.PRNGKey(0)))
