@@ -653,19 +653,29 @@ def _scipy_integrate(func, y0, t, args, rtol, atol, options):
         return onp.asarray(out, onp.float64).reshape(-1)
 
     t_np = onp.asarray(t, onp.float64)
+    solver_name = options.get("solver", "LSODA")
     kwargs = {}
     if "max_step" in options:
         kwargs["max_step"] = float(options["max_step"])
     if "min_step" in options:
         # The reference forwards BOTH bounds into solve_ivp
-        # (scipy_wrapper.py:39-40); scipy honours min_step for LSODA/BDF.
+        # (scipy_wrapper.py:39-40).  Of scipy's methods only LSODA accepts
+        # a min_step kwarg; forwarding it to RK45/RK23/DOP853/Radau/BDF
+        # would raise a TypeError deep inside scipy, so reject the
+        # unsupported combination loudly here instead of dropping the
+        # bound silently.
+        if solver_name != "LSODA":
+            raise ValueError(
+                f"scipy solver {solver_name!r} does not support min_step "
+                "(only LSODA does); drop the option or use solver='LSODA'"
+            )
         kwargs["min_step"] = float(options["min_step"])
     sol = solve_ivp(
         np_func,
         t_span=(t_np[0], t_np[-1]),
         y0=onp.asarray(y0, onp.float64).reshape(-1),
         t_eval=t_np,
-        method=options.get("solver", "LSODA"),
+        method=solver_name,
         rtol=rtol,
         atol=atol,
         **kwargs,

@@ -66,6 +66,7 @@ class Predictor:
         rectilinear_rows: bool = False,
         mesh=None,
         pad_forward_fill: bool = True,
+        accept_static: bool = True,
     ):
         self.model = model
         self.coeff_fn = coeff_fn or (lambda x: x)
@@ -74,6 +75,7 @@ class Predictor:
         self.rectilinear_rows = rectilinear_rows
         self.mesh = mesh
         self.pad_forward_fill = pad_forward_fill
+        self.accept_static = accept_static
         if mesh is not None:
             from online_neural_cdes_tpu.parallel.mesh import replicate
 
@@ -119,6 +121,13 @@ class Predictor:
         """Pack one <=top-bucket batch and enqueue the jitted forward.
         Returns (device output, request lengths) WITHOUT synchronising —
         the device array is a future until :meth:`_collect` transfers it."""
+        if static is not None and not self.accept_static:
+            raise ValueError(
+                "this predictor's model does not consume static features "
+                "(its batch preparation is temporal-only — the reference "
+                "GRU/ODE-RNN baselines discard static, setup_model.py) — "
+                "call predict without static"
+            )
         lengths = [len(s) for s in series]
         n = len(series)
         nb = self._bucket_batch(n)
@@ -275,6 +284,12 @@ def predictor_from_bundle(bundle, params, **kw) -> Predictor:
 
     kw.setdefault("coeff_fn", bundle.prepare_batch)
     kw.setdefault("pad_forward_fill", not recurrent)
+    # Recurrent bundle preparation is temporal-only (it drops the static
+    # half of (static, temporal) training batches, mirroring the
+    # reference's GRU/ODE-RNN baselines) — wrapping static around the
+    # PREPARED tensors would hand apply_fn a tuple it cannot consume, so
+    # reject static requests loudly instead.
+    kw.setdefault("accept_static", not recurrent)
     return Predictor(_BundleModel, params, **kw)
 
 

@@ -241,12 +241,18 @@ def run_hyperopt(
             score = FAILURE_SENTINEL
         return score, results
 
-    def run_wave(points: List[dict]):
+    def run_wave(points: List[dict], on_result=None):
         """Evaluate one wave's candidates.  Groups whose members share a
         parameter-shape/program signature (differ only in the waveable
         trainer scalars — lr, final_lr_multiplier, scheduler knobs) train
         as ONE vmapped program (training/wave.py); the rest run
-        sequentially.  Results are order-aligned with ``points``."""
+        sequentially.  Results are order-aligned with ``points``.
+
+        ``on_result(local_index, score, results)`` fires as soon as each
+        candidate's evaluation completes (a vmapped group completes as one
+        unit), so the caller can persist finished trials before the wave
+        ends — a crash mid-wave then loses only the evaluation in flight,
+        not the wave's earlier trials."""
         from online_neural_cdes_tpu.training.wave import (
             run_trials_vmapped, vmappable_groups,
         )
@@ -268,6 +274,8 @@ def run_hyperopt(
                             (FAILURE_SENTINEL, results)
                             if not np.isfinite(s) else (s, results)
                         )
+                        if on_result is not None:
+                            on_result(i, *out[i])
                     continue
                 except Exception as exc:
                     logger.warning(
@@ -275,6 +283,8 @@ def run_hyperopt(
                         "sequential trials", exc)
             for i in group:
                 out[i] = run_one(points[i])
+                if on_result is not None:
+                    on_result(i, *out[i])
         return out
 
     unit_obs: list = []
@@ -322,11 +332,14 @@ def run_hyperopt(
             wave_points.append(point)
 
         if pending:
-            pend_results = run_wave(
-                [wave_points[t - trial] for t in pending]
-            )
-            for t, (score, results) in zip(pending, pend_results):
-                wave_out[t] = (score, results)
+            def persist(local_i, score, results):
+                # Fires the moment a trial's evaluation completes, so a
+                # crash mid-wave loses only the in-flight evaluation —
+                # the sequential wave_size=1 search's per-trial durability
+                # contract holds inside waves too (the replay logic above
+                # already regenerates any missing wave members from the
+                # same wave-start history).
+                t = pending[local_i]
                 logger.info("trial %d/%d: %s -> score %.5f", t + 1,
                             total_trials, wave_points[t - trial], score)
                 if ledger is not None:
@@ -345,6 +358,12 @@ def run_hyperopt(
                             wave_rows[t - trial], float).tolist(),
                             "point": wave_points[t - trial]},
                     )
+
+            pend_results = run_wave(
+                [wave_points[t - trial] for t in pending], on_result=persist
+            )
+            for t, (score, results) in zip(pending, pend_results):
+                wave_out[t] = (score, results)
 
         for t in wave:
             score, results = wave_out[t]

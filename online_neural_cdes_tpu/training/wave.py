@@ -126,6 +126,20 @@ def run_trials_vmapped(
                 "run_trials_vmapped requires configs identical except the "
                 f"waveable trainer scalars {sorted(waveable)}"
             )
+        # Per-trial runtime facilities the vmapped loop does not implement;
+        # raising sends hyperopt down its sequential fallback (which
+        # honours them) instead of silently dropping mid-trial fault
+        # tolerance or profiling.
+        unsupported = [key for key in (
+            "checkpoint_dir", "checkpoint_every", "resume", "prefetch",
+            "profile_dir",
+        ) if cfg.get("trainer", {}).get(key)]
+        if unsupported:
+            raise ValueError(
+                f"wave-incompatible trainer options {unsupported}: "
+                "checkpoint/resume/prefetch/profiling run only on the "
+                "sequential trial path"
+            )
     lrs = _per_trial("lr", 5e-3, float)
     final_mults = _per_trial("final_lr_multiplier", 10.0, float)
     plateau_patience = _per_trial("plateau_patience", 15, int)
@@ -227,6 +241,32 @@ def run_trials_vmapped(
             out.append(res)
         return out
 
+    # NFE bookkeeping at sequential-record parity (harness.py:386-390,
+    # 503-507): fixed-grid NFE is parameter-independent — probe once with
+    # the shared init; adaptive NFE is parameter-dependent — re-probe each
+    # epoch with every trial's own trained params (vmapped) and
+    # accumulate.  Non-NCDE bundles record None in both modes.
+    from online_neural_cdes_tpu.training.harness import (
+        _nfe_is_adaptive, _probe_nfe,
+    )
+
+    nfe_adaptive = _nfe_is_adaptive(bundle.model)
+    nfe_fixed = (
+        None if nfe_adaptive else _probe_nfe(bundle, params1, train_batches)
+    )
+    vprobe_nfe = None
+    if nfe_adaptive:
+        try:
+            probe_inputs, _ = next(iter(train_batches))
+            probe_prepared = bundle.prepare_batch(probe_inputs)
+            vprobe_nfe = jax.jit(jax.vmap(
+                lambda p: bundle.model.apply(
+                    p, probe_prepared, return_stats=True)[1]["nfe"]
+            ))
+        except Exception:
+            vprobe_nfe = None
+    nfe_total = np.zeros(k, np.float64)
+
     best_score = np.full(k, np.inf)
     best_params = params
     best_epoch = np.zeros(k, np.int64)
@@ -256,6 +296,13 @@ def run_trials_vmapped(
         jax.block_until_ready(loss_val)
         epochs_run[active] = epoch + 1
         n_wave_epochs = epoch + 1
+        if vprobe_nfe is not None:
+            try:
+                per_trial_nfe = np.asarray(vprobe_nfe(params), np.float64)
+                nfe_total += np.where(active, per_trial_nfe, 0.0) * len(
+                    train_batches)
+            except Exception:
+                vprobe_nfe = None
 
         val_results = evaluate(params, val_batches)
         scores = np.asarray(
@@ -300,14 +347,21 @@ def run_trials_vmapped(
     per_epoch_share = elapsed / max(n_wave_epochs, 1) / k
     results = []
     for i in range(k):
+        e_i = max(int(epochs_run[i]), 1)
+        if nfe_adaptive and nfe_total[i] > 0:
+            nfe_i = float(nfe_total[i])
+            nfe_per_epoch_i = nfe_i / e_i
+        else:
+            nfe_per_epoch_i = nfe_fixed
+            nfe_i = None if nfe_fixed is None else nfe_fixed * int(epochs_run[i])
         res = {
             "num_params": num_params,
-            "elapsed_time": per_epoch_share * max(int(epochs_run[i]), 1),
+            "elapsed_time": per_epoch_share * e_i,
             "time_per_epoch": per_epoch_share,
             "epochs_run": int(epochs_run[i]),
             "best_epoch": int(best_epoch[i]),
-            "nfe_per_epoch": None,
-            "nfe": None,
+            "nfe_per_epoch": nfe_per_epoch_i,
+            "nfe": nfe_i,
             "memory_usage": None,
             "history": histories[i],
         }

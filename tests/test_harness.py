@@ -743,6 +743,10 @@ def test_wave_vmapped_nonshape_scalars_match_sequential(toy_dataset, _wave_cfg):
                                    rtol=1e-4, atol=1e-6)
         assert res["epochs_run"] == seq["epochs_run"]
         assert res["best_epoch"] == seq["best_epoch"]
+        # NFE stats at sequential parity (fixed-grid: parameter-independent
+        # probe; review r3 — wave records previously carried None).
+        assert res["nfe_per_epoch"] == seq["nfe_per_epoch"]
+        assert res["nfe"] == seq["nfe"]
         assert len(res["history"]) == len(seq["history"])
         for hw, hs in zip(res["history"], seq["history"]):
             assert hw["lr_scale"] == pytest.approx(hs["lr_scale"])
@@ -958,3 +962,94 @@ def test_fuzz_wave_sizes_reproduce_sequential_best(monkeypatch):
         b = ho.run_hyperopt({**cfg, "wave_size": wave, "wave_vmap": False})
         assert a["best_score"] == b["best_score"], wave
         assert a["best_parameters"] == b["best_parameters"], wave
+
+
+def test_wave_persists_each_trial_before_the_wave_ends(monkeypatch, tmp_path):
+    """Review r3: a crash mid-wave must lose only the evaluation in
+    flight — every trial that finished before the crash is already on the
+    ledger (the wave_size=1 search's per-trial durability holds inside
+    waves), and the resumed search re-runs exactly the lost tail."""
+    import online_neural_cdes_tpu.training.hyperopt as ho
+    from online_neural_cdes_tpu.training.ledger import Ledger
+
+    def score_of(cfg):
+        return {"val.loss": (float(cfg["model"]["hidden_dim"]) - 150.0) ** 2}
+
+    calls = {"n": 0}
+
+    def crashing(cfg, **kw):
+        calls["n"] += 1
+        if calls["n"] == 6:  # trial index 5, mid second wave of three
+            raise KeyboardInterrupt
+        return score_of(cfg)
+
+    monkeypatch.setattr(ho, "run_experiment", crashing)
+    cfg = {
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]},
+        ],
+        "evaluation_metric": "loss",
+        "total_trials": 9,
+        "wave_size": 3,
+        "seed": 0,
+        "model": {}, "trainer": {},
+    }
+    path = str(tmp_path / "ledger.jsonl")
+    with pytest.raises(KeyboardInterrupt):
+        ho.run_hyperopt(dict(cfg), ledger=Ledger(path), run_name="h")
+    done = sorted(
+        int(e["config"]["trial"]) for e in Ledger(path).query(
+            lambda e: e.get("run_name") == "h::trials")
+    )
+    assert done == [0, 1, 2, 3, 4], done
+
+    calls["n"] = 0
+    monkeypatch.setattr(
+        ho, "run_experiment", lambda cfg, **kw: (calls.__setitem__(
+            "n", calls["n"] + 1) or score_of(cfg)))
+    resumed = ho.run_hyperopt(dict(cfg), ledger=Ledger(path), run_name="h")
+    assert calls["n"] == 4, "only the lost trial and the unrun tail re-run"
+    assert np.isfinite(resumed["best_score"])
+
+
+def test_wave_rejects_incompatible_trainer_options(toy_dataset, _wave_cfg):
+    """Per-trial runtime facilities (checkpoint/resume/prefetch/profiling)
+    are sequential-path features; a vmapped wave must refuse them loudly
+    (hyperopt then falls back to the sequential path, which honours
+    them)."""
+    from online_neural_cdes_tpu.training.wave import run_trials_vmapped
+
+    cfgs = [
+        {k: v for k, v in _wave_cfg.items()
+         if k not in ("total_trials", "wave_size", "search",
+                      "parameterization")}
+        for _ in range(2)
+    ]
+    for i, cfg in enumerate(cfgs):
+        cfg["trainer"] = {**cfg["trainer"], "lr": 1e-3 * (i + 1),
+                          "checkpoint_every": 2, "checkpoint_dir": "/tmp/x"}
+    with pytest.raises(ValueError, match="wave-incompatible"):
+        run_trials_vmapped(cfgs, data_root=toy_dataset)
+
+
+def test_wave_adaptive_nfe_tracks_sequential(toy_dataset, _wave_cfg):
+    """Adaptive-solver waves re-probe NFE with each trial's own trained
+    params per epoch (the sequential harness's accumulation contract) —
+    records carry real numbers, close to the sequential run's."""
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+    from online_neural_cdes_tpu.training.wave import run_trials_vmapped
+
+    base = {k: v for k, v in _wave_cfg.items()
+            if k not in ("total_trials", "wave_size", "search",
+                         "parameterization")}
+    base["model"] = {**base["model"], "solver": "dopri5"}
+    base["trainer"] = {**base["trainer"], "max_epochs": 2}
+    cfgs = [{**base, "trainer": {**base["trainer"], "lr": lr}}
+            for lr in (1e-3, 1e-2)]
+    wave = run_trials_vmapped(cfgs, data_root=toy_dataset)
+    for cfg, res in zip(cfgs, wave):
+        assert res["nfe_per_epoch"] is not None and res["nfe_per_epoch"] > 0
+        seq = run_experiment(cfg, data_root=toy_dataset)
+        assert seq["nfe"] > 0
+        assert abs(res["nfe"] - seq["nfe"]) / seq["nfe"] < 0.05, (
+            res["nfe"], seq["nfe"])

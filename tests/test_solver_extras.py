@@ -559,3 +559,19 @@ def test_output_time_gradients_adjoint_pytree_state():
     for i in (1, 2):
         fd = (float(loss(t.at[i].add(eps))) - float(loss(t.at[i].add(-eps)))) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=1e-4, atol=1e-7)
+
+
+def test_scipy_min_step_rejected_for_non_lsoda():
+    """Of scipy's solve_ivp methods only LSODA accepts min_step; forwarding
+    it to RK45 would raise a TypeError deep inside scipy, so the fallback
+    rejects the combination loudly instead (review r3)."""
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.ops.solvers import odeint
+
+    with pytest.raises(ValueError, match="min_step"):
+        odeint(
+            lambda t, y, args: -y, jnp.ones(2), jnp.linspace(0.0, 1.0, 3),
+            None, method="scipy_solver",
+            options={"solver": "RK45", "min_step": 0.1},
+        )
