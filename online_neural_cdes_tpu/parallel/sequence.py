@@ -67,6 +67,55 @@ def _fwd_slots(s, k, n, M):
     return m_here, here_valid, m_out
 
 
+def _make_fwd_tick(axis, k, n, M, z0_mb, chunk_solve, *, stash_boundary,
+                   stash_seq):
+    """The forward pipeline tick body (ONE copy — shared by the plain
+    pipeline and the adjoint's forward replica, which must stay
+    schedule-identical because the stored boundary states feed the reverse
+    schedule).  Carry is ``(buf, outs, bnd, seqb)``; a caller that does
+    not stash a buffer passes a 0-sized dummy for it and it flows through
+    untouched.
+
+    - ``stash_boundary``: record the chunk-boundary state ``x_in`` this
+      device consumed for microbatch ``m_here`` (the adjoint's backward
+      pass hands it down the reverse schedule so stage k-1 starts from the
+      exact forward state).
+    - ``stash_seq``: record the per-interval states ``zs`` of the chunk.
+    """
+    fwd_perm = [(i, i + 1) for i in range(n - 1)]
+    b_loc = z0_mb.shape[1]
+
+    def tick(carry, s):
+        buf, outs, bnd, seqb = carry
+        inject = z0_mb[jnp.clip(s, 0, M - 1)]
+        x_in = jnp.where(k == 0, inject, buf)
+        # Microbatch index this device holds at tick s is (s - k);
+        # clamped for the fill/drain ticks (garbage, masked below).
+        m_here, here_valid, m_out = _fwd_slots(s, k, n, M)
+        if stash_boundary:
+            cur_b = jax.lax.dynamic_slice_in_dim(bnd, m_here, 1, 0)[0]
+            bnd = jax.lax.dynamic_update_slice_in_dim(
+                bnd, jnp.where(here_valid, x_in, cur_b)[None], m_here, 0
+            )
+        y, zs = chunk_solve(x_in, m_here * b_loc)
+        if stash_seq:
+            cur_s = jax.lax.dynamic_slice_in_dim(seqb, m_here, 1, 0)[0]
+            seqb = jax.lax.dynamic_update_slice_in_dim(
+                seqb, jnp.where(here_valid, zs, cur_s)[None], m_here, 0
+            )
+        buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
+        # Device n-1 finishes microbatch (s - (n-1)) at this tick.
+        slot = jnp.clip(m_out, 0, M - 1)
+        valid = (m_out >= 0) & (k == n - 1)
+        current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
+        outs = jax.lax.dynamic_update_slice_in_dim(
+            outs, jnp.where(valid, y, current)[None], slot, 0
+        )
+        return (buf, outs, bnd, seqb), None
+
+    return tick
+
+
 def _bwd_slots(s, k, n, M):
     """Reverse pipeline schedule: device k processes microbatch
     ``M-1 - (s - (n-1-k))`` at reverse tick ``s`` (the forward schedule
@@ -183,7 +232,6 @@ def _pipelined_adjoint(pf, pf_e, step, bwd_step, mesh, axis, data_axis,
     it: inside a stage's reverse interval scan, ``a += g_knot[i]`` before
     interval i is re-integrated — the pipelined analogue of the plain
     interval adjoint's per-output ``a += g_r`` (ops/cdeint.py)."""
-    fwd_perm = [(i, i + 1) for i in range(n - 1)]
     bwd_perm = [(i, i - 1) for i in range(1, n)]
 
     def _local_slice(pieces_l, mb_start, b_loc):
@@ -194,12 +242,11 @@ def _pipelined_adjoint(pf, pf_e, step, bwd_step, mesh, axis, data_axis,
         )
 
     def local_fwd(z0_mb, t0s_l, t1s_l, pieces_l, args_l):
-        # NOTE: this forward replica MUST stay schedule-identical to the
-        # plain pipeline body in pipelined_cde_solve.local (same m_here /
-        # valid / ppermute arithmetic): the stored boundary states feed
-        # the reverse schedule, so any schedule change must be applied to
-        # BOTH copies (the seq-8 / composed-mesh equivalence tests catch a
-        # desync).
+        # The tick body is the SHARED _make_fwd_tick (schedule-identical to
+        # the plain pipeline by construction); this replica additionally
+        # stashes the chunk-boundary state z_{m,k} each device consumed —
+        # the backward pass hands it down the reverse schedule so stage
+        # k-1 starts its adjoint from the exact forward state.
         k = jax.lax.axis_index(axis)
         b_loc = z0_mb.shape[1]
         Tc = t0s_l.shape[0]
@@ -209,33 +256,8 @@ def _pipelined_adjoint(pf, pf_e, step, bwd_step, mesh, axis, data_axis,
             return _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l,
                                 args_l, substeps)
 
-        def tick(carry, s):
-            buf, outs, bnd, seqb = carry
-            inject = z0_mb[jnp.clip(s, 0, M - 1)]
-            x_in = jnp.where(k == 0, inject, buf)
-            # Stash the chunk-boundary state z_{m,k} this device consumed:
-            # the backward pass hands it down the reverse schedule so stage
-            # k-1 starts its adjoint from the exact forward state.
-            m_here, here_valid, m_out = _fwd_slots(s, k, n, M)
-            cur_b = jax.lax.dynamic_slice_in_dim(bnd, m_here, 1, 0)[0]
-            bnd = jax.lax.dynamic_update_slice_in_dim(
-                bnd, jnp.where(here_valid, x_in, cur_b)[None], m_here, 0
-            )
-            y, zs = chunk_solve(x_in, m_here * b_loc)
-            if seq:
-                cur_s = jax.lax.dynamic_slice_in_dim(seqb, m_here, 1, 0)[0]
-                seqb = jax.lax.dynamic_update_slice_in_dim(
-                    seqb, jnp.where(here_valid, zs, cur_s)[None], m_here, 0
-                )
-            buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
-            slot = jnp.clip(m_out, 0, M - 1)
-            valid = (m_out >= 0) & (k == n - 1)
-            current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
-            outs = jax.lax.dynamic_update_slice_in_dim(
-                outs, jnp.where(valid, y, current)[None], slot, 0
-            )
-            return (buf, outs, bnd, seqb), None
-
+        tick = _make_fwd_tick(axis, k, n, M, z0_mb, chunk_solve,
+                              stash_boundary=True, stash_seq=seq)
         seq0 = (
             jnp.zeros((M, Tc) + z0_mb.shape[1:], z0_mb.dtype)
             if seq else jnp.zeros((0,), z0_mb.dtype)
@@ -580,38 +602,21 @@ def pipelined_cde_solve(
             return _chunk_solve(step, pf, pf_e, z, p_mb, t0s_l, t1s_l,
                                 args_l, substeps)
 
-        fwd_perm = [(i, i + 1) for i in range(n - 1)]
-
         Tc = t0s_l.shape[0]
 
-        def tick(carry, s):
-            # (wrapped in jax.checkpoint below when remat=True)
-            buf, outs, seq = carry
-            inject = z0_mb[jnp.clip(s, 0, M - 1)]
-            x_in = jnp.where(k == 0, inject, buf)
-            # Microbatch index this device holds at tick s is (s - k);
-            # clamp for the fill/drain ticks (garbage, masked below).
-            m_here, here_valid, m_out = _fwd_slots(s, k, n, M)
-            y, zs = chunk_solve(x_in, m_here * b_loc)
-            buf = jax.lax.ppermute(y, axis, fwd_perm) if n > 1 else y
-            cur_seq = jax.lax.dynamic_slice_in_dim(seq, m_here, 1, 0)[0]
-            seq = jax.lax.dynamic_update_slice_in_dim(
-                seq, jnp.where(here_valid, zs, cur_seq)[None], m_here, 0
-            )
-            # Device n-1 finishes microbatch (s - (n-1)) at this tick.
-            slot = jnp.clip(m_out, 0, M - 1)
-            valid = (m_out >= 0) & (k == n - 1)
-            current = jax.lax.dynamic_slice_in_dim(outs, slot, 1, 0)[0]
-            upd = jnp.where(valid, y, current)
-            outs = jax.lax.dynamic_update_slice_in_dim(outs, upd[None], slot, 0)
-            return (buf, outs, seq), None
+        # The SHARED forward tick body (schedule-identical to the adjoint's
+        # forward replica by construction; wrapped in jax.checkpoint below
+        # when remat=True).
+        tick = _make_fwd_tick(axis, k, n, M, z0_mb, chunk_solve,
+                              stash_boundary=False, stash_seq=True)
 
         buf0 = jnp.zeros_like(z0_mb[0])                # carry from device k-1
         outs0 = jnp.zeros_like(z0_mb)                  # final states (device n-1)
+        bnd0 = jnp.zeros((0,), z0_mb.dtype)            # unused stash slot
         seq0 = jnp.zeros((M, Tc) + z0_mb.shape[1:], z0_mb.dtype)
         tick_fn = jax.checkpoint(tick) if remat else tick
-        (_, outs, seq), _ = jax.lax.scan(
-            tick_fn, (buf0, outs0, seq0), jnp.arange(M + n - 1)
+        (_, outs, _, seq), _ = jax.lax.scan(
+            tick_fn, (buf0, outs0, bnd0, seq0), jnp.arange(M + n - 1)
         )
         # Only device n-1 holds real terminal states; sum-broadcast to all.
         outs = jax.lax.psum(jnp.where(k == n - 1, outs, 0.0), axis)
