@@ -51,11 +51,12 @@ def main():
     for t in range(1, L):
         state, y = stepper.step(state, jnp.asarray(x[:, t]))
         # Offline scan and streaming stepper are different compiled
-        # programs; on TPU the bf16 MXU passes differ in rounding.
-        match = np.allclose(np.asarray(y)[:, 0], offline[:, t],
-                            rtol=1e-3, atol=1e-4)
+        # programs; on TPU the bf16 MXU passes differ in rounding, so
+        # report the worst deviation across the batch rather than a
+        # tolerance boolean (typically ~1e-6 on CPU, ~1e-3 on TPU).
+        diff = float(np.max(np.abs(np.asarray(y)[:, 0] - offline[:, t])))
         print(f"t={t:<3d} offline {offline[0, t]:+.4f}  "
-              f"streaming {float(y[0, 0]):+.4f}  batch-match={match}")
+              f"streaming {float(y[0, 0]):+.4f}  max|batch diff|={diff:.1e}")
 
     # Batched serving with throughput mode: ragged request batches pad
     # into the precompiled bucket grid; ``predict_many`` keeps several
