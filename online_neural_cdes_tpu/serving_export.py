@@ -1,0 +1,241 @@
+"""AOT-exported serving artifacts.
+
+The live :class:`~online_neural_cdes_tpu.serving.Predictor` needs the
+framework and the model code in the serving process, and re-traces every
+bucket shape on startup.  This module serialises the predictor's whole
+bucket grid — the coefficient build *and* the forward, staged out to
+StableHLO via ``jax.export`` — into one self-contained directory artifact:
+
+* ``manifest.json``   — bucket grid + host-side padding policy,
+* ``params.npz``      — the trained leaves, saved once (params stay an
+  *argument* of every exported module, so one artifact serves updated
+  checkpoints of the same architecture without re-export),
+* ``modules/*.bin``   — one serialized ``jax.export.Exported`` per
+  (batch-bucket, length-bucket) shape.
+
+``load_predictor`` rebuilds a fully functional ``Predictor`` from the
+artifact alone — no model class, coefficient builder, or configuration
+needed in the serving process, and the computation is pinned to the
+exported StableHLO (``jax.export``'s versioned calling convention), not
+to whatever the framework's current code does.  Exports are lowered for
+``("tpu", "cpu")`` by default, so the same artifact serves on a TPU pod
+and in a CPU integration test.
+
+The reference has no serving path at all (training-harness evaluation
+only); this is the deployment half of the serving story, beyond-reference
+like `serving.py` itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_neural_cdes_tpu.serving import Predictor, _round_up
+
+__all__ = ["export_predictor", "load_predictor"]
+
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+_MODULES = "modules"
+_FORMAT_VERSION = 1
+
+
+def _shape_key(batch: int, length: int) -> str:
+    return f"b{batch}_l{length}"
+
+
+def _grid(predictor: Predictor, max_length: int):
+    """The (batch bucket, length bucket) grid ``Predictor.precompile``
+    warms — every shape ``predict`` can ever execute for requests up to
+    ``max_length``."""
+    top = _round_up(max_length, predictor.length_multiple)
+    lengths = range(
+        predictor.length_multiple, top + 1, predictor.length_multiple
+    )
+    return [(b, L) for b in predictor.batch_buckets for L in lengths]
+
+
+def export_predictor(
+    predictor: Predictor,
+    path: str,
+    *,
+    channels: int,
+    max_length: int,
+    static_dim: Optional[int] = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> int:
+    """Serialize ``predictor``'s full bucket grid to ``path``.
+
+    Each exported module computes ``model.apply(params, coeff_fn(series))``
+    (with the static-feature tuple wrapped in when ``static_dim`` is given)
+    from flat parameter leaves and the host-padded raw series — the same
+    device computation ``predict`` dispatches, so ``load_predictor(path)``
+    serves bit-identically to the live predictor (tested).
+
+    Requires a jit-traceable ``coeff_fn`` (all the shipped coefficient
+    builders and bundle ``prepare_batch`` adapters are) and a single-device
+    predictor — mesh-sharded serving re-shards at load time instead, by
+    passing ``mesh=`` to a future ``load_predictor`` of the same artifact
+    once multi-host export stabilises; today it is rejected loudly.
+
+    Returns the number of shapes exported.
+    """
+    from jax import export as jax_export
+
+    if predictor.mesh is not None:
+        raise ValueError(
+            "cannot export a mesh-sharded Predictor: jax.export modules "
+            "are single-device programs. Export the plain predictor and "
+            "shard at serve time instead."
+        )
+    if static_dim is not None and not predictor.accept_static:
+        raise ValueError(
+            "static_dim given but this predictor rejects static features "
+            "(accept_static=False)"
+        )
+
+    leaves, treedef = jax.tree_util.tree_flatten(predictor.params)
+    for i, leaf in enumerate(leaves):
+        if not isinstance(np.asarray(leaf), np.ndarray):
+            raise ValueError(f"non-array parameter leaf #{i}: {leaf!r}")
+    model, coeff_fn = predictor.model, predictor.coeff_fn
+
+    if static_dim is None:
+
+        def fwd(flat, series):
+            params = jax.tree_util.tree_unflatten(treedef, flat)
+            return model.apply(params, coeff_fn(series))
+
+    else:
+
+        def fwd(flat, static, series):
+            params = jax.tree_util.tree_unflatten(treedef, flat)
+            return model.apply(params, (static, coeff_fn(series)))
+
+    os.makedirs(os.path.join(path, _MODULES), exist_ok=True)
+    flat_spec = [
+        jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype) for l in leaves
+    ]
+
+    shapes = _grid(predictor, max_length)
+    for b, L in shapes:
+        series_spec = jax.ShapeDtypeStruct((b, L, channels), jnp.float32)
+        if static_dim is None:
+            args = (flat_spec, series_spec)
+        else:
+            static_spec = jax.ShapeDtypeStruct((b, static_dim), jnp.float32)
+            args = (flat_spec, static_spec, series_spec)
+        exported = jax_export.export(jax.jit(fwd), platforms=list(platforms))(
+            *args
+        )
+        fname = os.path.join(path, _MODULES, _shape_key(b, L) + ".bin")
+        with open(fname, "wb") as f:
+            f.write(exported.serialize())
+
+    np.savez(
+        os.path.join(path, _PARAMS),
+        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "batch_buckets": list(predictor.batch_buckets),
+        "length_multiple": predictor.length_multiple,
+        "channels": channels,
+        "static_dim": static_dim,
+        "max_length": _round_up(max_length, predictor.length_multiple),
+        "rectilinear_rows": predictor.rectilinear_rows,
+        "pad_forward_fill": predictor.pad_forward_fill,
+        "return_sequences": bool(
+            getattr(predictor.model, "return_sequences", False)
+        ),
+        "platforms": list(platforms),
+        "n_leaves": len(leaves),
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return len(shapes)
+
+
+def load_predictor(path: str) -> Predictor:
+    """Rebuild a serving-ready :class:`Predictor` from an artifact directory
+    written by :func:`export_predictor` — no model code required.
+
+    The returned predictor has the artifact's bucket grid and padding
+    policy; every shape the grid covers runs the deserialized StableHLO
+    (first call per shape compiles it — reuse the persistent compilation
+    cache for instant restarts).  Requests outside the grid raise with the
+    re-export recipe instead of silently retracing (there is nothing to
+    retrace: the artifact carries no Python model)."""
+    from jax import export as jax_export
+
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] != _FORMAT_VERSION:
+        raise ValueError(
+            f"artifact format v{manifest['format_version']} != "
+            f"v{_FORMAT_VERSION} supported by this loader"
+        )
+
+    npz = np.load(os.path.join(path, _PARAMS))
+    flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
+
+    modules = {}
+    mod_dir = os.path.join(path, _MODULES)
+    for fname in os.listdir(mod_dir):
+        if fname.endswith(".bin"):
+            with open(os.path.join(mod_dir, fname), "rb") as f:
+                modules[fname[: -len(".bin")]] = jax_export.deserialize(
+                    f.read()
+                )
+
+    static_dim = manifest["static_dim"]
+    max_length = manifest["max_length"]
+
+    class _ExportedModel:
+        """Shape-dispatching shim: ``apply`` routes each (batch, length)
+        bucket to its deserialized module.  The lookup runs at trace time
+        (shapes are static under jit), so a missing shape fails loudly at
+        dispatch, never on device."""
+
+        return_sequences = manifest["return_sequences"]
+
+        @staticmethod
+        def apply(flat_params, inputs):
+            if static_dim is not None:
+                if not isinstance(inputs, tuple):
+                    raise ValueError(
+                        f"artifact was exported with static_dim={static_dim}:"
+                        " every request must pass static features"
+                    )
+                static, series = inputs
+            else:
+                static, series = None, inputs
+            key = _shape_key(series.shape[0], series.shape[1])
+            if key not in modules:
+                raise ValueError(
+                    f"shape {tuple(series.shape)} is outside the exported "
+                    f"grid (buckets {manifest['batch_buckets']}, lengths "
+                    f"<= {max_length}); re-export with export_predictor("
+                    "..., max_length=...) covering it"
+                )
+            if static is None:
+                return modules[key].call(flat_params, series)
+            return modules[key].call(flat_params, static, series)
+
+    pred = Predictor(
+        _ExportedModel,
+        flat,
+        coeff_fn=None,  # the coefficient build is inside the modules
+        batch_buckets=manifest["batch_buckets"],
+        length_multiple=manifest["length_multiple"],
+        rectilinear_rows=manifest["rectilinear_rows"],
+        pad_forward_fill=manifest["pad_forward_fill"],
+        accept_static=static_dim is not None,
+    )
+    return pred

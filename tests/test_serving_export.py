@@ -1,0 +1,190 @@
+"""AOT serving-artifact tests: export the predictor's bucket grid to a
+self-contained StableHLO directory, reload it without the model code, and
+serve identically to the live predictor."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from online_neural_cdes_tpu.models.ncde import NeuralCDE
+from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+from online_neural_cdes_tpu.serving import Predictor, predictor_from_bundle
+from online_neural_cdes_tpu.serving_export import export_predictor, load_predictor
+
+
+def _predictor(return_sequences=False, static_dim=None):
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+        interpolation="linear", return_sequences=return_sequences,
+        adjoint=False, solver="rk4", static_dim=static_dim,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    return Predictor(
+        model, params, coeff_fn=lambda x: linear_interpolation_coeffs(x),
+        batch_buckets=(2, 4), length_multiple=8,
+    )
+
+
+def _requests(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(4, 15))
+        s = rng.normal(size=(L, 3)).astype(np.float32)
+        s[:, 0] = np.arange(L)
+        out.append(s)
+    return out
+
+
+def test_roundtrip_matches_live_predictor(tmp_path):
+    """The loaded artifact serves the exact computation the live predictor
+    dispatches — same outputs for ragged, batch-padded, chunked requests,
+    in both latency (predict) and throughput (predict_many) modes."""
+    pred = _predictor(return_sequences=False)
+    n = export_predictor(
+        pred, str(tmp_path), channels=3, max_length=16, platforms=("cpu",)
+    )
+    assert n == 2 * 2  # batch buckets (2, 4) x lengths (8, 16)
+
+    loaded = load_predictor(str(tmp_path))
+    reqs = _requests(5, seed=1)  # 5 > top bucket 4 -> chunked
+    live = pred.predict(reqs)
+    served = loaded.predict(reqs)
+    assert len(served) == 5
+    for a, b in zip(live, served):
+        np.testing.assert_array_equal(a, b)
+
+    many_live = pred.predict_many([reqs[:2], reqs[2:]])
+    many_served = loaded.predict_many([reqs[:2], reqs[2:]])
+    for batch_a, batch_b in zip(many_live, many_served):
+        for a, b in zip(batch_a, batch_b):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_roundtrip_sequence_outputs_and_manifest(tmp_path):
+    """Sequence outputs come back truncated per request, and the manifest
+    records the padding policy the loader must reproduce."""
+    pred = _predictor(return_sequences=True)
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=16, platforms=("cpu",)
+    )
+    manifest = json.load(open(tmp_path / "manifest.json"))
+    assert manifest["return_sequences"] is True
+    assert manifest["batch_buckets"] == [2, 4]
+    assert manifest["pad_forward_fill"] is True
+
+    loaded = load_predictor(str(tmp_path))
+    reqs = _requests(3, seed=2)
+    for a, b in zip(pred.predict(reqs), loaded.predict(reqs)):
+        assert b.shape == a.shape  # (L_i, 2) per request
+        np.testing.assert_array_equal(a, b)
+
+
+def test_static_features_roundtrip(tmp_path):
+    pred = _predictor(static_dim=4)
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=16, static_dim=4,
+        platforms=("cpu",),
+    )
+    loaded = load_predictor(str(tmp_path))
+    reqs = _requests(3, seed=3)
+    static = np.random.default_rng(3).normal(size=(3, 4)).astype(np.float32)
+    for a, b in zip(pred.predict(reqs, static=static),
+                    loaded.predict(reqs, static=static)):
+        np.testing.assert_array_equal(a, b)
+    # The artifact was exported WITH static: requests must pass it.
+    with pytest.raises(ValueError, match="static"):
+        loaded.predict(reqs)
+
+
+def test_out_of_grid_request_raises_with_recipe(tmp_path):
+    """The artifact has no Python model to retrace, so an over-length
+    request fails loudly with the re-export recipe instead of recompiling
+    like the live predictor would."""
+    pred = _predictor()
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=16, platforms=("cpu",)
+    )
+    loaded = load_predictor(str(tmp_path))
+    too_long = [np.zeros((24, 3), np.float32)]  # pads to 24 > grid max 16
+    with pytest.raises(ValueError, match="re-export"):
+        loaded.predict(too_long)
+
+
+def test_mesh_predictor_rejected():
+    from online_neural_cdes_tpu.parallel.mesh import make_mesh
+
+    pred = _predictor()
+    pred.mesh = make_mesh()  # simulate a mesh-sharded predictor
+    with pytest.raises(ValueError, match="mesh"):
+        export_predictor(pred, "/tmp/unused", channels=3, max_length=16)
+
+
+def test_recurrent_bundle_exports(tmp_path):
+    """The full-zoo serving path survives export: a gru-d bundle's
+    prepare_batch (mask/delta derivation) stages into the artifact."""
+    from online_neural_cdes_tpu.training.harness import setup_model
+
+    bundle = setup_model(
+        "gru-d", input_dim=3, output_dim=2, hidden_dim=6,
+        return_sequences=True,
+    )
+    params = bundle.init(jax.random.PRNGKey(0))
+    pred = predictor_from_bundle(
+        bundle, params, batch_buckets=(2,), length_multiple=8
+    )
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    loaded = load_predictor(str(tmp_path))
+    assert loaded.pad_forward_fill is False  # NaN padding policy survived
+    reqs = _requests(2, seed=4)
+    reqs = [r[:8] for r in reqs]
+    for a, b in zip(pred.predict(reqs), loaded.predict(reqs)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_artifact_serves_in_a_fresh_process(tmp_path):
+    """The deployment claim: a fresh process given ONLY the artifact
+    directory — no model object, params pytree, coefficient builder, or
+    configuration from the exporting process — serves it and reproduces
+    the live predictor's outputs.  Would catch any accidental Python-side
+    dependence on the exporting process's objects (e.g. a closure that
+    escaped into the manifest)."""
+    pred = _predictor(return_sequences=False)
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    reqs = _requests(2, seed=5)
+    reqs = [r[:8] for r in reqs]
+    expected = pred.predict(reqs)
+    np.save(tmp_path / "req0.npy", reqs[0])
+    np.save(tmp_path / "req1.npy", reqs[1])
+    np.save(tmp_path / "expected.npy", expected[0])
+
+    script = f"""
+import numpy as np
+import jax
+# The JAX_PLATFORMS env var alone does not survive this box's TPU-plugin
+# sitecustomize (tests/conftest.py has the same note).
+jax.config.update("jax_platforms", "cpu")
+from online_neural_cdes_tpu.serving_export import load_predictor
+pred = load_predictor({str(tmp_path)!r})
+reqs = [np.load({str(tmp_path / 'req0.npy')!r}), np.load({str(tmp_path / 'req1.npy')!r})]
+out = pred.predict(reqs)
+np.testing.assert_array_equal(out[0], np.load({str(tmp_path / 'expected.npy')!r}))
+print("SERVED_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "SERVED_OK" in res.stdout
