@@ -341,12 +341,15 @@ class OnlineNCDEStepper:
         self.model = model
         self.params = params
         self.static = static
+        # Step/init are pure functions of (params, ...) — params ride as a
+        # jit argument (and an export argument in serving_export), never a
+        # baked-in constant, so checkpoint updates need no re-trace.
         self._step_fn = jax.jit(self._make_step())
+        self._init_fn = self._make_init()
         self._linear_apply = linear_apply
 
     def _make_step(self):
         model = self.model
-        params = self.params
         from online_neural_cdes_tpu.ops import solvers as _solvers
         from online_neural_cdes_tpu.utils.params import linear_apply
 
@@ -354,62 +357,78 @@ class OnlineNCDEStepper:
         step = _solvers.tree_fixed_step(model.solver)
         ch = model.rectilinear_time_channel
 
-        def vf(dx):
+        def vf(params, dx):
             def f(tt, zz):
                 mat = field.apply(params["field"], tt, zz)
                 return jnp.einsum("...hi,...i->...h", mat, dx)
             return f
 
-        def one(z, dx):
+        def one(params, z, dx):
             # Grid spacing is 1 per rectilinear knot (the time CHANNEL
             # carries real time), matching the offline builder's default
             # grid — one solver step per piece (rk4 preset step_size=1).
-            return step(vf(dx), jnp.asarray(0.0, z.dtype), jnp.asarray(1.0, z.dtype), z)
+            return step(
+                vf(params, dx), jnp.asarray(0.0, z.dtype),
+                jnp.asarray(1.0, z.dtype), z,
+            )
 
-        def readout(z):
+        def readout(params, z):
             if model.apply_final_linear:
                 return linear_apply(params["final"], z)
             return z
 
-        def advance(z, x_prev, x_new):
+        def advance(params, z, x_prev, x_new):
             filled = jnp.where(jnp.isnan(x_new), x_prev, x_new)
             dx_time = jnp.zeros_like(filled).at[..., ch].set(
                 filled[..., ch] - x_prev[..., ch]
             )
             dx_vals = (filled - x_prev).at[..., ch].set(0.0)
-            z = one(z, dx_time)      # time-advance piece
-            z = one(z, dx_vals)      # value-update piece
+            z = one(params, z, dx_time)      # time-advance piece
+            z = one(params, z, dx_vals)      # value-update piece
             # Readout inside the jitted step: one dispatch per observation.
-            return z, filled, readout(z)
+            return z, filled, readout(params, z)
 
         return advance
 
+    def _make_init(self):
+        """Pure initial-state function: mirrors the offline _setup_h0
+        exactly (models/ncde.py:178-188), including the static-only head
+        when use_initial=False.  ``static`` is an argument (None when the
+        model has no static head) so the function exports cleanly."""
+        model = self.model
+        from online_neural_cdes_tpu.utils.params import linear_apply
+
+        def init(params, x0, static):
+            x0 = jnp.where(jnp.isnan(x0), 0.0, jnp.asarray(x0))
+            if static is None:
+                if model.use_initial:
+                    z = linear_apply(params["initial"], x0)
+                else:
+                    z = jnp.zeros(
+                        x0.shape[:-1] + (model.hidden_dim,), x0.dtype
+                    )
+            else:
+                if model.use_initial:
+                    z = linear_apply(
+                        params["initial"],
+                        jnp.concatenate([static, x0], axis=-1),
+                    )
+                else:
+                    z = linear_apply(params["initial"], static)
+            return z, x0
+
+        return init
+
     def init(self, x0: jax.Array):
-        """State from the first (B, C) observations (NaN -> 0).  h0 mirrors
-        the offline _setup_h0 exactly (models/ncde.py:178-188), including
-        the static-only head when use_initial=False."""
-        x0 = jnp.where(jnp.isnan(x0), 0.0, jnp.asarray(x0))
-        model, params = self.model, self.params
-        if self.static is None:
-            if model.use_initial:
-                z = self._linear_apply(params["initial"], x0)
-            else:
-                z = jnp.zeros(x0.shape[:-1] + (model.hidden_dim,), x0.dtype)
-        else:
-            if model.use_initial:
-                z = self._linear_apply(
-                    params["initial"],
-                    jnp.concatenate([self.static, x0], axis=-1),
-                )
-            else:
-                z = self._linear_apply(params["initial"], self.static)
+        """State from the first (B, C) observations (NaN -> 0)."""
+        z, x0 = self._init_fn(self.params, jnp.asarray(x0), self.static)
         return {"z": z, "last_obs": x0}
 
     def step(self, state: dict, x_new: jax.Array):
         """Advance by one observation; returns (new_state, outputs) where
         outputs match the offline model's per-observation rows."""
         z, filled, y = self._step_fn(
-            state["z"], state["last_obs"], jnp.asarray(x_new)
+            self.params, state["z"], state["last_obs"], jnp.asarray(x_new)
         )
         return {"z": z, "last_obs": filled}, y
 

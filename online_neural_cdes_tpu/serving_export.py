@@ -38,7 +38,12 @@ import numpy as np
 
 from online_neural_cdes_tpu.serving import Predictor, _round_up
 
-__all__ = ["export_predictor", "load_predictor"]
+__all__ = [
+    "export_predictor",
+    "load_predictor",
+    "export_stepper",
+    "load_stepper",
+]
 
 _MANIFEST = "manifest.json"
 _PARAMS = "params.npz"
@@ -144,6 +149,7 @@ def export_predictor(
     )
     manifest = {
         "format_version": _FORMAT_VERSION,
+        "artifact": "predictor",
         "batch_buckets": list(predictor.batch_buckets),
         "length_multiple": predictor.length_multiple,
         "channels": channels,
@@ -162,6 +168,23 @@ def export_predictor(
     return len(shapes)
 
 
+def _read_manifest(path: str, expected_artifact: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] != _FORMAT_VERSION:
+        raise ValueError(
+            f"artifact format v{manifest['format_version']} != "
+            f"v{_FORMAT_VERSION} supported by this loader"
+        )
+    artifact = manifest.get("artifact", "predictor")
+    if artifact != expected_artifact:
+        raise ValueError(
+            f"this artifact is a {artifact!r}; use "
+            f"load_{artifact}() instead of load_{expected_artifact}()"
+        )
+    return manifest
+
+
 def load_predictor(path: str) -> Predictor:
     """Rebuild a serving-ready :class:`Predictor` from an artifact directory
     written by :func:`export_predictor` — no model code required.
@@ -174,14 +197,7 @@ def load_predictor(path: str) -> Predictor:
     retrace: the artifact carries no Python model)."""
     from jax import export as jax_export
 
-    with open(os.path.join(path, _MANIFEST)) as f:
-        manifest = json.load(f)
-    if manifest["format_version"] != _FORMAT_VERSION:
-        raise ValueError(
-            f"artifact format v{manifest['format_version']} != "
-            f"v{_FORMAT_VERSION} supported by this loader"
-        )
-
+    manifest = _read_manifest(path, "predictor")
     npz = np.load(os.path.join(path, _PARAMS))
     flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
 
@@ -239,3 +255,172 @@ def load_predictor(path: str) -> Predictor:
         accept_static=static_dim is not None,
     )
     return pred
+
+
+def export_stepper(
+    stepper,
+    path: str,
+    *,
+    batch_sizes: Sequence[int],
+    channels: int,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> int:
+    """Serialize an :class:`~online_neural_cdes_tpu.serving.OnlineNCDEStepper`
+    — the streaming (one-observation-at-a-time) serving surface — for each
+    stream-batch size in ``batch_sizes``.  Three modules per size: ``init``
+    (first observations -> hidden state), ``step`` (advance one observation
+    = the two rectilinear control pieces, returning the per-observation
+    output), and ``readout`` (state -> output, for reading y before the
+    first step).  Params ride as arguments, exactly like
+    :func:`export_predictor`.  Returns the number of modules written."""
+    from jax import export as jax_export
+
+    leaves, treedef = jax.tree_util.tree_flatten(stepper.params)
+    flat_spec = [
+        jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype) for l in leaves
+    ]
+    static = stepper.static
+    static_dim = None if static is None else int(static.shape[-1])
+    hidden = int(stepper.model.hidden_dim)
+    advance = stepper._make_step()
+    init_fn = stepper._init_fn
+
+    def step_mod(flat, z, x_prev, x_new):
+        params = jax.tree_util.tree_unflatten(treedef, flat)
+        return advance(params, z, x_prev, x_new)
+
+    def readout_mod(flat, z):
+        params = jax.tree_util.tree_unflatten(treedef, flat)
+        model = stepper.model
+        if model.apply_final_linear:
+            from online_neural_cdes_tpu.utils.params import linear_apply
+
+            return linear_apply(params["final"], z)
+        return z
+
+    if static_dim is None:
+
+        def init_mod(flat, x0):
+            params = jax.tree_util.tree_unflatten(treedef, flat)
+            return init_fn(params, x0, None)
+
+    else:
+
+        def init_mod(flat, x0, st):
+            params = jax.tree_util.tree_unflatten(treedef, flat)
+            return init_fn(params, x0, st)
+
+    os.makedirs(os.path.join(path, _MODULES), exist_ok=True)
+    n = 0
+    for b in batch_sizes:
+        z_spec = jax.ShapeDtypeStruct((b, hidden), jnp.float32)
+        x_spec = jax.ShapeDtypeStruct((b, channels), jnp.float32)
+        init_args = (flat_spec, x_spec)
+        if static_dim is not None:
+            init_args += (jax.ShapeDtypeStruct((b, static_dim), jnp.float32),)
+        for name, fn, args in (
+            ("step", step_mod, (flat_spec, z_spec, x_spec, x_spec)),
+            ("init", init_mod, init_args),
+            ("readout", readout_mod, (flat_spec, z_spec)),
+        ):
+            exported = jax_export.export(
+                jax.jit(fn), platforms=list(platforms)
+            )(*args)
+            fname = os.path.join(path, _MODULES, f"{name}_b{b}.bin")
+            with open(fname, "wb") as f:
+                f.write(exported.serialize())
+            n += 1
+
+    np.savez(
+        os.path.join(path, _PARAMS),
+        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "artifact": "stepper",
+        "batch_sizes": sorted(int(b) for b in batch_sizes),
+        "channels": channels,
+        "hidden_dim": hidden,
+        "static_dim": static_dim,
+        "platforms": list(platforms),
+        "n_leaves": len(leaves),
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return n
+
+
+class _LoadedStepper:
+    """Streaming server rebuilt from a stepper artifact: the same
+    ``init(x0) -> state``, ``step(state, x_new) -> (state, y)`` and
+    ``readout(z)`` API as the live ``OnlineNCDEStepper``, dispatching each
+    call to the deserialized module for its stream-batch size."""
+
+    def __init__(self, manifest, flat, modules, static):
+        self._manifest = manifest
+        self._flat = flat
+        self._modules = modules
+        self._jitted = {}  # per-module jit wrapper: steps must not re-trace
+        self.static = static
+
+    def _mod(self, name, b):
+        key = f"{name}_b{b}"
+        if key not in self._modules:
+            raise ValueError(
+                f"stream-batch size {b} is outside the exported sizes "
+                f"{self._manifest['batch_sizes']}; re-export with "
+                "export_stepper(..., batch_sizes=...) covering it"
+            )
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._modules[key].call)
+        return self._jitted[key]
+
+    def init(self, x0):
+        x0 = jnp.asarray(x0, jnp.float32)
+        b = x0.shape[0]
+        if self._manifest["static_dim"] is not None:
+            if self.static is None:
+                raise ValueError(
+                    "artifact was exported with static features: pass "
+                    "static= to load_stepper"
+                )
+            z, filled = self._mod("init", b)(
+                self._flat, x0, jnp.asarray(self.static, jnp.float32)
+            )
+        else:
+            z, filled = self._mod("init", b)(self._flat, x0)
+        return {"z": z, "last_obs": filled}
+
+    def step(self, state, x_new):
+        b = state["z"].shape[0]
+        z, filled, y = self._mod("step", b)(
+            self._flat, state["z"], state["last_obs"],
+            jnp.asarray(x_new, jnp.float32),
+        )
+        return {"z": z, "last_obs": filled}, y
+
+    def readout(self, z):
+        return self._mod("readout", z.shape[0])(self._flat, z)
+
+
+def load_stepper(path: str, static=None) -> _LoadedStepper:
+    """Rebuild a streaming stepper from an artifact written by
+    :func:`export_stepper` — no model code required.  ``static`` binds the
+    per-stream static features (required iff the artifact was exported
+    from a static-featured stepper), mirroring the live constructor."""
+    from jax import export as jax_export
+
+    manifest = _read_manifest(path, "stepper")
+    npz = np.load(os.path.join(path, _PARAMS))
+    flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
+    modules = {}
+    mod_dir = os.path.join(path, _MODULES)
+    for fname in os.listdir(mod_dir):
+        if fname.endswith(".bin"):
+            with open(os.path.join(mod_dir, fname), "rb") as f:
+                modules[fname[: -len(".bin")]] = jax_export.deserialize(
+                    f.read()
+                )
+    if static is not None and manifest["static_dim"] is None:
+        raise ValueError("artifact has no static head; do not pass static")
+    return _LoadedStepper(manifest, flat, modules, static)

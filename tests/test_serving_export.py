@@ -149,6 +149,109 @@ def test_recurrent_bundle_exports(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def _stepper(static_dim=None, B=3):
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    rng = np.random.default_rng(7)
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=8, output_dim=2, hidden_hidden_dim=12,
+        num_layers=1, interpolation="rectilinear", return_sequences=True,
+        adjoint=False, solver="rk4", static_dim=static_dim,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    static = (
+        None if static_dim is None
+        else np.asarray(rng.normal(size=(B, static_dim)), np.float32)
+    )
+    return OnlineNCDEStepper(model, params, static=static), static
+
+
+def _stream(B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, L, 3)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    x[1, 2, 1] = np.nan  # held value mid-stream
+    return x
+
+
+def test_stepper_roundtrip_matches_live(tmp_path):
+    """The streaming artifact advances state identically to the live
+    stepper — init, every step's output, and the readout — including a
+    held (NaN) observation."""
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    stepper, _ = _stepper()
+    n = export_stepper(
+        stepper, str(tmp_path), batch_sizes=(3,), channels=3,
+        platforms=("cpu",),
+    )
+    assert n == 3  # step + init + readout
+    loaded = load_stepper(str(tmp_path))
+
+    x = _stream(3, 5)
+    s_live = stepper.init(x[:, 0])
+    s_art = loaded.init(x[:, 0])
+    np.testing.assert_array_equal(
+        np.asarray(stepper.readout(s_live["z"])),
+        np.asarray(loaded.readout(s_art["z"])),
+    )
+    for k in range(1, 5):
+        s_live, y_live = stepper.step(s_live, x[:, k])
+        s_art, y_art = loaded.step(s_art, x[:, k])
+        np.testing.assert_array_equal(np.asarray(y_live), np.asarray(y_art))
+        np.testing.assert_array_equal(
+            np.asarray(s_live["last_obs"]), np.asarray(s_art["last_obs"])
+        )
+
+
+def test_stepper_static_roundtrip_and_guards(tmp_path):
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    stepper, static = _stepper(static_dim=2)
+    export_stepper(
+        stepper, str(tmp_path), batch_sizes=(3,), channels=3,
+        platforms=("cpu",),
+    )
+    loaded = load_stepper(str(tmp_path), static=static)
+    x = _stream(3, 4, seed=1)
+    s_live, s_art = stepper.init(x[:, 0]), loaded.init(x[:, 0])
+    for k in range(1, 4):
+        s_live, y_live = stepper.step(s_live, x[:, k])
+        s_art, y_art = loaded.step(s_art, x[:, k])
+        np.testing.assert_array_equal(np.asarray(y_live), np.asarray(y_art))
+    # Static is required for a static-exported artifact...
+    with pytest.raises(ValueError, match="static"):
+        load_stepper(str(tmp_path)).init(x[:, 0])
+    # ...and an unexported batch size names the exported ones.
+    with pytest.raises(ValueError, match="re-export"):
+        loaded.init(np.zeros((5, 3), np.float32))
+
+
+def test_stepper_and_predictor_artifacts_are_distinguished(tmp_path):
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    stepper, _ = _stepper()
+    export_stepper(
+        stepper, str(tmp_path), batch_sizes=(3,), channels=3,
+        platforms=("cpu",),
+    )
+    with pytest.raises(ValueError, match="load_stepper"):
+        load_predictor(str(tmp_path))
+    pred_dir = tmp_path / "pred"
+    export_predictor(
+        _predictor(), str(pred_dir), channels=3, max_length=8,
+        platforms=("cpu",),
+    )
+    with pytest.raises(ValueError, match="load_predictor"):
+        load_stepper(str(pred_dir))
+
+
 def test_artifact_serves_in_a_fresh_process(tmp_path):
     """The deployment claim: a fresh process given ONLY the artifact
     directory — no model object, params pytree, coefficient builder, or
