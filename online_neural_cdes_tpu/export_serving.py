@@ -1,0 +1,194 @@
+"""Checkpoint -> serving-artifact exporter (CLI + library).
+
+Bridges the training harness to deployment: given an experiment config
+(the same dict :func:`training.experiment.run_experiment` trains from) and
+a ``best_params`` checkpoint written by ``train(checkpoint_dir=...)``,
+rebuild the model bundle through the exact code path that trained it,
+attach the serving-side coefficient build for the config's interpolation
+key, and write a self-contained AOT artifact (``serving_export.py``) a
+server loads without the framework's model code.
+
+    python -m online_neural_cdes_tpu.export_serving \\
+        --config runs/mimic.json5 --checkpoint runs/ckpt/best_params \\
+        --out artifacts/mimic --max-length 200 --batch-buckets 1,8,64
+
+The reference has no serving or deployment path (training-harness
+evaluation only); this closes the train->deploy loop for the TPU build.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["serving_coeff_fn", "build_predictor_from_config", "main"]
+
+
+def serving_coeff_fn(interpolation: Optional[str]):
+    """The jit-traceable raw-series -> model-inputs transform for a
+    dataset interpolation key: what ``data/common.py::interpolate`` does to
+    the stored corpus (first-row NaN zeroing + the key's coefficient
+    builder, common.py:95-123), staged so the serving artifact computes it
+    on device per request.  Requests must be in the corpus's input space —
+    normalised values with the prepended time channel
+    (``temporal_data_raw``'s space)."""
+    from online_neural_cdes_tpu.data.common import _coeff_fn
+    from online_neural_cdes_tpu.data.loader import (
+        parse_interpolation_string, parse_logsig_string,
+    )
+
+    data_key, model_interp = parse_interpolation_string(interpolation)
+
+    if model_interp is not None and model_interp.startswith("logsig"):
+        from online_neural_cdes_tpu.ops.interpolation import (
+            linear_interpolation_coeffs,
+        )
+        from online_neural_cdes_tpu.ops.logsig import logsig_windows
+
+        depth, window = parse_logsig_string(model_interp)
+
+        def logsig_fn(x):
+            # The transform forward-fills NaNs itself; pad rows become
+            # zero increments (Chen identity), so bucket padding cannot
+            # change a request's windows (tested in test_serving.py).
+            return linear_interpolation_coeffs(
+                logsig_windows(x, depth, window)
+            )
+
+        return logsig_fn
+
+    if model_interp == "rectilinear-intensity":
+        raise ValueError(
+            "rectilinear-intensity serving needs the cumulative-measurement "
+            "channels appended host-side (data/loader.py::"
+            "add_rectilinear_intensity); precompute them in the client and "
+            "export with interpolation='rectilinear' over the augmented "
+            "channels instead."
+        )
+
+    builder = _coeff_fn(data_key)
+
+    def coeff_fn(x):
+        # interpolate()'s causal initial-NaN->0 fill, traced.
+        first = jnp.where(jnp.isnan(x[:, :1]), 0.0, x[:, :1])
+        return builder(jnp.concatenate([first, x[:, 1:]], axis=1))
+
+    return coeff_fn
+
+
+def build_predictor_from_config(
+    config: dict,
+    checkpoint: str,
+    data_root: Optional[str] = None,
+    **serving_kw,
+):
+    """Rebuild the trained model from ``config`` + ``checkpoint`` and wrap
+    it as a raw-request :class:`~online_neural_cdes_tpu.serving.Predictor`.
+
+    Returns ``(predictor, info)`` where ``info`` carries the artifact
+    export defaults derived from the corpus: raw ``channels``,
+    ``max_length`` (longest training series), and ``static_dim``."""
+    from online_neural_cdes_tpu.serving import predictor_from_bundle
+    from online_neural_cdes_tpu.training.experiment import (
+        DEFAULT_DATA_ROOT, load_and_setup, npz_path_for,
+    )
+    from online_neural_cdes_tpu.utils.checkpoint import load_checkpoint
+
+    data_root = data_root or DEFAULT_DATA_ROOT
+    bundle, splits = load_and_setup(config, data_root)
+    like = bundle.init(jax.random.PRNGKey(0))
+    params = load_checkpoint(checkpoint, like)
+
+    ds = dict(config.get("dataset", {}))
+    is_ncde = bundle.model_string in ("ncde", "ncde-stacked", "ncde-attention")
+    if is_ncde:
+        # NCDE bundles train on precomputed coefficients (prepare_batch is
+        # the identity); serving takes raw rows, so the coefficient build
+        # moves into the predictor/artifact.
+        serving_kw.setdefault(
+            "coeff_fn", serving_coeff_fn(ds.get("interpolation"))
+        )
+        model = bundle.model
+        serving_kw.setdefault(
+            "rectilinear_rows",
+            bool(getattr(model, "return_sequences", False))
+            and getattr(model, "interpolation", None) == "rectilinear"
+            and not getattr(model, "return_filtered_rectilinear", True),
+        )
+    predictor = predictor_from_bundle(bundle, params, **serving_kw)
+
+    # Raw-request metadata from the corpus itself.
+    npz = np.load(
+        npz_path_for(ds["data_loc"], data_root,
+                     bool(config.get("test_mode", False))),
+        allow_pickle=True,
+    )
+    raw = npz["temporal_data_raw"]
+    channels = int(np.asarray(raw[0]).shape[-1])
+    max_length = int(max(len(np.asarray(r)) for r in raw))
+    train_data = splits[0]
+    static_dim = (
+        train_data.static_dim if predictor.accept_static else None
+    )
+    info = {
+        "channels": channels,
+        "max_length": max_length,
+        "static_dim": static_dim,
+        "model_string": bundle.model_string,
+    }
+    return predictor, info
+
+
+def main(argv=None) -> str:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True,
+                    help="experiment config: a json/json5 file holding the "
+                         "run_experiment dict")
+    ap.add_argument("--checkpoint", required=True,
+                    help="best_params checkpoint from train(checkpoint_dir=)")
+    ap.add_argument("--out", required=True, help="artifact directory")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--batch-buckets", default="1,8,64",
+                    help="comma-separated request-batch buckets")
+    ap.add_argument("--length-multiple", type=int, default=16)
+    ap.add_argument("--max-length", type=int, default=None,
+                    help="longest request to cover (default: corpus max)")
+    ap.add_argument("--platforms", default="tpu,cpu")
+    args = ap.parse_args(argv)
+
+    from online_neural_cdes_tpu.serving_export import export_predictor
+    from online_neural_cdes_tpu.training.config import load_json
+
+    config = load_json(args.config)
+    predictor, info = build_predictor_from_config(
+        config,
+        args.checkpoint,
+        data_root=args.data_root,
+        batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")),
+        length_multiple=args.length_multiple,
+    )
+    n = export_predictor(
+        predictor,
+        args.out,
+        channels=info["channels"],
+        max_length=args.max_length or info["max_length"],
+        static_dim=info["static_dim"],
+        platforms=tuple(args.platforms.split(",")),
+    )
+    print(json.dumps({
+        "artifact": args.out,
+        "model": info["model_string"],
+        "shapes_exported": n,
+        "channels": info["channels"],
+        "max_length": args.max_length or info["max_length"],
+    }))
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ import os
 from online_neural_cdes_tpu.data.loader import load_numpy_data
 from online_neural_cdes_tpu.training.harness import setup_model, train
 
-__all__ = ["run_experiment", "npz_path_for"]
+__all__ = ["run_experiment", "load_and_setup", "npz_path_for"]
 
 DEFAULT_DATA_ROOT = os.environ.get("ONCDE_DATA_ROOT", "data/processed")
 
@@ -22,6 +22,46 @@ def npz_path_for(data_loc: str, data_root: str = DEFAULT_DATA_ROOT,
                  test_mode: bool = False) -> str:
     name = "improved-neural-cdes_data{}.npz".format("_test" if test_mode else "")
     return os.path.join(data_root, data_loc, name)
+
+
+def load_and_setup(config: dict, data_root: str = DEFAULT_DATA_ROOT):
+    """The config -> (bundle, [train, val, test]) half of
+    :func:`run_experiment`, shared with the serving exporter
+    (``export_serving.py``) so a deployed model is rebuilt by exactly the
+    code path that trained it."""
+    ds = dict(config.get("dataset", {}))
+    model_cfg = dict(config.get("model", {}))
+    test_mode = bool(config.get("test_mode", False))
+
+    interpolation = ds.get("interpolation")
+    path = npz_path_for(ds["data_loc"], data_root, test_mode)
+    splits = load_numpy_data(
+        path,
+        interpolation,
+        use_static=ds.get("use_static", True),
+        problem=ds.get("problem"),
+        output_dim=config.get("output_dim", 1),
+        label_dtype=config.get("label_dtype"),
+    )
+    train_data = splits[0]
+
+    model_string = model_cfg.pop("model_string", "ncde")
+    model_cfg.pop("return_sequences", None)
+    bundle = setup_model(
+        model_string,
+        input_dim=train_data.input_dim,
+        output_dim=train_data.output_dim,
+        static_dim=train_data.static_dim,
+        interpolation=train_data.model_interpolation or "linear",
+        return_sequences=train_data.return_sequences,
+        train_data=train_data,
+        **{k: v for k, v in model_cfg.items() if k in (
+            "hidden_dim", "hidden_hidden_dim", "num_layers", "vector_field",
+            "vector_field_type", "interpolation_eps", "sparsity", "adjoint",
+            "adjoint_method", "solver",
+        )},
+    )
+    return bundle, splits
 
 
 def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
@@ -41,37 +81,10 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
     }
     """
     ds = dict(config.get("dataset", {}))
-    model_cfg = dict(config.get("model", {}))
     trainer_cfg = dict(config.get("trainer", {}))
-    test_mode = bool(config.get("test_mode", False))
 
-    interpolation = ds.get("interpolation")
-    path = npz_path_for(ds["data_loc"], data_root, test_mode)
-    splits = load_numpy_data(
-        path,
-        interpolation,
-        use_static=ds.get("use_static", True),
-        problem=ds.get("problem"),
-        output_dim=config.get("output_dim", 1),
-        label_dtype=config.get("label_dtype"),
-    )
-    train_data, val_data, test_data = splits
-
-    model_string = model_cfg.pop("model_string", "ncde")
-    model_cfg.pop("return_sequences", None)
-    bundle = setup_model(
-        model_string,
-        input_dim=train_data.input_dim,
-        output_dim=train_data.output_dim,
-        static_dim=train_data.static_dim,
-        interpolation=train_data.model_interpolation or "linear",
-        return_sequences=train_data.return_sequences,
-        train_data=train_data,
-        **{k: v for k, v in model_cfg.items() if k in (
-            "hidden_dim", "hidden_hidden_dim", "num_layers", "vector_field",
-            "vector_field_type", "interpolation_eps", "sparsity", "adjoint",
-            "adjoint_method", "solver",
-        )},
+    bundle, (train_data, val_data, test_data) = load_and_setup(
+        config, data_root
     )
 
     results = train(

@@ -1,0 +1,150 @@
+"""Checkpoint -> serving-artifact CLI tests: rebuild a trained config
+through the experiment path, export, and serve raw corpus rows identically
+to the harness forward on the stored coefficients."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from online_neural_cdes_tpu.export_serving import (
+    build_predictor_from_config, main, serving_coeff_fn,
+)
+from online_neural_cdes_tpu.serving_export import load_predictor
+from online_neural_cdes_tpu.training.experiment import load_and_setup
+from online_neural_cdes_tpu.utils.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Dense one-shot corpus, length 48 (a multiple of the test bucket
+    multiple, so serving a full-length row involves no padding and must
+    reproduce the stored-coefficient forward exactly)."""
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+
+    rng = np.random.default_rng(11)
+    n, length = 40, 48
+    values = np.cumsum(rng.normal(size=(n, length, 2)), axis=1) * 0.2
+    drop = rng.uniform(size=values[..., 1].shape) < 0.15
+    values[..., 1][drop] = np.nan
+    temporal = add_time(values).astype(np.float32)
+    labels = (np.nanmean(values[:, :, 0], axis=1) > 0).astype(np.int64)
+    root = str(tmp_path_factory.mktemp("cli_corpus"))
+    processed = process_all_interpolations(None, temporal, labels)
+    save_processed(processed, labels.astype(np.float32),
+                   os.path.join(root, "Toy/CLI"))
+    return root
+
+
+def _config(interpolation, model_string="ncde"):
+    return {
+        "dataset_name": "toy-cli",
+        "seed": 0,
+        "dataset": {
+            "data_loc": "Toy/CLI",
+            "problem": "oneshot",
+            "use_static": False,
+            "interpolation": interpolation,
+            "batch_size": 16,
+        },
+        "model": {
+            "model_string": model_string,
+            "hidden_dim": 8,
+            "hidden_hidden_dim": 8,
+            "num_layers": 1,
+            "adjoint": False,
+            "solver": "rk4",
+        },
+    }
+
+
+@pytest.mark.parametrize("interpolation", ["linear", "rectilinear"])
+def test_cli_exports_and_serves_corpus_rows(tmp_path, corpus, interpolation):
+    """End-to-end: init params -> checkpoint -> CLI main() -> load artifact
+    -> serving a raw corpus row equals the harness forward on the npz's
+    precomputed coefficients for that row."""
+    config = _config(interpolation)
+    bundle, splits = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(3))
+    ckpt = save_checkpoint(str(tmp_path / "best_params"), params,
+                           use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    out = str(tmp_path / "artifact")
+    main([
+        "--config", str(cfg_path), "--checkpoint", ckpt, "--out", out,
+        "--data-root", corpus, "--batch-buckets", "4",
+        "--length-multiple", "8", "--platforms", "cpu",
+    ])
+
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:3]
+    raw = npz["temporal_data_raw"][idx]
+    coeffs = npz[f"temporal_data_{interpolation}"][idx]
+
+    served = load_predictor(out).predict([r for r in raw])
+    direct = np.asarray(
+        bundle.apply_fn(params, jnp.asarray(coeffs, jnp.float32))
+    )
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_cli_logsig_config_serves_raw_rows(tmp_path, corpus):
+    """A log-ODE config exports with the window transform inside the
+    artifact: served raw rows equal the forward on the loader's
+    transformed windows."""
+    config = _config("logsig-2-8")
+    bundle, splits = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(4))
+    predictor, info = build_predictor_from_config(
+        config, save_checkpoint(str(tmp_path / "ckpt"), params,
+                                use_orbax=False),
+        data_root=corpus, batch_buckets=(4,), length_multiple=8,
+    )
+    assert info["channels"] == 3  # raw request channels, not logsig width
+
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:2]
+    raw = npz["temporal_data_raw"][idx]
+    served = predictor.predict([r for r in raw])
+    # The loader's own transform of the same rows is the oracle.
+    test_data = splits[2]
+    pos = {int(j): k for k, j in enumerate(npz["test_idxs"])}
+    direct_rows = np.stack([test_data.temporal[pos[int(j)]] for j in idx])
+    direct = np.asarray(
+        bundle.apply_fn(params, jnp.asarray(direct_rows, jnp.float32))
+    )
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_recurrent_oneshot_config_rejected(tmp_path, corpus):
+    """A recurrent one-shot config cannot serve (padding would keep
+    mutating the final state) — the CLI surfaces predictor_from_bundle's
+    loud recipe instead of exporting a wrong artifact."""
+    config = _config("linear", model_string="gru-dt")
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(5))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    with pytest.raises(ValueError, match="return_sequences"):
+        build_predictor_from_config(config, ckpt, data_root=corpus)
+
+
+def test_intensity_coeff_fn_rejected_with_recipe():
+    with pytest.raises(ValueError, match="rectilinear-intensity"):
+        serving_coeff_fn("rectilinear-intensity")
