@@ -85,9 +85,9 @@ def export_predictor(
 
     Requires a jit-traceable ``coeff_fn`` (all the shipped coefficient
     builders and bundle ``prepare_batch`` adapters are) and a single-device
-    predictor — mesh-sharded serving re-shards at load time instead, by
-    passing ``mesh=`` to a future ``load_predictor`` of the same artifact
-    once multi-host export stabilises; today it is rejected loudly.
+    predictor — the artifact itself is mesh-agnostic: shard at serve time
+    with ``load_predictor(path, mesh=...)`` (XLA propagates the batch
+    sharding through the deserialized module, tested).
 
     Returns the number of shapes exported.
     """
@@ -95,9 +95,9 @@ def export_predictor(
 
     if predictor.mesh is not None:
         raise ValueError(
-            "cannot export a mesh-sharded Predictor: jax.export modules "
-            "are single-device programs. Export the plain predictor and "
-            "shard at serve time instead."
+            "cannot export a mesh-sharded Predictor: jax.export stages a "
+            "single-device program. Export the plain predictor and shard "
+            "at serve time with load_predictor(path, mesh=...) instead."
         )
     if static_dim is not None and not predictor.accept_static:
         raise ValueError(
@@ -185,7 +185,7 @@ def _read_manifest(path: str, expected_artifact: str) -> dict:
     return manifest
 
 
-def load_predictor(path: str) -> Predictor:
+def load_predictor(path: str, mesh=None) -> Predictor:
     """Rebuild a serving-ready :class:`Predictor` from an artifact directory
     written by :func:`export_predictor` — no model code required.
 
@@ -194,7 +194,14 @@ def load_predictor(path: str) -> Predictor:
     (first call per shape compiles it — reuse the persistent compilation
     cache for instant restarts).  Requests outside the grid raise with the
     re-export recipe instead of silently retracing (there is nothing to
-    retrace: the artifact carries no Python model)."""
+    retrace: the artifact carries no Python model).
+
+    ``mesh``: optional data-parallel ``jax.sharding.Mesh`` — the loaded
+    params replicate and every bucket batch shards over it, exactly like
+    a live ``Predictor(mesh=...)`` (the artifact is single-device
+    StableHLO; XLA re-propagates the batch sharding through it at
+    compile time, so one exported artifact scales from one chip to a
+    slice)."""
     from jax import export as jax_export
 
     manifest = _read_manifest(path, "predictor")
@@ -253,6 +260,7 @@ def load_predictor(path: str) -> Predictor:
         rectilinear_rows=manifest["rectilinear_rows"],
         pad_forward_fill=manifest["pad_forward_fill"],
         accept_static=static_dim is not None,
+        mesh=mesh,
     )
     return pred
 

@@ -125,6 +125,34 @@ def test_mesh_predictor_rejected():
         export_predictor(pred, "/tmp/unused", channels=3, max_length=16)
 
 
+def test_loaded_artifact_shards_over_mesh(tmp_path):
+    """One exported artifact scales from one device to a slice:
+    load_predictor(mesh=) shards every bucket batch over the data axis
+    (XLA re-propagates the sharding through the deserialized StableHLO)
+    and serves the same outputs as the unsharded load."""
+    from online_neural_cdes_tpu.ops.interpolation import (
+        linear_interpolation_coeffs as lic,
+    )
+    from online_neural_cdes_tpu.parallel.mesh import make_mesh
+
+    model = NeuralCDE(
+        input_dim=3, hidden_dim=6, output_dim=2, num_layers=1,
+        interpolation="linear", adjoint=False, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, coeff_fn=lambda x: lic(x),
+                     batch_buckets=(8,), length_multiple=8)
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    mesh = make_mesh()
+    plain = load_predictor(str(tmp_path))
+    sharded = load_predictor(str(tmp_path), mesh=mesh)
+    reqs = [r[:8] for r in _requests(6, seed=9)]
+    for a, b in zip(plain.predict(reqs), sharded.predict(reqs)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_recurrent_bundle_exports(tmp_path):
     """The full-zoo serving path survives export: a gru-d bundle's
     prepare_batch (mask/delta derivation) stages into the artifact."""
