@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["serving_coeff_fn", "build_predictor_from_config", "main"]
+__all__ = [
+    "serving_coeff_fn",
+    "build_predictor_from_config",
+    "build_stepper_from_config",
+    "main",
+]
 
 
 def serving_coeff_fn(interpolation: Optional[str]):
@@ -144,6 +149,50 @@ def build_predictor_from_config(
     return predictor, info
 
 
+def build_stepper_from_config(
+    config: dict,
+    checkpoint: str,
+    data_root: Optional[str] = None,
+):
+    """Rebuild the trained model as a streaming
+    :class:`~online_neural_cdes_tpu.serving.OnlineNCDEStepper` (plain NCDE,
+    rectilinear interpolation, fixed-grid solver — the stepper's own
+    guards reject anything else loudly).  Returns ``(stepper, info)``."""
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+    from online_neural_cdes_tpu.training.experiment import (
+        DEFAULT_DATA_ROOT, load_and_setup, npz_path_for,
+    )
+    from online_neural_cdes_tpu.utils.checkpoint import load_checkpoint
+
+    data_root = data_root or DEFAULT_DATA_ROOT
+    bundle, splits = load_and_setup(config, data_root)
+    if bundle.model_string != "ncde":
+        raise ValueError(
+            "streaming export supports the plain NCDE only (got "
+            f"{bundle.model_string!r}); stacked/attention/recurrent models "
+            "have no incremental-exact step."
+        )
+    like = bundle.init(jax.random.PRNGKey(0))
+    params = load_checkpoint(checkpoint, like)
+    static_dim = splits[0].static_dim
+    # A placeholder static binds the stepper's static head for export;
+    # the serving process passes real per-stream statics to load_stepper.
+    static = (
+        None if static_dim is None
+        else jnp.zeros((1, static_dim), jnp.float32)
+    )
+    stepper = OnlineNCDEStepper(bundle.model, params, static=static)
+
+    ds = dict(config.get("dataset", {}))
+    npz = np.load(
+        npz_path_for(ds["data_loc"], data_root,
+                     bool(config.get("test_mode", False))),
+        allow_pickle=True,
+    )
+    channels = int(np.asarray(npz["temporal_data_raw"][0]).shape[-1])
+    return stepper, {"channels": channels, "static_dim": static_dim}
+
+
 def main(argv=None) -> str:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", required=True,
@@ -159,9 +208,16 @@ def main(argv=None) -> str:
     ap.add_argument("--max-length", type=int, default=None,
                     help="longest request to cover (default: corpus max)")
     ap.add_argument("--platforms", default="tpu,cpu")
+    ap.add_argument("--stepper", action="store_true",
+                    help="also export a streaming-stepper artifact to "
+                         "<out>/stepper (plain rectilinear NCDE configs)")
+    ap.add_argument("--stream-batch-sizes", default="64",
+                    help="comma-separated stream-batch sizes for --stepper")
     args = ap.parse_args(argv)
 
-    from online_neural_cdes_tpu.serving_export import export_predictor
+    from online_neural_cdes_tpu.serving_export import (
+        export_predictor, export_stepper,
+    )
     from online_neural_cdes_tpu.training.config import load_json
 
     config = load_json(args.config)
@@ -180,13 +236,31 @@ def main(argv=None) -> str:
         static_dim=info["static_dim"],
         platforms=tuple(args.platforms.split(",")),
     )
-    print(json.dumps({
+    summary = {
         "artifact": args.out,
         "model": info["model_string"],
         "shapes_exported": n,
         "channels": info["channels"],
         "max_length": args.max_length or info["max_length"],
-    }))
+    }
+    if args.stepper:
+        import os
+
+        stepper, sinfo = build_stepper_from_config(
+            config, args.checkpoint, data_root=args.data_root
+        )
+        stepper_out = os.path.join(args.out, "stepper")
+        summary["stepper_modules"] = export_stepper(
+            stepper,
+            stepper_out,
+            batch_sizes=tuple(
+                int(b) for b in args.stream_batch_sizes.split(",")
+            ),
+            channels=sinfo["channels"],
+            platforms=tuple(args.platforms.split(",")),
+        )
+        summary["stepper_artifact"] = stepper_out
+    print(json.dumps(summary))
     return args.out
 
 

@@ -133,6 +133,55 @@ def test_cli_logsig_config_serves_raw_rows(tmp_path, corpus):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_cli_stepper_flag_exports_streaming_artifact(tmp_path, corpus):
+    """--stepper adds a streaming artifact at <out>/stepper whose ticks
+    match a live OnlineNCDEStepper built from the same checkpoint."""
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+    from online_neural_cdes_tpu.serving_export import load_stepper
+
+    config = _config("rectilinear")
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(6))
+    ckpt = save_checkpoint(str(tmp_path / "best_params"), params,
+                           use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    out = str(tmp_path / "artifact")
+    main([
+        "--config", str(cfg_path), "--checkpoint", ckpt, "--out", out,
+        "--data-root", corpus, "--batch-buckets", "4",
+        "--length-multiple", "8", "--platforms", "cpu",
+        "--stepper", "--stream-batch-sizes", "2",
+    ])
+
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    x = np.asarray(npz["temporal_data_raw"][npz["test_idxs"][:2]],
+                   np.float32)
+    live = OnlineNCDEStepper(bundle.model, params)
+    loaded = load_stepper(os.path.join(out, "stepper"))
+    s_live, s_art = live.init(x[:, 0]), loaded.init(x[:, 0])
+    for k in range(1, 5):
+        s_live, y_live = live.step(s_live, x[:, k])
+        s_art, y_art = loaded.step(s_art, x[:, k])
+        np.testing.assert_array_equal(np.asarray(y_live), np.asarray(y_art))
+
+
+def test_stepper_build_rejects_non_ncde(tmp_path, corpus):
+    config = _config("linear", model_string="gru-d")
+    config["model"]["return_sequences"] = True
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(7))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    from online_neural_cdes_tpu.export_serving import (
+        build_stepper_from_config,
+    )
+    with pytest.raises(ValueError, match="plain NCDE"):
+        build_stepper_from_config(config, ckpt, data_root=corpus)
+
+
 def test_recurrent_oneshot_config_rejected(tmp_path, corpus):
     """A recurrent one-shot config cannot serve (padding would keep
     mutating the final state) — the CLI surfaces predictor_from_bundle's
