@@ -8,7 +8,7 @@ attach the serving-side coefficient build for the config's interpolation
 key, and write a self-contained AOT artifact (``serving_export.py``) a
 server loads without the framework's model code.
 
-    python -m online_neural_cdes_tpu.export_serving \\
+    python -m online_neural_cdes_tpu.deploy \\
         --config runs/mimic.json5 --checkpoint runs/ckpt/best_params \\
         --out artifacts/mimic --max-length 200 --batch-buckets 1,8,64
 
@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import Optional
 
 import jax
@@ -41,7 +42,12 @@ def serving_coeff_fn(interpolation: Optional[str]):
     builder, common.py:95-123), staged so the serving artifact computes it
     on device per request.  Requests must be in the corpus's input space —
     normalised values with the prepended time channel
-    (``temporal_data_raw``'s space)."""
+    (``temporal_data_raw``'s space).
+
+    Keys whose coefficient build cannot reproduce the training-time
+    forward under the predictor's length padding are rejected loudly with
+    a recipe (see the error messages) rather than served silently skewed.
+    """
     from online_neural_cdes_tpu.data.common import _coeff_fn
     from online_neural_cdes_tpu.data.loader import (
         parse_interpolation_string, parse_logsig_string,
@@ -76,6 +82,32 @@ def serving_coeff_fn(interpolation: Optional[str]):
             "channels instead."
         )
 
+    if data_key in ("cubic", "hermite"):
+        # A forward-filled length pad is NOT inert for these builds: the
+        # natural cubic's tridiagonal solve is global (pad knots change
+        # the real region's coefficients), and the hermite pad pieces
+        # inherit the last real backward-difference derivative, so the
+        # state keeps moving across the pad — one-shot outputs would be
+        # silently skewed vs the training-time forward.  Linear/
+        # rectilinear pads have dX = 0 and are exact (tested).
+        raise ValueError(
+            f"{data_key} serving under length padding deviates from the "
+            "training-time coefficient build (global/derivative-carrying "
+            "spline). Either serve full-length requests only by passing "
+            "an explicit coeff_fn= (the builder from data.common._coeff_fn"
+            f"({data_key!r})) and exporting with --length-multiple equal "
+            "to the corpus length, or train with a pad-inert key "
+            "(linear / rectilinear / logsig-*)."
+        )
+
+    if data_key == "raw":
+        raise ValueError(
+            "the config has no dataset interpolation key (raw-space "
+            "data); NCDE serving needs one of linear / rectilinear / "
+            "linear_forward_fill / logsig-* — or pass an explicit "
+            "coeff_fn= for a custom request transform."
+        )
+
     builder = _coeff_fn(data_key)
 
     def coeff_fn(x):
@@ -86,19 +118,9 @@ def serving_coeff_fn(interpolation: Optional[str]):
     return coeff_fn
 
 
-def build_predictor_from_config(
-    config: dict,
-    checkpoint: str,
-    data_root: Optional[str] = None,
-    **serving_kw,
-):
-    """Rebuild the trained model from ``config`` + ``checkpoint`` and wrap
-    it as a raw-request :class:`~online_neural_cdes_tpu.serving.Predictor`.
-
-    Returns ``(predictor, info)`` where ``info`` carries the artifact
-    export defaults derived from the corpus: raw ``channels``,
-    ``max_length`` (longest training series), and ``static_dim``."""
-    from online_neural_cdes_tpu.serving import predictor_from_bundle
+def _rebuild(config: dict, checkpoint: str, data_root: Optional[str]):
+    """config + checkpoint -> (bundle, splits, params) plus the raw-request
+    corpus metadata, through the experiment module's own setup path."""
     from online_neural_cdes_tpu.training.experiment import (
         DEFAULT_DATA_ROOT, load_and_setup, npz_path_for,
     )
@@ -110,24 +132,6 @@ def build_predictor_from_config(
     params = load_checkpoint(checkpoint, like)
 
     ds = dict(config.get("dataset", {}))
-    is_ncde = bundle.model_string in ("ncde", "ncde-stacked", "ncde-attention")
-    if is_ncde:
-        # NCDE bundles train on precomputed coefficients (prepare_batch is
-        # the identity); serving takes raw rows, so the coefficient build
-        # moves into the predictor/artifact.
-        serving_kw.setdefault(
-            "coeff_fn", serving_coeff_fn(ds.get("interpolation"))
-        )
-        model = bundle.model
-        serving_kw.setdefault(
-            "rectilinear_rows",
-            bool(getattr(model, "return_sequences", False))
-            and getattr(model, "interpolation", None) == "rectilinear"
-            and not getattr(model, "return_filtered_rectilinear", True),
-        )
-    predictor = predictor_from_bundle(bundle, params, **serving_kw)
-
-    # Raw-request metadata from the corpus itself.
     npz = np.load(
         npz_path_for(ds["data_loc"], data_root,
                      bool(config.get("test_mode", False))),
@@ -136,6 +140,58 @@ def build_predictor_from_config(
     raw = npz["temporal_data_raw"]
     channels = int(np.asarray(raw[0]).shape[-1])
     max_length = int(max(len(np.asarray(r)) for r in raw))
+    return bundle, splits, params, channels, max_length
+
+
+def build_predictor_from_config(
+    config: dict,
+    checkpoint: str,
+    data_root: Optional[str] = None,
+    _rebuilt=None,
+    **serving_kw,
+):
+    """Rebuild the trained model from ``config`` + ``checkpoint`` and wrap
+    it as a raw-request :class:`~online_neural_cdes_tpu.serving.Predictor`.
+
+    Returns ``(predictor, info)`` where ``info`` carries the artifact
+    export defaults derived from the corpus: raw ``channels``,
+    ``max_length`` (longest training series), and ``static_dim``."""
+    from online_neural_cdes_tpu.serving import predictor_from_bundle
+
+    bundle, splits, params, channels, max_length = (
+        _rebuilt or _rebuild(config, checkpoint, data_root)
+    )
+
+    ds = dict(config.get("dataset", {}))
+    is_ncde = bundle.model_string in ("ncde", "ncde-stacked", "ncde-attention")
+    if is_ncde:
+        # NCDE bundles train on precomputed coefficients (prepare_batch is
+        # the identity); serving takes raw rows, so the coefficient build
+        # moves into the predictor/artifact.
+        if "coeff_fn" not in serving_kw:
+            serving_kw["coeff_fn"] = serving_coeff_fn(ds.get("interpolation"))
+        model = bundle.model
+        serving_kw.setdefault(
+            "rectilinear_rows",
+            bool(getattr(model, "return_sequences", False))
+            and getattr(model, "interpolation", None) == "rectilinear"
+            and not getattr(model, "return_filtered_rectilinear", True),
+        )
+    elif ds.get("interpolation") is not None:
+        # Recurrent bundles trained on interpolated rows would serve raw
+        # rows through prepare_batch — a different featurisation (masks/
+        # deltas) than the checkpoint learned.  The framework's own
+        # baseline configs use interpolation: null (configurations.json5),
+        # where raw training rows == raw requests.
+        raise ValueError(
+            f"{bundle.model_string!r} was trained on interpolation="
+            f"{ds.get('interpolation')!r} rows, but serving feeds raw "
+            "request rows to its preparation — the masks/deltas would "
+            "differ from training. Use an interpolation: null config (the "
+            "baselines' own contract) or pass an explicit coeff_fn=."
+        )
+    predictor = predictor_from_bundle(bundle, params, **serving_kw)
+
     train_data = splits[0]
     static_dim = (
         train_data.static_dim if predictor.accept_static else None
@@ -153,27 +209,23 @@ def build_stepper_from_config(
     config: dict,
     checkpoint: str,
     data_root: Optional[str] = None,
+    _rebuilt=None,
 ):
     """Rebuild the trained model as a streaming
     :class:`~online_neural_cdes_tpu.serving.OnlineNCDEStepper` (plain NCDE,
     rectilinear interpolation, fixed-grid solver — the stepper's own
     guards reject anything else loudly).  Returns ``(stepper, info)``."""
     from online_neural_cdes_tpu.serving import OnlineNCDEStepper
-    from online_neural_cdes_tpu.training.experiment import (
-        DEFAULT_DATA_ROOT, load_and_setup, npz_path_for,
-    )
-    from online_neural_cdes_tpu.utils.checkpoint import load_checkpoint
 
-    data_root = data_root or DEFAULT_DATA_ROOT
-    bundle, splits = load_and_setup(config, data_root)
+    bundle, splits, params, channels, _ = (
+        _rebuilt or _rebuild(config, checkpoint, data_root)
+    )
     if bundle.model_string != "ncde":
         raise ValueError(
             "streaming export supports the plain NCDE only (got "
             f"{bundle.model_string!r}); stacked/attention/recurrent models "
             "have no incremental-exact step."
         )
-    like = bundle.init(jax.random.PRNGKey(0))
-    params = load_checkpoint(checkpoint, like)
     static_dim = splits[0].static_dim
     # A placeholder static binds the stepper's static head for export;
     # the serving process passes real per-stream statics to load_stepper.
@@ -182,14 +234,6 @@ def build_stepper_from_config(
         else jnp.zeros((1, static_dim), jnp.float32)
     )
     stepper = OnlineNCDEStepper(bundle.model, params, static=static)
-
-    ds = dict(config.get("dataset", {}))
-    npz = np.load(
-        npz_path_for(ds["data_loc"], data_root,
-                     bool(config.get("test_mode", False))),
-        allow_pickle=True,
-    )
-    channels = int(np.asarray(npz["temporal_data_raw"][0]).shape[-1])
     return stepper, {"channels": channels, "static_dim": static_dim}
 
 
@@ -221,10 +265,11 @@ def main(argv=None) -> str:
     from online_neural_cdes_tpu.training.config import load_json
 
     config = load_json(args.config)
+    rebuilt = _rebuild(config, args.checkpoint, args.data_root)
     predictor, info = build_predictor_from_config(
         config,
         args.checkpoint,
-        data_root=args.data_root,
+        _rebuilt=rebuilt,
         batch_buckets=tuple(int(b) for b in args.batch_buckets.split(",")),
         length_multiple=args.length_multiple,
     )
@@ -244,10 +289,8 @@ def main(argv=None) -> str:
         "max_length": args.max_length or info["max_length"],
     }
     if args.stepper:
-        import os
-
         stepper, sinfo = build_stepper_from_config(
-            config, args.checkpoint, data_root=args.data_root
+            config, args.checkpoint, _rebuilt=rebuilt
         )
         stepper_out = os.path.join(args.out, "stepper")
         summary["stepper_modules"] = export_stepper(

@@ -96,25 +96,32 @@ class Predictor:
                 return b
         return _round_up(n, self.batch_buckets[-1])
 
+    def bucket_grid(self, max_length: int):
+        """Every (batch bucket, padded length) shape :meth:`predict` can
+        dispatch for requests up to ``max_length`` — the single source of
+        truth shared by :meth:`precompile` and the AOT exporter
+        (serving_export.py), so warmed/exported shapes can never diverge
+        from the shapes serve time produces.  Requests of max_length pad
+        UP to the next multiple (pad_ragged rounds up), so the range
+        includes that top bucket."""
+        top = _round_up(max_length, self.length_multiple)
+        lengths = range(self.length_multiple, top + 1, self.length_multiple)
+        return [(b, L) for b in self.batch_buckets for L in lengths]
+
     def precompile(self, channels: int, max_length: int,
                    static_dim: Optional[int] = None) -> int:
         """Warm every (batch bucket, length bucket) jit cache entry with
         zero requests so serve time never compiles.  Returns the number of
         shapes compiled."""
         compiled = 0
-        # Requests of max_length pad UP to the next multiple (pad_ragged
-        # rounds up), so the warm range must include that top bucket.
-        top = _round_up(max_length, self.length_multiple)
-        lengths = range(self.length_multiple, top + 1, self.length_multiple)
-        for b in self.batch_buckets:
-            for length in lengths:
-                series = [np.zeros((length, channels), np.float32)] * b
-                static = (
-                    np.zeros((b, static_dim), np.float32)
-                    if static_dim else None
-                )
-                self.predict(series, static=static)
-                compiled += 1
+        for b, length in self.bucket_grid(max_length):
+            series = [np.zeros((length, channels), np.float32)] * b
+            static = (
+                np.zeros((b, static_dim), np.float32)
+                if static_dim else None
+            )
+            self.predict(series, static=static)
+            compiled += 1
         return compiled
 
     def _dispatch(self, series, static: Optional[np.ndarray]):

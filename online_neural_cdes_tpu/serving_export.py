@@ -55,15 +55,57 @@ def _shape_key(batch: int, length: int) -> str:
     return f"b{batch}_l{length}"
 
 
-def _grid(predictor: Predictor, max_length: int):
-    """The (batch bucket, length bucket) grid ``Predictor.precompile``
-    warms — every shape ``predict`` can ever execute for requests up to
-    ``max_length``."""
-    top = _round_up(max_length, predictor.length_multiple)
-    lengths = range(
-        predictor.length_multiple, top + 1, predictor.length_multiple
+def _flatten_params(params):
+    """Flatten a params pytree for export, validating that every leaf is
+    numeric array data (the npz/ShapeDtypeStruct contract)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind not in "biufc":
+            raise ValueError(
+                f"non-numeric parameter leaf #{i} (dtype {arr.dtype}): "
+                f"{leaf!r}"
+            )
+    return leaves, treedef
+
+
+def _flat_spec(leaves):
+    return [
+        jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype) for l in leaves
+    ]
+
+
+def _write_artifact(path, leaves, named_modules, manifest):
+    """The one artifact writer: modules/*.bin + params.npz + manifest."""
+    os.makedirs(os.path.join(path, _MODULES), exist_ok=True)
+    for name, exported in named_modules:
+        with open(os.path.join(path, _MODULES, name + ".bin"), "wb") as f:
+            f.write(exported.serialize())
+    np.savez(
+        os.path.join(path, _PARAMS),
+        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
     )
-    return [(b, L) for b in predictor.batch_buckets for L in lengths]
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(dict(manifest, format_version=_FORMAT_VERSION), f, indent=1)
+
+
+def _read_artifact(path: str, expected_artifact: str):
+    """The one artifact reader: (manifest, flat params, deserialized
+    modules keyed by file stem)."""
+    from jax import export as jax_export
+
+    manifest = _read_manifest(path, expected_artifact)
+    npz = np.load(os.path.join(path, _PARAMS))
+    flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
+    modules = {}
+    mod_dir = os.path.join(path, _MODULES)
+    for fname in os.listdir(mod_dir):
+        if fname.endswith(".bin"):
+            with open(os.path.join(mod_dir, fname), "rb") as f:
+                modules[fname[: -len(".bin")]] = jax_export.deserialize(
+                    f.read()
+                )
+    return manifest, flat, modules
 
 
 def export_predictor(
@@ -105,10 +147,7 @@ def export_predictor(
             "(accept_static=False)"
         )
 
-    leaves, treedef = jax.tree_util.tree_flatten(predictor.params)
-    for i, leaf in enumerate(leaves):
-        if not isinstance(np.asarray(leaf), np.ndarray):
-            raise ValueError(f"non-array parameter leaf #{i}: {leaf!r}")
+    leaves, treedef = _flatten_params(predictor.params)
     model, coeff_fn = predictor.model, predictor.coeff_fn
 
     if static_dim is None:
@@ -123,12 +162,9 @@ def export_predictor(
             params = jax.tree_util.tree_unflatten(treedef, flat)
             return model.apply(params, (static, coeff_fn(series)))
 
-    os.makedirs(os.path.join(path, _MODULES), exist_ok=True)
-    flat_spec = [
-        jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype) for l in leaves
-    ]
-
-    shapes = _grid(predictor, max_length)
+    flat_spec = _flat_spec(leaves)
+    shapes = predictor.bucket_grid(max_length)
+    named_modules = []
     for b, L in shapes:
         series_spec = jax.ShapeDtypeStruct((b, L, channels), jnp.float32)
         if static_dim is None:
@@ -139,16 +175,9 @@ def export_predictor(
         exported = jax_export.export(jax.jit(fwd), platforms=list(platforms))(
             *args
         )
-        fname = os.path.join(path, _MODULES, _shape_key(b, L) + ".bin")
-        with open(fname, "wb") as f:
-            f.write(exported.serialize())
+        named_modules.append((_shape_key(b, L), exported))
 
-    np.savez(
-        os.path.join(path, _PARAMS),
-        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
-    )
     manifest = {
-        "format_version": _FORMAT_VERSION,
         "artifact": "predictor",
         "batch_buckets": list(predictor.batch_buckets),
         "length_multiple": predictor.length_multiple,
@@ -163,8 +192,7 @@ def export_predictor(
         "platforms": list(platforms),
         "n_leaves": len(leaves),
     }
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_artifact(path, leaves, named_modules, manifest)
     return len(shapes)
 
 
@@ -202,21 +230,7 @@ def load_predictor(path: str, mesh=None) -> Predictor:
     StableHLO; XLA re-propagates the batch sharding through it at
     compile time, so one exported artifact scales from one chip to a
     slice)."""
-    from jax import export as jax_export
-
-    manifest = _read_manifest(path, "predictor")
-    npz = np.load(os.path.join(path, _PARAMS))
-    flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
-
-    modules = {}
-    mod_dir = os.path.join(path, _MODULES)
-    for fname in os.listdir(mod_dir):
-        if fname.endswith(".bin"):
-            with open(os.path.join(mod_dir, fname), "rb") as f:
-                modules[fname[: -len(".bin")]] = jax_export.deserialize(
-                    f.read()
-                )
-
+    manifest, flat, modules = _read_artifact(path, "predictor")
     static_dim = manifest["static_dim"]
     max_length = manifest["max_length"]
 
@@ -283,10 +297,8 @@ def export_stepper(
     :func:`export_predictor`.  Returns the number of modules written."""
     from jax import export as jax_export
 
-    leaves, treedef = jax.tree_util.tree_flatten(stepper.params)
-    flat_spec = [
-        jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype) for l in leaves
-    ]
+    leaves, treedef = _flatten_params(stepper.params)
+    flat_spec = _flat_spec(leaves)
     static = stepper.static
     static_dim = None if static is None else int(static.shape[-1])
     hidden = int(stepper.model.hidden_dim)
@@ -318,8 +330,7 @@ def export_stepper(
             params = jax.tree_util.tree_unflatten(treedef, flat)
             return init_fn(params, x0, st)
 
-    os.makedirs(os.path.join(path, _MODULES), exist_ok=True)
-    n = 0
+    named_modules = []
     for b in batch_sizes:
         z_spec = jax.ShapeDtypeStruct((b, hidden), jnp.float32)
         x_spec = jax.ShapeDtypeStruct((b, channels), jnp.float32)
@@ -334,17 +345,9 @@ def export_stepper(
             exported = jax_export.export(
                 jax.jit(fn), platforms=list(platforms)
             )(*args)
-            fname = os.path.join(path, _MODULES, f"{name}_b{b}.bin")
-            with open(fname, "wb") as f:
-                f.write(exported.serialize())
-            n += 1
+            named_modules.append((f"{name}_b{b}", exported))
 
-    np.savez(
-        os.path.join(path, _PARAMS),
-        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
-    )
     manifest = {
-        "format_version": _FORMAT_VERSION,
         "artifact": "stepper",
         "batch_sizes": sorted(int(b) for b in batch_sizes),
         "channels": channels,
@@ -353,9 +356,8 @@ def export_stepper(
         "platforms": list(platforms),
         "n_leaves": len(leaves),
     }
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
-    return n
+    _write_artifact(path, leaves, named_modules, manifest)
+    return len(named_modules)
 
 
 class _LoadedStepper:
@@ -416,19 +418,7 @@ def load_stepper(path: str, static=None) -> _LoadedStepper:
     :func:`export_stepper` — no model code required.  ``static`` binds the
     per-stream static features (required iff the artifact was exported
     from a static-featured stepper), mirroring the live constructor."""
-    from jax import export as jax_export
-
-    manifest = _read_manifest(path, "stepper")
-    npz = np.load(os.path.join(path, _PARAMS))
-    flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
-    modules = {}
-    mod_dir = os.path.join(path, _MODULES)
-    for fname in os.listdir(mod_dir):
-        if fname.endswith(".bin"):
-            with open(os.path.join(mod_dir, fname), "rb") as f:
-                modules[fname[: -len(".bin")]] = jax_export.deserialize(
-                    f.read()
-                )
+    manifest, flat, modules = _read_artifact(path, "stepper")
     if static is not None and manifest["static_dim"] is None:
         raise ValueError("artifact has no static head; do not pass static")
     return _LoadedStepper(manifest, flat, modules, static)

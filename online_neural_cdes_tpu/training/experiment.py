@@ -27,7 +27,7 @@ def npz_path_for(data_loc: str, data_root: str = DEFAULT_DATA_ROOT,
 def load_and_setup(config: dict, data_root: str = DEFAULT_DATA_ROOT):
     """The config -> (bundle, [train, val, test]) half of
     :func:`run_experiment`, shared with the serving exporter
-    (``export_serving.py``) so a deployed model is rebuilt by exactly the
+    (``deploy.py``) so a deployed model is rebuilt by exactly the
     code path that trained it."""
     ds = dict(config.get("dataset", {}))
     model_cfg = dict(config.get("model", {}))

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from online_neural_cdes_tpu.export_serving import (
+from online_neural_cdes_tpu.deploy import (
     build_predictor_from_config, main, serving_coeff_fn,
 )
 from online_neural_cdes_tpu.serving_export import load_predictor
@@ -175,7 +175,7 @@ def test_stepper_build_rejects_non_ncde(tmp_path, corpus):
     bundle, _ = load_and_setup(config, corpus)
     params = bundle.init(jax.random.PRNGKey(7))
     ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
-    from online_neural_cdes_tpu.export_serving import (
+    from online_neural_cdes_tpu.deploy import (
         build_stepper_from_config,
     )
     with pytest.raises(ValueError, match="plain NCDE"):
@@ -186,7 +186,7 @@ def test_recurrent_oneshot_config_rejected(tmp_path, corpus):
     """A recurrent one-shot config cannot serve (padding would keep
     mutating the final state) — the CLI surfaces predictor_from_bundle's
     loud recipe instead of exporting a wrong artifact."""
-    config = _config("linear", model_string="gru-dt")
+    config = _config(None, model_string="gru-dt")
     bundle, _ = load_and_setup(config, corpus)
     params = bundle.init(jax.random.PRNGKey(5))
     ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
@@ -197,3 +197,68 @@ def test_recurrent_oneshot_config_rejected(tmp_path, corpus):
 def test_intensity_coeff_fn_rejected_with_recipe():
     with pytest.raises(ValueError, match="rectilinear-intensity"):
         serving_coeff_fn("rectilinear-intensity")
+
+
+@pytest.mark.parametrize("key", ["cubic", "hermite"])
+def test_global_spline_keys_rejected_with_recipe(key):
+    """Cubic/hermite coefficient builds are not pad-inert (global solve /
+    derivative-carrying pad pieces), so padded serving would silently skew
+    vs the training forward — rejected with the full-length recipe."""
+    with pytest.raises(ValueError, match="length padding"):
+        serving_coeff_fn(key)
+
+
+def test_missing_interpolation_key_rejected_clearly():
+    with pytest.raises(ValueError, match="no dataset interpolation key"):
+        serving_coeff_fn(None)
+
+
+def test_explicit_coeff_fn_overrides_unsupported_keys(tmp_path, corpus):
+    """A caller with a client-side transform can serve any key: the
+    explicit coeff_fn suppresses serving_coeff_fn entirely (it must not
+    even be evaluated, or its rejection would fire for nothing)."""
+    from online_neural_cdes_tpu.ops.interpolation import (
+        hermite_cubic_coefficients_with_backward_differences as herm,
+    )
+
+    config = _config("hermite")
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(8))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+
+    def herm_fn(x):  # the preprocessing's first-row NaN fill + builder
+        first = jnp.where(jnp.isnan(x[:, :1]), 0.0, x[:, :1])
+        return herm(jnp.concatenate([first, x[:, 1:]], axis=1))
+
+    predictor, info = build_predictor_from_config(
+        config, ckpt, data_root=corpus, coeff_fn=herm_fn,
+        batch_buckets=(4,), length_multiple=48,
+    )
+    # Full-length requests (the recipe's condition): exact vs the stored
+    # coefficients.
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:2]
+    raw = npz["temporal_data_raw"][idx]
+    served = predictor.predict([r for r in raw])
+    direct = np.asarray(bundle.apply_fn(
+        params, jnp.asarray(npz["temporal_data_hermite"][idx], jnp.float32)
+    ))
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_recurrent_config_with_interpolation_rejected(tmp_path, corpus):
+    """A recurrent model trained on interpolated rows cannot serve raw
+    rows (mask/delta skew) — rejected with the interpolation: null
+    recipe."""
+    config = _config("linear", model_string="gru-d")
+    config["dataset"]["problem"] = "online"
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(9))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    with pytest.raises(ValueError, match="interpolation: null"):
+        build_predictor_from_config(config, ckpt, data_root=corpus)
