@@ -86,6 +86,27 @@ def main():
     )
     print("predict_many (throughput mode) == per-call predict:", same)
 
+    # AOT deployment: stage the predictor's whole bucket grid (coefficient
+    # build + forward) to a StableHLO artifact with jax.export, then serve
+    # it back WITHOUT the model object — what a production server loads.
+    import tempfile
+
+    from online_neural_cdes_tpu.serving_export import (
+        export_predictor, load_predictor,
+    )
+
+    with tempfile.TemporaryDirectory() as art:
+        n = export_predictor(
+            predictor, art, channels=C, max_length=L,
+            platforms=(jax.default_backend(),),
+        )
+        loaded = load_predictor(art)
+        again = loaded.predict(batches[0])
+        same = all(
+            np.array_equal(a, b) for a, b in zip(again, per_call[0])
+        )
+        print(f"AOT artifact ({n} shapes) serves identically:", same)
+
 
 if __name__ == "__main__":
     main()

@@ -311,7 +311,17 @@ out = pred.predict(reqs)
 np.testing.assert_array_equal(out[0], np.load({str(tmp_path / 'expected.npy')!r}))
 print("SERVED_OK")
 """
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        # Share the suite's persistent compile cache (conftest.py) so the
+        # fresh process's tiny compiles are warm on repeat runs.
+        JAX_COMPILATION_CACHE_DIR=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        ),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.02",
+        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0",
+    )
     res = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
