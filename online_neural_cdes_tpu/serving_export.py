@@ -43,6 +43,7 @@ __all__ = [
     "load_predictor",
     "export_stepper",
     "load_stepper",
+    "update_params",
 ]
 
 _MANIFEST = "manifest.json"
@@ -87,6 +88,39 @@ def _write_artifact(path, leaves, named_modules, manifest):
     )
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(dict(manifest, format_version=_FORMAT_VERSION), f, indent=1)
+
+
+def update_params(path: str, params) -> int:
+    """Roll a new checkpoint into an existing artifact without re-export:
+    params are an *argument* of every exported module, so updating the
+    same-architecture weights only rewrites ``params.npz``.  The new tree
+    must flatten to the same leaf count/shapes/dtypes the artifact was
+    exported with (validated against the current file — a mismatched
+    architecture is rejected before anything is overwritten).  Returns the
+    number of leaves written."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    leaves, _ = _flatten_params(params)
+    if len(leaves) != manifest["n_leaves"]:
+        raise ValueError(
+            f"new params flatten to {len(leaves)} leaves; the artifact was "
+            f"exported with {manifest['n_leaves']}"
+        )
+    old = np.load(os.path.join(path, _PARAMS))
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        prev = old[f"p{i:04d}"]
+        if arr.shape != prev.shape or arr.dtype != prev.dtype:
+            raise ValueError(
+                f"leaf #{i}: new {arr.shape}/{arr.dtype} != exported "
+                f"{prev.shape}/{prev.dtype} — a different architecture "
+                "needs a re-export, not a params update"
+            )
+    np.savez(
+        os.path.join(path, _PARAMS),
+        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    return len(leaves)
 
 
 def _read_artifact(path: str, expected_artifact: str):

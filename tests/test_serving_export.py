@@ -125,6 +125,41 @@ def test_mesh_predictor_rejected():
         export_predictor(pred, "/tmp/unused", channels=3, max_length=16)
 
 
+def test_update_params_rolls_checkpoint_without_reexport(tmp_path):
+    """A retrained same-architecture checkpoint drops into the artifact by
+    rewriting params.npz; a different architecture is rejected before
+    anything is overwritten."""
+    from online_neural_cdes_tpu.serving_export import update_params
+
+    pred = _predictor()
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    model = pred.model
+    new_params = model.init(jax.random.PRNGKey(42))
+    update_params(str(tmp_path), new_params)
+    reqs = [r[:8] for r in _requests(2, seed=6)]
+    fresh = Predictor(
+        model, new_params,
+        coeff_fn=lambda x: linear_interpolation_coeffs(x),
+        batch_buckets=(2, 4), length_multiple=8,
+    )
+    for a, b in zip(fresh.predict(reqs),
+                    load_predictor(str(tmp_path)).predict(reqs)):
+        np.testing.assert_array_equal(a, b)
+
+    other = NeuralCDE(
+        input_dim=3, hidden_dim=12, output_dim=2, num_layers=1,
+        interpolation="linear", adjoint=False, solver="rk4",
+    )
+    with pytest.raises(ValueError, match="re-export"):
+        update_params(str(tmp_path), other.init(jax.random.PRNGKey(0)))
+    # The failed update must not have corrupted the artifact.
+    for a, b in zip(fresh.predict(reqs),
+                    load_predictor(str(tmp_path)).predict(reqs)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_loaded_artifact_shards_over_mesh(tmp_path):
     """One exported artifact scales from one device to a slice:
     load_predictor(mesh=) shards every bucket batch over the data axis
