@@ -177,7 +177,7 @@ def build_predictor_from_config(
             and getattr(model, "interpolation", None) == "rectilinear"
             and not getattr(model, "return_filtered_rectilinear", True),
         )
-    elif ds.get("interpolation") is not None:
+    elif "coeff_fn" not in serving_kw and ds.get("interpolation") is not None:
         # Recurrent bundles trained on interpolated rows would serve raw
         # rows through prepare_batch — a different featurisation (masks/
         # deltas) than the checkpoint learned.  The framework's own

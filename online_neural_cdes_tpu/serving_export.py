@@ -58,11 +58,19 @@ def _shape_key(batch: int, length: int) -> str:
 
 def _flatten_params(params):
     """Flatten a params pytree for export, validating that every leaf is
-    numeric array data (the npz/ShapeDtypeStruct contract)."""
+    numeric array data (the npz/ShapeDtypeStruct contract).  Extension
+    floats (bfloat16 etc., numpy kind 'V') are numeric — the params writer
+    upcasts them for npz and the reader casts back per the manifest."""
     leaves, treedef = jax.tree_util.tree_flatten(params)
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
-        if arr.dtype.kind not in "biufc":
+        numeric = arr.dtype.kind in "biufc"
+        if not numeric:
+            try:
+                numeric = bool(jnp.issubdtype(arr.dtype, jnp.number))
+            except TypeError:
+                numeric = False
+        if not numeric:
             raise ValueError(
                 f"non-numeric parameter leaf #{i} (dtype {arr.dtype}): "
                 f"{leaf!r}"
@@ -76,50 +84,87 @@ def _flat_spec(leaves):
     ]
 
 
+def _write_params(path, leaves):
+    """Atomically (re)write params.npz.  Extension float dtypes (bfloat16)
+    are upcast losslessly to f32 for npz (which stores them as unrestorable
+    void records otherwise — same policy as utils/checkpoint.py); the
+    loader casts back per the manifest's leaf_dtypes."""
+    out = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind not in "biufc":
+            arr = np.asarray(jnp.asarray(leaf, jnp.float32))
+        out[f"p{i:04d}"] = arr
+    target = os.path.join(path, _PARAMS)
+    tmp = target + ".tmp.npz"  # must end in .npz or np.savez appends it
+    np.savez(tmp, **out)
+    os.replace(tmp, target)
+
+
 def _write_artifact(path, leaves, named_modules, manifest):
-    """The one artifact writer: modules/*.bin + params.npz + manifest."""
-    os.makedirs(os.path.join(path, _MODULES), exist_ok=True)
+    """The one artifact writer: modules/*.bin + params.npz + manifest.
+    Pre-existing modules from an earlier export into the same directory
+    are removed first — a stale shape file would otherwise be loaded by
+    the reader's directory sweep and silently served."""
+    mod_dir = os.path.join(path, _MODULES)
+    os.makedirs(mod_dir, exist_ok=True)
+    for fname in os.listdir(mod_dir):
+        if fname.endswith(".bin"):
+            os.remove(os.path.join(mod_dir, fname))
     for name, exported in named_modules:
-        with open(os.path.join(path, _MODULES, name + ".bin"), "wb") as f:
+        with open(os.path.join(mod_dir, name + ".bin"), "wb") as f:
             f.write(exported.serialize())
-    np.savez(
-        os.path.join(path, _PARAMS),
-        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
+    _write_params(path, leaves)
+    manifest = dict(
+        manifest,
+        format_version=_FORMAT_VERSION,
+        leaf_dtypes=[str(np.asarray(l).dtype) for l in leaves],
     )
     with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(dict(manifest, format_version=_FORMAT_VERSION), f, indent=1)
+        json.dump(manifest, f, indent=1)
 
 
 def update_params(path: str, params) -> int:
     """Roll a new checkpoint into an existing artifact without re-export:
     params are an *argument* of every exported module, so updating the
     same-architecture weights only rewrites ``params.npz``.  The new tree
-    must flatten to the same leaf count/shapes/dtypes the artifact was
-    exported with (validated against the current file — a mismatched
-    architecture is rejected before anything is overwritten).  Returns the
-    number of leaves written."""
-    with open(os.path.join(path, _MANIFEST)) as f:
-        manifest = json.load(f)
-    leaves, _ = _flatten_params(params)
+    must match the artifact's pytree structure (manifest ``treedef``) and
+    every leaf's dtype/shape — a mismatched architecture is rejected
+    before anything is overwritten, and the rewrite itself is atomic
+    (temp file + rename), so a crash mid-update cannot corrupt the live
+    artifact.  Returns the number of leaves written."""
+    manifest = _load_manifest(path)  # includes the format_version check
+    leaves, treedef = _flatten_params(params)
     if len(leaves) != manifest["n_leaves"]:
         raise ValueError(
             f"new params flatten to {len(leaves)} leaves; the artifact was "
-            f"exported with {manifest['n_leaves']}"
+            f"exported with {manifest['n_leaves']} — a different "
+            "architecture needs a re-export, not a params update"
         )
-    old = np.load(os.path.join(path, _PARAMS))
-    for i, leaf in enumerate(leaves):
+    if str(treedef) != manifest["treedef"]:
+        raise ValueError(
+            "new params' pytree structure differs from the artifact's — "
+            "same-index leaves would silently reassign weights across "
+            "fields; a different architecture needs a re-export.\n"
+            f"  artifact: {manifest['treedef']}\n  new:      {treedef}"
+        )
+    for i, (leaf, dt) in enumerate(zip(leaves, manifest["leaf_dtypes"])):
         arr = np.asarray(leaf)
-        prev = old[f"p{i:04d}"]
-        if arr.shape != prev.shape or arr.dtype != prev.dtype:
+        if str(arr.dtype) != dt:
             raise ValueError(
-                f"leaf #{i}: new {arr.shape}/{arr.dtype} != exported "
-                f"{prev.shape}/{prev.dtype} — a different architecture "
-                "needs a re-export, not a params update"
+                f"leaf #{i}: new dtype {arr.dtype} != exported {dt} — a "
+                "different architecture needs a re-export, not a params "
+                "update"
             )
-    np.savez(
-        os.path.join(path, _PARAMS),
-        **{f"p{i:04d}": np.asarray(l) for i, l in enumerate(leaves)},
-    )
+    with np.load(os.path.join(path, _PARAMS)) as old:
+        for i, leaf in enumerate(leaves):
+            if np.shape(leaf) != old[f"p{i:04d}"].shape:
+                raise ValueError(
+                    f"leaf #{i}: new shape {np.shape(leaf)} != exported "
+                    f"{old[f'p{i:04d}'].shape} — a different architecture "
+                    "needs a re-export, not a params update"
+                )
+    _write_params(path, leaves)
     return len(leaves)
 
 
@@ -130,7 +175,12 @@ def _read_artifact(path: str, expected_artifact: str):
 
     manifest = _read_manifest(path, expected_artifact)
     npz = np.load(os.path.join(path, _PARAMS))
-    flat = [jnp.asarray(npz[f"p{i:04d}"]) for i in range(manifest["n_leaves"])]
+    # Cast back to the exported dtypes (extension floats were upcast to
+    # f32 for npz storage — the modules' input specs need the originals).
+    flat = [
+        jnp.asarray(npz[f"p{i:04d}"], dtype=dt)
+        for i, dt in enumerate(manifest["leaf_dtypes"])
+    ]
     modules = {}
     mod_dir = os.path.join(path, _MODULES)
     for fname in os.listdir(mod_dir):
@@ -213,6 +263,7 @@ def export_predictor(
 
     manifest = {
         "artifact": "predictor",
+        "treedef": str(treedef),
         "batch_buckets": list(predictor.batch_buckets),
         "length_multiple": predictor.length_multiple,
         "channels": channels,
@@ -230,7 +281,7 @@ def export_predictor(
     return len(shapes)
 
 
-def _read_manifest(path: str, expected_artifact: str) -> dict:
+def _load_manifest(path: str) -> dict:
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
     if manifest["format_version"] != _FORMAT_VERSION:
@@ -238,6 +289,11 @@ def _read_manifest(path: str, expected_artifact: str) -> dict:
             f"artifact format v{manifest['format_version']} != "
             f"v{_FORMAT_VERSION} supported by this loader"
         )
+    return manifest
+
+
+def _read_manifest(path: str, expected_artifact: str) -> dict:
+    manifest = _load_manifest(path)
     artifact = manifest.get("artifact", "predictor")
     if artifact != expected_artifact:
         raise ValueError(
@@ -383,6 +439,7 @@ def export_stepper(
 
     manifest = {
         "artifact": "stepper",
+        "treedef": str(treedef),
         "batch_sizes": sorted(int(b) for b in batch_sizes),
         "channels": channels,
         "hidden_dim": hidden,

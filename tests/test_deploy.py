@@ -251,6 +251,45 @@ def test_explicit_coeff_fn_overrides_unsupported_keys(tmp_path, corpus):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_recurrent_interpolation_escape_hatch_serves(tmp_path, corpus):
+    """The rejection's own recipe works: an explicit coeff_fn composing
+    the training-time interpolation into the bundle's preparation serves a
+    recurrent interpolated config — the guard must not fire when the
+    caller provides it."""
+    config = _config("linear", model_string="gru-d")
+    config["model"]["return_sequences"] = True
+    config["dataset"]["problem"] = "online"
+    bundle, splits = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(10))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+
+    coeff = serving_coeff_fn("linear")  # the corpus's stored-row transform
+
+    def prepared_fn(x):
+        return bundle.prepare_batch(coeff(x))
+
+    predictor, _ = build_predictor_from_config(
+        config, ckpt, data_root=corpus, coeff_fn=prepared_fn,
+        batch_buckets=(4,), length_multiple=48,
+    )
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:2]
+    raw = npz["temporal_data_raw"][idx]
+    served = predictor.predict([r for r in raw])
+    direct = np.asarray(bundle.apply_fn(
+        params,
+        bundle.prepare_batch(
+            jnp.asarray(npz["temporal_data_linear"][idx], jnp.float32)
+        ),
+    ))
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_recurrent_config_with_interpolation_rejected(tmp_path, corpus):
     """A recurrent model trained on interpolated rows cannot serve raw
     rows (mask/delta skew) — rejected with the interpolation: null

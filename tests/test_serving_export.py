@@ -8,6 +8,7 @@ import subprocess
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -157,6 +158,70 @@ def test_update_params_rolls_checkpoint_without_reexport(tmp_path):
     # The failed update must not have corrupted the artifact.
     for a, b in zip(fresh.predict(reqs),
                     load_predictor(str(tmp_path)).predict(reqs)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_reexport_removes_stale_shape_modules(tmp_path):
+    """Re-exporting into the same directory with a smaller grid must not
+    leave the old grid's modules behind — a stale shape file would be
+    loaded by the reader's directory sweep and silently served."""
+    pred = _predictor()
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=16, platforms=("cpu",)
+    )
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    loaded = load_predictor(str(tmp_path))
+    with pytest.raises(ValueError, match="re-export"):
+        loaded.predict([np.zeros((12, 3), np.float32)])  # pads to 16
+
+
+class _TinyLinear:
+    """Minimal model for params-structure tests: dict params, no NCDE."""
+
+    return_sequences = False
+
+    @staticmethod
+    def apply(params, x):
+        return x[:, -1] @ params["w"] + params["b"]
+
+
+def test_update_params_rejects_renamed_tree_same_shapes(tmp_path):
+    """Structural identity is checked via the manifest treedef: a tree
+    with identical leaf count/shapes/dtypes but different field names must
+    be rejected (index-wise restore would scramble weights silently)."""
+    from online_neural_cdes_tpu.serving_export import update_params
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    pred = Predictor(_TinyLinear, params, batch_buckets=(2,),
+                     length_multiple=8)
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    renamed = {"weight": jnp.ones((3, 2)), "bias": jnp.zeros((2,))}
+    with pytest.raises(ValueError, match="structure"):
+        update_params(str(tmp_path), renamed)
+
+
+def test_bfloat16_params_roundtrip(tmp_path):
+    """Extension-float leaves survive the artifact: npz stores them
+    upcast, the manifest records the original dtype, and the loader casts
+    back to match the modules' input specs."""
+    params = {
+        "w": jnp.ones((3, 2), jnp.bfloat16) * 0.5,
+        "b": jnp.zeros((2,), jnp.float32),
+    }
+    pred = Predictor(_TinyLinear, params, batch_buckets=(2,),
+                     length_multiple=8)
+    export_predictor(
+        pred, str(tmp_path), channels=3, max_length=8, platforms=("cpu",)
+    )
+    loaded = load_predictor(str(tmp_path))
+    # dict leaves flatten sorted: [b (f32), w (bf16)]
+    assert loaded.params[1].dtype == jnp.bfloat16
+    reqs = [np.ones((8, 3), np.float32)] * 2
+    for a, b in zip(pred.predict(reqs), loaded.predict(reqs)):
         np.testing.assert_array_equal(a, b)
 
 
