@@ -15,7 +15,9 @@
 6. The H=256 width-scaling flagship leg.
 7. Log-ODE long-sequence leg (depth-2/window-8 vs the raw L=4096 control).
 8. Serving latency (streaming OnlineNCDEStepper ticks + bucketed
-   Predictor batches; the reference has no serving path).
+   Predictor batches; the reference has no serving path) + an on-hardware
+   AOT-artifact round-trip (serving_export: the bucket grid staged to
+   StableHLO, reloaded model-code-free, bit-exactness asserted).
 
 Datasets cannot be downloaded in this image (zero egress), so configs 2-8
 use synthetic data at the real datasets' shapes — the measured quantity is
@@ -756,8 +758,35 @@ def bench_serving():
     # pipelining — transfers and syncs overlap compute, so the per-batch
     # time approaches pure device time + host packing.
     t0 = time.perf_counter()
-    predictor.predict_many([series] * m, in_flight=4)
+    outs_live = predictor.predict_many([series] * m, in_flight=4)
     throughput_ms = (time.perf_counter() - t0) / m * 1000.0
+
+    # AOT deployment artifact, checked ON HARDWARE: export the bucket
+    # grid to StableHLO (jax.export), reload without the model object,
+    # and assert the served outputs match the live predictor bit-exactly.
+    # One top-bucket shape keeps the extra device compile bounded.
+    import tempfile
+
+    from online_neural_cdes_tpu.serving_export import (
+        export_predictor, load_predictor,
+    )
+
+    aot_pred = Predictor(
+        batch_model, batch_model.init(jax.random.PRNGKey(1)),
+        coeff_fn=linear_interpolation_coeffs,
+        batch_buckets=(B,), length_multiple=predictor.bucket_grid(L)[-1][1],
+    )
+    with tempfile.TemporaryDirectory() as art:
+        export_predictor(
+            aot_pred, art, channels=C, max_length=L,
+            platforms=(jax.default_backend(),),
+        )
+        outs_art = load_predictor(art).predict(series)
+    aot_dev = max(
+        float(np.max(np.abs(a - b)))
+        for a, b in zip(outs_art, outs_live[0])
+    )
+    aot_status = "ok (bit-exact)" if aot_dev == 0.0 else f"max|dev|={aot_dev:.2e}"
 
     return {
         "config": "Serving latency (streaming stepper + bucketed predictor; no reference counterpart)",
@@ -783,6 +812,12 @@ def bench_serving():
             "vs bucketed_batch_ms is the hidden round-trip share"
         ),
         "rt_ms_during_run": round(rt * 1000.0, 1),
+        "aot_artifact": aot_status,
+        "aot_note": (
+            "serving_export round-trip on this hardware: the bucket grid "
+            "staged to StableHLO, reloaded model-code-free, outputs vs "
+            "the live predictor"
+        ),
     }
 
 
