@@ -100,6 +100,36 @@ def test_cli_exports_and_serves_corpus_rows(tmp_path, corpus, interpolation):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("model_string", ["ncde-stacked", "ncde-attention"])
+def test_composite_ncde_variants_serve_through_builder(
+        tmp_path, corpus, model_string):
+    """The composite NCDE variants deploy through the same builder: raw
+    corpus rows serve equal to the bundle forward on the stored
+    coefficients (they consume linear coefficients like the plain NCDE)."""
+    config = _config("linear", model_string=model_string)
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(12))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    predictor, info = build_predictor_from_config(
+        config, ckpt, data_root=corpus, batch_buckets=(4,),
+        length_multiple=8,
+    )
+    assert info["model_string"] == model_string
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:2]
+    raw = npz["temporal_data_raw"][idx]
+    served = predictor.predict([r for r in raw])
+    direct = np.asarray(bundle.apply_fn(
+        params, jnp.asarray(npz["temporal_data_linear"][idx], jnp.float32)
+    ))
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_cli_logsig_config_serves_raw_rows(tmp_path, corpus):
     """A log-ODE config exports with the window transform inside the
     artifact: served raw rows equal the forward on the loader's
