@@ -11,7 +11,8 @@ from online_neural_cdes_tpu.ops.kernels import (
     pack_fused_params,
 )
 
-B, H, HH, I = 512, 128, 128, 21
+_args = [int(a) for a in sys.argv[1:5]]
+B, H, HH, I = _args + [512, 128, 128, 21][len(_args):]
 N_INNER, CHAINS = 1000, 3
 
 
