@@ -257,15 +257,32 @@ def main(argv=None) -> str:
                          "<out>/stepper (plain rectilinear NCDE configs)")
     ap.add_argument("--stream-batch-sizes", default="64",
                     help="comma-separated stream-batch sizes for --stepper")
+    ap.add_argument("--update-params-only", action="store_true",
+                    help="roll the checkpoint into the EXISTING artifact "
+                         "at --out (atomic params.npz rewrite; architecture "
+                         "validated against the manifest) instead of "
+                         "re-exporting")
     args = ap.parse_args(argv)
 
     from online_neural_cdes_tpu.serving_export import (
-        export_predictor, export_stepper,
+        export_predictor, export_stepper, update_params,
     )
     from online_neural_cdes_tpu.training.config import load_json
 
     config = load_json(args.config)
     rebuilt = _rebuild(config, args.checkpoint, args.data_root)
+
+    if args.update_params_only:
+        _, _, params, _, _ = rebuilt
+        n = update_params(args.out, params)
+        stepper_dir = os.path.join(args.out, "stepper")
+        summary = {"artifact": args.out, "leaves_updated": n}
+        if os.path.isdir(stepper_dir):
+            summary["stepper_leaves_updated"] = update_params(
+                stepper_dir, params
+            )
+        print(json.dumps(summary))
+        return args.out
     predictor, info = build_predictor_from_config(
         config,
         args.checkpoint,

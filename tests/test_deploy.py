@@ -163,6 +163,49 @@ def test_cli_logsig_config_serves_raw_rows(tmp_path, corpus):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_cli_update_params_only_rolls_checkpoint(tmp_path, corpus):
+    """A retrained checkpoint deploys with --update-params-only: the
+    existing artifact (and its nested stepper artifact) gets the new
+    weights atomically, and serves the retrained outputs."""
+    from online_neural_cdes_tpu.serving_export import load_predictor
+
+    config = _config("rectilinear")
+    bundle, _ = load_and_setup(config, corpus)
+    params_v1 = bundle.init(jax.random.PRNGKey(20))
+    params_v2 = bundle.init(jax.random.PRNGKey(21))
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    out = str(tmp_path / "artifact")
+    ckpt1 = save_checkpoint(str(tmp_path / "ckpt1"), params_v1,
+                            use_orbax=False)
+    main([
+        "--config", str(cfg_path), "--checkpoint", ckpt1, "--out", out,
+        "--data-root", corpus, "--batch-buckets", "4",
+        "--length-multiple", "8", "--platforms", "cpu",
+        "--stepper", "--stream-batch-sizes", "2",
+    ])
+    ckpt2 = save_checkpoint(str(tmp_path / "ckpt2"), params_v2,
+                            use_orbax=False)
+    main([
+        "--config", str(cfg_path), "--checkpoint", ckpt2, "--out", out,
+        "--data-root", corpus, "--update-params-only",
+    ])
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:2]
+    raw = npz["temporal_data_raw"][idx]
+    served = load_predictor(out).predict([r for r in raw])
+    direct = np.asarray(bundle.apply_fn(
+        params_v2,
+        jnp.asarray(npz["temporal_data_rectilinear"][idx], jnp.float32),
+    ))
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_cli_stepper_flag_exports_streaming_artifact(tmp_path, corpus):
     """--stepper adds a streaming artifact at <out>/stepper whose ticks
     match a live OnlineNCDEStepper built from the same checkpoint."""
