@@ -267,6 +267,60 @@ def test_recurrent_oneshot_config_rejected(tmp_path, corpus):
         build_predictor_from_config(config, ckpt, data_root=corpus)
 
 
+def test_cli_static_featured_config_serves(tmp_path, tmp_path_factory):
+    """The MIMIC-shaped scenario: a static-featured NCDE config exports
+    with static in the artifact signature and serves (static, raw-rows)
+    requests equal to the bundle forward on the stored data."""
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+    from online_neural_cdes_tpu.serving_export import load_predictor
+
+    rng = np.random.default_rng(13)
+    n, length, S = 30, 16, 3
+    values = np.cumsum(rng.normal(size=(n, length, 2)), axis=1) * 0.2
+    temporal = add_time(values).astype(np.float32)
+    static = rng.normal(size=(n, S)).astype(np.float32)
+    labels = (values[:, -1, 0] > 0).astype(np.int64)
+    root = str(tmp_path_factory.mktemp("static_corpus"))
+    processed = process_all_interpolations(static, temporal, labels)
+    save_processed(processed, labels.astype(np.float32),
+                   os.path.join(root, "Toy/Static"))
+
+    config = _config("linear")
+    config["dataset"]["data_loc"] = "Toy/Static"
+    config["dataset"]["use_static"] = True
+    bundle, splits = load_and_setup(config, root)
+    assert splits[0].static_dim == S
+    params = bundle.init(jax.random.PRNGKey(14))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    out = str(tmp_path / "artifact")
+    main([
+        "--config", str(cfg_path), "--checkpoint", ckpt, "--out", out,
+        "--data-root", root, "--batch-buckets", "4",
+        "--length-multiple", "16", "--platforms", "cpu",
+    ])
+
+    npz = np.load(
+        os.path.join(root, "Toy/Static/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:3]
+    raw = npz["temporal_data_raw"][idx]
+    st = npz["static_data"][idx].astype(np.float32)
+    served = load_predictor(out).predict([r for r in raw], static=st)
+    direct = np.asarray(bundle.apply_fn(
+        params,
+        (jnp.asarray(st),
+         jnp.asarray(npz["temporal_data_linear"][idx], jnp.float32)),
+    ))
+    for i in range(len(idx)):
+        np.testing.assert_allclose(served[i], direct[i],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_intensity_coeff_fn_rejected_with_recipe():
     with pytest.raises(ValueError, match="rectilinear-intensity"):
         serving_coeff_fn("rectilinear-intensity")
