@@ -267,14 +267,12 @@ def test_recurrent_oneshot_config_rejected(tmp_path, corpus):
         build_predictor_from_config(config, ckpt, data_root=corpus)
 
 
-def test_cli_static_featured_config_serves(tmp_path, tmp_path_factory):
-    """The MIMIC-shaped scenario: a static-featured NCDE config exports
-    with static in the artifact signature and serves (static, raw-rows)
-    requests equal to the bundle forward on the stored data."""
+@pytest.fixture(scope="module")
+def static_corpus(tmp_path_factory):
+    """A corpus WITH static features (the MIMIC-shaped scenario)."""
     from online_neural_cdes_tpu.data.common import (
         add_time, process_all_interpolations, save_processed,
     )
-    from online_neural_cdes_tpu.serving_export import load_predictor
 
     rng = np.random.default_rng(13)
     n, length, S = 30, 16, 3
@@ -286,7 +284,17 @@ def test_cli_static_featured_config_serves(tmp_path, tmp_path_factory):
     processed = process_all_interpolations(static, temporal, labels)
     save_processed(processed, labels.astype(np.float32),
                    os.path.join(root, "Toy/Static"))
+    return root
 
+
+def test_cli_static_featured_config_serves(tmp_path, static_corpus):
+    """The MIMIC-shaped scenario: a static-featured NCDE config exports
+    with static in the artifact signature and serves (static, raw-rows)
+    requests equal to the bundle forward on the stored data."""
+    from online_neural_cdes_tpu.serving_export import load_predictor
+
+    root = static_corpus
+    S = 3
     config = _config("linear")
     config["dataset"]["data_loc"] = "Toy/Static"
     config["dataset"]["use_static"] = True
@@ -319,6 +327,46 @@ def test_cli_static_featured_config_serves(tmp_path, tmp_path_factory):
     for i in range(len(idx)):
         np.testing.assert_allclose(served[i], direct[i],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_cli_static_stepper_exports_and_streams(tmp_path, static_corpus):
+    """--stepper on a static-featured rectilinear config: the streaming
+    artifact binds per-stream statics at load and its ticks match a live
+    stepper carrying the same statics."""
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+    from online_neural_cdes_tpu.serving_export import load_stepper
+
+    root = static_corpus
+    config = _config("rectilinear")
+    config["dataset"]["data_loc"] = "Toy/Static"
+    config["dataset"]["use_static"] = True
+    bundle, _ = load_and_setup(config, root)
+    params = bundle.init(jax.random.PRNGKey(15))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    out = str(tmp_path / "artifact")
+    main([
+        "--config", str(cfg_path), "--checkpoint", ckpt, "--out", out,
+        "--data-root", root, "--batch-buckets", "4",
+        "--length-multiple", "16", "--platforms", "cpu",
+        "--stepper", "--stream-batch-sizes", "3",
+    ])
+
+    npz = np.load(
+        os.path.join(root, "Toy/Static/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    idx = npz["test_idxs"][:3]
+    x = np.asarray(npz["temporal_data_raw"][idx], np.float32)
+    st = jnp.asarray(npz["static_data"][idx], jnp.float32)
+    live = OnlineNCDEStepper(bundle.model, params, static=st)
+    loaded = load_stepper(os.path.join(out, "stepper"), static=st)
+    s_live, s_art = live.init(x[:, 0]), loaded.init(x[:, 0])
+    for k in range(1, 5):
+        s_live, y_live = live.step(s_live, x[:, k])
+        s_art, y_art = loaded.step(s_art, x[:, k])
+        np.testing.assert_array_equal(np.asarray(y_live), np.asarray(y_art))
 
 
 def test_intensity_coeff_fn_rejected_with_recipe():
