@@ -37,6 +37,8 @@ block; a host transfer (float()/np.asarray) is the only true sync.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -223,6 +225,41 @@ def bench_torch(x, y, epochs=3):
 _TUNNEL_RT_S = None   # measured once in main(); None = assume healthy
 _CHAINS = 3
 _TOY_EPOCHS = 10
+
+
+def _probe_backend(timeout_s: float = 75.0):
+    """Initialise the default JAX backend and run one trivial op inside a
+    worker thread, so a hung TPU tunnel cannot block the process forever.
+
+    Round 3's entire perf record was erased by exactly this failure mode:
+    backend init hung/raised before ``main()`` printed anything, so the
+    driver recorded rc=1 with ``parsed: null``.  Returns "ok", "timeout",
+    or the repr of the init exception.  A timed-out worker thread is a
+    daemon, so the caller can still print its JSON line and exit.
+    """
+    import threading
+
+    result: dict = {}
+
+    def work():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            x = jnp.ones((8, 8))
+            result["value"] = float((x @ x).sum())
+            result["backend"] = jax.default_backend()
+        except Exception as e:  # noqa: BLE001 — reported, not swallowed
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return "timeout", None
+    if "error" in result:
+        return result["error"], None
+    return "ok", result.get("backend")
 
 
 def _measure_tunnel_rt() -> float:
@@ -924,72 +961,259 @@ def roofline_decomposition():
     return out
 
 
-def main():
-    tunnel_rt_ms = _calibrate_protocol()
-    parity = assert_pallas_parity()
-    x, y = _make_data()
-    jax_epoch_s, jax_loss = bench_jax(x, y)
-    flagship, flagship_ms, flagship_nfe_s, flagship_mid_ms = bench_flagship_step()
-    flagship_h256 = bench_flagship_h256()
-    chartraj = bench_chartraj()
-    beijing = bench_beijing_hermite()
-    speech = bench_speechcommands_baselines()
-    logsig = bench_logsig_long_sequence()
-    serving = bench_serving()
-    roofline = roofline_decomposition()
-    try:
-        torch_epoch_s, _ = bench_torch(x, y)
-    except Exception:
-        torch_epoch_s = float("nan")
+def mfu_grid():
+    """MFU-vs-(B, H) sweep over the flagship training step (VERDICT r3
+    next #5): B in {256, 512, 1024, 2048} x H in {128, 256}, each cell the
+    full adjoint-rk4 rectilinear train step at MIMIC length (100 knots),
+    reporting step time, effective TF/s and % of the 197 TF/s bf16 peak.
+    Pins numerically where the design transitions from dependent-matmul
+    latency-bound (flat step time in B) to throughput-bound, instead of
+    the single-point 'latency-bound' claim."""
+    import jax.numpy as jnp
 
-    # Toy epoch effective TF/s: 4 steps x 4 rectilinear intervals x 4
-    # stages, fwd+bwd counted 3x fwd FLOPs (tiny by construction — the toy
-    # measures dispatch amortisation, not MFU).
-    toy_flops = 3 * STEPS_PER_EPOCH * 4 * 4 * _field_flops(
-        BATCH, HIDDEN, WIDTH, 2, 2)
-    toy = {
-        "config": "Brownian-motion toy (rectilinear NCDE, rk4, adjoint, epoch-fused dispatch)",
-        "shape": "4096 paths, 3 knots, H=10, width=256",
-        "epoch_ms": round(jax_epoch_s * 1000.0, 3),
-        "eff_tf_s": round(toy_flops / jax_epoch_s / 1e12, 3),
-        "vs_torch_cpu": (
-            round(torch_epoch_s / jax_epoch_s, 2)
-            if np.isfinite(torch_epoch_s) else None
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    L, C = 100, 21
+    grid = {}
+    for H in (128, 256):
+        for B in (256, 512, 1024, 2048):
+            rng = np.random.default_rng(0)
+            x = rng.normal(size=(B, L, C)).astype(np.float32)
+            x[:, :, 0] = np.arange(L)
+            static = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+            coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+            labels = jnp.asarray(
+                rng.integers(0, 2, size=(B, L)).astype(np.float32))
+            model = NeuralCDE(
+                input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
+                hidden_hidden_dim=H, num_layers=2,
+                interpolation="rectilinear", return_sequences=True,
+                adjoint=True, solver="rk4", solver_unroll=4,
+            )
+            ms = _time_train_step(model, (static, coeffs), labels,
+                                  loss="bce", lr=5e-4, n=10)
+            flops_full = _field_flops(B, H, H, C, 2)
+            flops_even = 2 * B * (H * H + H * H + H * 1 * H)
+            step_flops = 3 * (L - 1) * 4 * (flops_full + flops_even)
+            eff = step_flops / (ms * 1e-3) / 1e12
+            grid[f"B={B},H={H}"] = {
+                "step_ms": round(ms, 2),
+                "eff_tf_s": round(eff, 2),
+                "pct_of_bf16_peak": round(100.0 * eff / PEAK_BF16_TF, 1),
+            }
+    return {
+        "config": "MFU-vs-(B,H) grid (flagship adjoint-rk4 train step, 100 knots)",
+        "grid": grid,
+    }
+
+
+def bf16_storage_experiment():
+    """bf16 *storage* (params + control coefficients, hence activations)
+    vs f32 storage on the flagship forward+backward — the one HBM-traffic
+    lever DESIGN.md had not measured (XLA already runs bf16 MXU *passes*
+    with f32 accumulation regardless of storage dtype; this halves the
+    bytes moved, not the compute).  Times a value_and_grad chain with an
+    in-chain SGD-style coupling so XLA cannot dead-code the gradients, and
+    reports the loss deviation as the accuracy cost."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    B, L, C, H = 512, 100, 21, 128
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    static32 = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+    coeffs32 = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
+        hidden_hidden_dim=H, num_layers=2, interpolation="rectilinear",
+        return_sequences=True, adjoint=True, solver="rk4", solver_unroll=4,
+    )
+
+    n = 20
+    if _TUNNEL_RT_S is not None:
+        n = min(max(n, int(_TUNNEL_RT_S * 1000.0)), 200)
+
+    def measure(dtype):
+        params = model.init(jax.random.PRNGKey(0), dtype=dtype)
+        inputs = (static32.astype(dtype), jax.tree.map(
+            lambda c: c.astype(dtype), coeffs32))
+
+        @jax.jit
+        def chain(p):
+            def loss_fn(p_):
+                logits = model.apply(p_, inputs)[..., 0]
+                mask = jnp.isfinite(labels)
+                per = optax.sigmoid_binary_cross_entropy(
+                    logits.astype(jnp.float32), jnp.nan_to_num(labels))
+                return jnp.sum(per * mask) / jnp.sum(mask)
+
+            def body(p_, _):
+                value, grads = jax.value_and_grad(loss_fn)(p_)
+                # In-chain coupling: keeps every gradient live without an
+                # optimizer (whose state dtype would confound the test).
+                p_ = jax.tree.map(
+                    lambda w, g: w - (1e-9 * g).astype(w.dtype), p_, grads)
+                return p_, value
+
+            p, values = jax.lax.scan(body, p, None, length=n)
+            return values[-1]
+
+        value = float(chain(params))  # compile + true sync
+        times = []
+        for _ in range(_CHAINS):
+            rt = _measure_tunnel_rt()
+            t0 = time.perf_counter()
+            value = float(chain(params))
+            elapsed = time.perf_counter() - t0
+            times.append((elapsed - min(rt, 0.5 * elapsed)) / n)
+        return float(np.median(times)) * 1000.0, value
+
+    ms32, loss32 = measure(jnp.float32)
+    ms16, loss16 = measure(jnp.bfloat16)
+    return {
+        "config": "bf16-storage experiment (flagship fwd+bwd, params+coeffs stored bf16)",
+        "shape": f"B={B} knots={2*L-1} C={C} H={H}",
+        "f32_storage_ms": round(ms32, 2),
+        "bf16_storage_ms": round(ms16, 2),
+        "speedup": round(ms32 / ms16, 3),
+        "loss_f32": round(loss32, 6),
+        "loss_bf16": round(loss16, 6),
+        "note": (
+            "storage dtype of params + coefficients (activations follow by "
+            "promotion); MXU passes are bf16 either way on this chip, so "
+            "any delta is pure HBM-traffic relief"
         ),
     }
-    configs = [toy, chartraj, beijing, speech, flagship, flagship_h256,
-               logsig, serving]
-    print(
-        json.dumps(
-            {
-                "metric": "bm_toy_train_epoch_time",
-                "value": round(jax_epoch_s * 1000.0, 3),
-                "unit": "ms/epoch (4096 paths, rectilinear NCDE rk4, adjoint, epoch-fused)",
-                "vs_baseline": (
-                    round(torch_epoch_s / jax_epoch_s, 2)
-                    if np.isfinite(torch_epoch_s)
-                    else None
-                ),
-                "baseline_note": (
-                    "from-scratch torch (CPU, same host) implementation of the "
-                    "identical algorithm; reference published no GPU numbers"
-                ),
-                "flagship_mimic_scale_step_ms": round(flagship_ms, 2),
-                "flagship_midpoint_bwd_step_ms": round(flagship_mid_ms, 2),
-                "flagship_vector_field_nfe_per_s": round(flagship_nfe_s, 1),
-                "pallas_parity": (
-                    parity["status"] if isinstance(parity, dict) else parity
-                ),
-                "pallas_parity_checks": (
-                    parity.get("checks") if isinstance(parity, dict) else None
-                ),
-                "peak_bf16_tf_s": PEAK_BF16_TF,
-                "tunnel_rt_ms": tunnel_rt_ms,
-                "configs": [_with_peak(c) for c in configs],
-                "roofline": roofline,
-            }
-        )
+
+
+def main():
+    # ------------------------------------------------------------------
+    # Fail-soft contract (VERDICT r3 next #2): this function ALWAYS prints
+    # exactly one parseable JSON line and exits 0, whatever the tunnel or
+    # any individual leg does.  Backend init runs under a thread watchdog
+    # with retries; every leg is individually fenced; failures land in an
+    # "errors" list inside the JSON instead of a traceback on stderr.
+    # ------------------------------------------------------------------
+    errors: list = []
+    report = {
+        "metric": "bm_toy_train_epoch_time",
+        "value": None,
+        "unit": "ms/epoch (4096 paths, rectilinear NCDE rk4, adjoint, epoch-fused)",
+        "vs_baseline": None,
+    }
+
+    status = backend = None
+    for attempt in range(3):
+        status, backend = _probe_backend(75.0)
+        if status == "ok":
+            break
+        errors.append(f"backend probe attempt {attempt + 1}/3: {status}")
+        if attempt < 2:
+            time.sleep(45.0)
+    if status != "ok":
+        report["errors"] = errors
+        report["backend"] = "unavailable"
+        print(json.dumps(report))
+        sys.stdout.flush()
+        os._exit(0)  # a hung daemon probe thread must not block exit
+
+    def leg(name, fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — recorded in the artifact
+            import traceback
+
+            tb = traceback.format_exc(limit=3).strip().replace("\n", " | ")
+            errors.append(f"{name}: {type(e).__name__}: {e} [{tb[-400:]}]")
+            return None
+
+    tunnel_rt_ms = leg("calibrate", _calibrate_protocol)
+    parity = leg("pallas_parity", assert_pallas_parity)
+    x, y = _make_data()
+    toy_res = leg("toy", bench_jax, x, y)
+    flag_res = leg("flagship", bench_flagship_step)
+    flagship, flagship_ms, flagship_nfe_s, flagship_mid_ms = (
+        flag_res if flag_res is not None else (None, None, None, None))
+    flagship_h256 = leg("flagship_h256", bench_flagship_h256)
+    chartraj = leg("chartraj", bench_chartraj)
+    beijing = leg("beijing", bench_beijing_hermite)
+    speech = leg("speech", bench_speechcommands_baselines)
+    logsig = leg("logsig", bench_logsig_long_sequence)
+    serving = leg("serving", bench_serving)
+    roofline = leg("roofline", roofline_decomposition)
+    grid = leg("mfu_grid", mfu_grid)
+    bf16 = leg("bf16_storage", bf16_storage_experiment)
+    torch_res = leg("torch_baseline", bench_torch, x, y)
+
+    jax_epoch_s, _jax_loss = toy_res if toy_res is not None else (None, None)
+    torch_epoch_s = torch_res[0] if torch_res is not None else None
+
+    toy = None
+    if jax_epoch_s is not None:
+        # Toy epoch effective TF/s: 4 steps x 4 rectilinear intervals x 4
+        # stages, fwd+bwd counted 3x fwd FLOPs (tiny by construction — the
+        # toy measures dispatch amortisation, not MFU).
+        toy_flops = 3 * STEPS_PER_EPOCH * 4 * 4 * _field_flops(
+            BATCH, HIDDEN, WIDTH, 2, 2)
+        toy = {
+            "config": "Brownian-motion toy (rectilinear NCDE, rk4, adjoint, epoch-fused dispatch)",
+            "shape": "4096 paths, 3 knots, H=10, width=256",
+            "epoch_ms": round(jax_epoch_s * 1000.0, 3),
+            "eff_tf_s": round(toy_flops / jax_epoch_s / 1e12, 3),
+            "vs_torch_cpu": (
+                round(torch_epoch_s / jax_epoch_s, 2)
+                if torch_epoch_s is not None else None
+            ),
+        }
+
+    configs = [c for c in (toy, chartraj, beijing, speech, flagship,
+                           flagship_h256, logsig, serving, bf16)
+               if c is not None]
+    report.update(
+        {
+            "value": (round(jax_epoch_s * 1000.0, 3)
+                      if jax_epoch_s is not None else None),
+            "vs_baseline": (
+                round(torch_epoch_s / jax_epoch_s, 2)
+                if jax_epoch_s is not None and torch_epoch_s is not None
+                else None
+            ),
+            "baseline_note": (
+                "from-scratch torch (CPU, same host) implementation of the "
+                "identical algorithm; reference published no GPU numbers"
+            ),
+            "backend": backend,
+            "flagship_mimic_scale_step_ms": (
+                round(flagship_ms, 2) if flagship_ms is not None else None),
+            "flagship_midpoint_bwd_step_ms": (
+                round(flagship_mid_ms, 2)
+                if flagship_mid_ms is not None else None),
+            "flagship_vector_field_nfe_per_s": (
+                round(flagship_nfe_s, 1)
+                if flagship_nfe_s is not None else None),
+            "pallas_parity": (
+                parity["status"] if isinstance(parity, dict) else parity
+            ),
+            "pallas_parity_checks": (
+                parity.get("checks") if isinstance(parity, dict) else None
+            ),
+            "peak_bf16_tf_s": PEAK_BF16_TF,
+            "tunnel_rt_ms": tunnel_rt_ms,
+            "configs": [_with_peak(c) for c in configs],
+            "roofline": roofline,
+            "mfu_grid": grid,
+            "errors": errors,
+        }
     )
+    print(json.dumps(report))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
