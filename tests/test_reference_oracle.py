@@ -1,0 +1,592 @@
+"""Reference-oracle parity suite (VERDICT r3 next #4).
+
+Imports the reference's vendored torchcde/torchdiffeq (the strongest
+correctness oracle available in this image) and asserts NUMERICAL
+agreement with this framework, reproducing the reference's own test
+batteries against the reference code itself:
+
+- coefficient builders vs torchcde outputs (linear, rectilinear
+  interleave-lag, natural cubic v0/v1 with NaN paths) —
+  reference interpolation_linear.py:131-180, interpolation_cubic.py:193-265
+- spline evaluate/derivative vs the torchcde classes
+- fixed-grid / adaptive / Adams trajectories + NFE accounting vs
+  torchdiffeq, incl. the repo's min_step mod semantics
+  (reference tests/odeint_tests.py:222-240)
+- gradients: our direct jax.grad == reference discrete backprop, and
+  our interval adjoint == reference odeint_adjoint (continuous adjoint)
+  — reference tests/gradient_tests.py:34-104 semantics
+- log-ODE windows vs a closed-form depth-2 BCH oracle (signatory is not
+  installed; straight-line log-signature composition is exact at depth 2)
+  — reference log_ode.py:15-77
+
+Two DOCUMENTED divergences are pinned here rather than asserted equal:
+(a) at a knot time the reference's bucketize-based spline lookup returns
+    the piece ENDING there, so fixed-grid stages evaluated exactly on a
+    knot of a LINEAR control read the previous piece's slope (the Perturb
+    machinery exists to patch this); our piece-pinned scan always uses
+    the enclosing interval's piece.  Parity is therefore asserted on
+    C^1 controls (cubic) for knot-stage methods and on interior-stage /
+    adaptive paths for linear controls.
+(b) our dopri8 is DOP853 (scipy's tableau, blended 5th/3rd error) rather
+    than the reference's plain dopri8; both are asserted against the
+    analytic solution instead of each other.
+
+Everything runs in float64 (conftest enables x64) so agreement bounds
+are round-off, not tolerance mush.  Marked ``oracle``: excluded from the
+smoke tier, included in the default/full suite.
+"""
+
+import os
+import sys
+import warnings
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference/modules"
+pytestmark = [
+    pytest.mark.oracle,
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference checkout not present"
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    for sub in ("torchdiffeq", "torchcde"):
+        p = os.path.join(REF, sub)
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import torch
+    import torchcde
+    import torchdiffeq
+
+    return torch, torchcde, torchdiffeq
+
+
+def _nan_series(B=3, L=10, C=4, seed=0, scale=1.0):
+    """Random batch with interior NaNs, a NaN start row, a NaN tail value
+    and one all-NaN channel — the reference's hard imputation cases
+    (interpolation_cubic.py:56-167)."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, L, C)) * scale
+    x[rng.random(size=(B, L, C)) < 0.25] = np.nan
+    x[1, :, 2] = np.nan
+    x[0, 0, :] = np.nan
+    x[2, -1, 1] = np.nan
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Coefficient builders vs torchcde
+# ---------------------------------------------------------------------------
+
+
+def test_linear_coeffs_match_torchcde(oracle):
+    """linear_interpolation_coeffs == reference interpolation_linear.py:131."""
+    torch, torchcde, _ = oracle
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    x = _nan_series()
+    ours = np.asarray(linear_interpolation_coeffs(jnp.asarray(x)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = torchcde.linear_interpolation_coeffs(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-14)
+
+
+def test_rectilinear_coeffs_match_torchcde(oracle):
+    """rectilinear= interleave-lag == reference _prepare_rectilinear_interpolation
+    (interpolation_linear.py:87-128): identical 2L-1 knot tensor."""
+    torch, torchcde, _ = oracle
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+
+    x = _nan_series()
+    x[:, :, 0] = np.arange(x.shape[1])  # NaN-free increasing time channel
+    ours = np.asarray(linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = torchcde.linear_interpolation_coeffs(
+            torch.tensor(x), rectilinear=0
+        ).numpy()
+    assert ours.shape == ref.shape == (x.shape[0], 2 * x.shape[1] - 1, x.shape[2])
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-14)
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_natural_cubic_coeffs_match_torchcde(oracle, version):
+    """Packed [a|b|2c|3d] coefficients == reference natural_cubic_coeffs
+    (_version=1, interpolation_cubic.py:233) / deprecated
+    natural_cubic_spline_coeffs (_version=0, :193), NaN paths included."""
+    torch, torchcde, _ = oracle
+    from online_neural_cdes_tpu.ops.interpolation import (
+        natural_cubic_coeffs,
+        natural_cubic_spline_coeffs,
+    )
+
+    x = _nan_series(seed=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if version == 1:
+            ours = np.asarray(natural_cubic_coeffs(jnp.asarray(x)))
+            ref = torchcde.natural_cubic_coeffs(torch.tensor(x)).numpy()
+        else:
+            ours = np.asarray(natural_cubic_spline_coeffs(jnp.asarray(x)))
+            ref = torchcde.natural_cubic_spline_coeffs(torch.tensor(x)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
+
+
+def test_cubic_spline_eval_deriv_match_torchcde(oracle):
+    """CubicSpline.evaluate/derivative == reference NaturalCubicSpline
+    (interpolation_cubic.py:315-336) at interior, knot and endpoint times."""
+    torch, torchcde, _ = oracle
+    from online_neural_cdes_tpu.ops import interpolation as I
+
+    x = _nan_series(seed=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_sp = torchcde.NaturalCubicSpline(
+            torchcde.natural_cubic_coeffs(torch.tensor(x))
+        )
+    our_sp = I.CubicSpline.create(I.natural_cubic_coeffs(jnp.asarray(x)))
+    for tt in (0.0, 0.3, 2.7, 5.5, 8.999, 9.0):
+        # f64 time tensor: torch.tensor(float) defaults to f32, and the
+        # reference's _interpret_t upcasts the already-rounded value.
+        tt_ref = torch.tensor(tt, dtype=torch.float64)
+        np.testing.assert_allclose(
+            np.asarray(our_sp.evaluate(tt)),
+            ref_sp.evaluate(tt_ref).numpy(),
+            rtol=0, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(our_sp.derivative(tt)),
+            ref_sp.derivative(tt_ref).numpy(),
+            rtol=0, atol=1e-12,
+        )
+
+
+def test_linear_interp_eval_match_torchcde(oracle):
+    """LinearInterpolation.evaluate == reference LinearInterpolation
+    (interpolation_linear.py:183-234) at interior times (values at knots
+    are two-sided-consistent; derivatives at knots differ by the
+    documented bucketize-side divergence and are asserted on interior
+    points only)."""
+    torch, torchcde, _ = oracle
+    from online_neural_cdes_tpu.ops import interpolation as I
+
+    x = _nan_series(seed=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_sp = torchcde.LinearInterpolation(
+            torchcde.linear_interpolation_coeffs(torch.tensor(x))
+        )
+    our_sp = I.LinearInterpolation.create(
+        I.linear_interpolation_coeffs(jnp.asarray(x))
+    )
+    for tt in (0.0, 0.25, 3.5, 6.75, 8.5, 9.0):
+        np.testing.assert_allclose(
+            np.asarray(our_sp.evaluate(tt)),
+            ref_sp.evaluate(torch.tensor(tt, dtype=torch.float64)).numpy(),
+            rtol=0, atol=1e-14,
+        )
+    for tt in (0.25, 3.5, 6.75, 8.5):
+        np.testing.assert_allclose(
+            np.asarray(our_sp.derivative(tt)),
+            ref_sp.derivative(torch.tensor(tt, dtype=torch.float64)).numpy(),
+            rtol=0, atol=1e-14,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Solvers vs torchdiffeq (linear ODE dy/dt = A y; NFE via the reference's
+# own counter idiom, tests/problems.py:7-56)
+# ---------------------------------------------------------------------------
+
+_A = np.array(
+    [[-0.1, 2.0, 0.0], [-2.0, -0.1, 0.5], [0.0, -0.5, -0.3]]
+)
+_Y0 = np.array([1.0, -0.5, 0.3])
+
+
+def _ref_solve(oracle, tg, method, rtol=1e-7, atol=1e-9, options=None):
+    torch, _, torchdiffeq = oracle
+
+    class F(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.nfe = 0
+            self.A = torch.nn.Parameter(torch.tensor(_A))
+
+        def forward(self, t, y):
+            self.nfe += 1
+            return y @ self.A.T
+
+    f = F()
+    with torch.no_grad():
+        ys = torchdiffeq.odeint(
+            f, torch.tensor(_Y0), torch.tensor(tg),
+            rtol=rtol, atol=atol, method=method, options=options or {},
+        ).numpy()
+    return ys, f.nfe
+
+
+def _our_solve(tg, method, rtol=1e-7, atol=1e-9, options=None):
+    from online_neural_cdes_tpu.ops import solvers as S
+
+    ys, stats = S.odeint(
+        lambda t, y, a: y @ jnp.asarray(_A).T,
+        jnp.asarray(_Y0), jnp.asarray(tg),
+        rtol=rtol, atol=atol, method=method, options=dict(options or {}),
+        return_stats=True,
+    )
+    return np.asarray(ys), int(stats["nfe"])
+
+
+@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4"])
+def test_fixed_grid_trajectories_exact(oracle, method):
+    """Fixed-grid steppers bit-match the reference (incl. rk4's 3/8 rule,
+    rk_common.py:106-114) on the same grid."""
+    tg = np.linspace(0.0, 4.0, 9)
+    ref, nfe_ref = _ref_solve(oracle, tg, method)
+    ours, nfe_ours = _our_solve(tg, method)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-14)
+    assert nfe_ours == nfe_ref
+
+
+@pytest.mark.parametrize("method", ["bosh3", "fehlberg2", "adaptive_heun"])
+def test_adaptive_trajectory_and_nfe_exact(oracle, method):
+    """Same tableau + same Hairer initial step + same step controller =>
+    the accept/reject sequence, hence the NFE count, matches the
+    reference EXACTLY (rk_common.py:216-305, misc.py:32-89)."""
+    tg = np.linspace(0.0, 2.0, 5)
+    ref, nfe_ref = _ref_solve(oracle, tg, method)
+    ours, nfe_ours = _our_solve(tg, method)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-4)
+    assert nfe_ours == nfe_ref, (nfe_ours, nfe_ref)
+
+
+def test_dopri5_trajectory_matches(oracle):
+    """dopri5 trajectories agree at solver tolerance and NFE within 10%
+    (the interp-vs-landing bookkeeping differs slightly; the controller
+    behaviour is pinned exactly by the three tableaux above)."""
+    tg = np.linspace(0.0, 4.0, 9)
+    ref, nfe_ref = _ref_solve(oracle, tg, "dopri5")
+    ours, nfe_ours = _our_solve(tg, "dopri5")
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+    assert abs(nfe_ours - nfe_ref) <= 0.10 * nfe_ref, (nfe_ours, nfe_ref)
+
+
+def test_dopri8_vs_analytic(oracle):
+    """Our dopri8 is DOP853 (documented divergence (b)): both it and the
+    reference's dopri8 must sit within tolerance of the ANALYTIC
+    solution expm(A t) y0."""
+    import scipy.linalg
+
+    tg = np.linspace(0.0, 4.0, 9)
+    exact = np.stack([scipy.linalg.expm(_A * t) @ _Y0 for t in tg])
+    ref, _ = _ref_solve(oracle, tg, "dopri8", rtol=1e-10, atol=1e-12)
+    ours, _ = _our_solve(tg, "dop853", rtol=1e-10, atol=1e-12)
+    # The reference's dopri8 accumulates ~4e-7 global error even at
+    # rtol=1e-10 on this problem; our DOP853 stays under 1e-7.
+    np.testing.assert_allclose(ref, exact, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(ours, exact, rtol=0, atol=1e-7)
+
+
+def test_min_step_nfe_semantics(oracle):
+    """The repo's bounded-step mod (rk_common.py:123-125,273-276):
+    min_step=2 forces far fewer evaluations than min_step=0, with the
+    same thresholds the reference's own TestMinMaxStep asserts
+    (tests/odeint_tests.py:222-240)."""
+    tg = np.linspace(0.0, 4.0, 9)
+    for min_step, bound in ((0.0, None), (2.0, 50)):
+        opts = {"min_step": min_step, "max_step": 5.0}
+        _, nfe_ref = _ref_solve(oracle, tg, "dopri5", options=dict(opts))
+        _, nfe_ours = _our_solve(tg, "dopri5", options=dict(opts))
+        if bound is None:
+            assert nfe_ref > 100 and nfe_ours > 100, (nfe_ref, nfe_ours)
+        else:
+            assert nfe_ref < bound and nfe_ours < bound, (nfe_ref, nfe_ours)
+
+
+def test_scipy_solver_matches(oracle):
+    """scipy fallback == reference ScipyWrapperODESolver (scipy_wrapper.py:9)
+    — same underlying LSODA, same min/max-step plumbing."""
+    tg = np.linspace(0.0, 4.0, 9)
+    opts = {"solver": "LSODA", "min_step": 0.0, "max_step": float("inf")}
+    ref, _ = _ref_solve(oracle, tg, "scipy_solver", rtol=1e-9, atol=1e-11,
+                        options=dict(opts))
+    ours, _ = _our_solve(tg, "scipy_solver", rtol=1e-9, atol=1e-11,
+                         options=dict(opts))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams"])
+def test_adams_matches(oracle, method):
+    """Adams-Bashforth(-Moulton) == reference fixed_adams.py.  Implicit
+    uses a grid dense enough that the reference's functional iteration
+    converges (its non-convergence warning path has a Python-3 bug);
+    explicit uses the short grid where the order-growth schedule is
+    identical (beyond ~order 8 the two high-order coefficient/order
+    selections drift at the 1e-5 level — both remain valid AB schemes)."""
+    tg = np.linspace(0.0, 2.0, 41) if method == "implicit_adams" else np.linspace(0.0, 4.0, 9)
+    ref, _ = _ref_solve(oracle, tg, method)
+    ours, _ = _our_solve(tg, method)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-11)
+
+
+def test_odeint_gradients_match_both_modes(oracle):
+    """d(loss)/d(y0, params) through adaptive dopri5 at tight tolerance
+    matches BOTH the reference's discrete backprop and its continuous
+    adjoint (reference tests/gradient_tests.py:34-104: at rtol=1e-9/
+    atol=1e-12 the two coincide to ~1e-5; we assert all three agree)."""
+    torch, _, torchdiffeq = oracle
+    rng = np.random.default_rng(1)
+    W = rng.normal(size=(3, 3)) * 0.5
+    b = rng.normal(size=(3,)) * 0.1
+    y0 = rng.normal(size=(3,))
+    tg = np.linspace(0.0, 2.0, 6)
+    g = rng.normal(size=(6, 3))
+
+    class F(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.W = torch.nn.Parameter(torch.tensor(W))
+            self.b = torch.nn.Parameter(torch.tensor(b))
+
+        def forward(self, t, y):
+            return torch.tanh(y @ self.W.T + self.b)
+
+    def ref_grads(adjoint):
+        f = F()
+        y0t = torch.tensor(y0, requires_grad=True)
+        fn = torchdiffeq.odeint_adjoint if adjoint else torchdiffeq.odeint
+        ys = fn(f, y0t, torch.tensor(tg), rtol=1e-9, atol=1e-12)
+        (ys * torch.tensor(g)).sum().backward()
+        return y0t.grad.numpy(), f.W.grad.numpy(), f.b.grad.numpy()
+
+    from online_neural_cdes_tpu.ops import solvers as S
+
+    def our_loss(args):
+        y0_, W_, b_ = args
+        ys = S.odeint(
+            lambda t, y, a: jnp.tanh(y @ a[0].T + a[1]),
+            y0_, jnp.asarray(tg), (W_, b_),
+            rtol=1e-9, atol=1e-12, method="dopri5",
+            options={"differentiable": True},
+        )
+        return jnp.sum(ys * jnp.asarray(g))
+
+    ours = jax.grad(our_loss)((jnp.asarray(y0), jnp.asarray(W), jnp.asarray(b)))
+    for adjoint in (False, True):
+        for got, want in zip(ours, ref_grads(adjoint)):
+            np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# cdeint gradients vs torchcde (reference solver.py:140-238 + adjoint.py)
+# ---------------------------------------------------------------------------
+
+_CDE = dict(B=4, L=8, C=3, H=5)
+
+
+def _cde_problem(seed=1):
+    rng = np.random.default_rng(seed)
+    B, L, C, H = _CDE["B"], _CDE["L"], _CDE["C"], _CDE["H"]
+    x = rng.normal(size=(B, L, C)) * 0.5
+    x[rng.random(size=(B, L, C)) < 0.2] = np.nan
+    params = {
+        "Wf": rng.normal(size=(H, H)) * 0.3,
+        "bf": rng.normal(size=(H,)) * 0.1,
+        "Wo": rng.normal(size=(H, H * C)) * 0.2,
+        "bo": rng.normal(size=(H * C,)) * 0.05,
+    }
+    z0 = rng.normal(size=(B, H)) * 0.5
+    g = rng.normal(size=(B, L, H))
+    return x, params, z0, g
+
+
+def _ref_cde_grads(oracle, x, p, z0, g, adjoint):
+    torch, torchcde, _ = oracle
+    H, C = _CDE["H"], _CDE["C"]
+
+    class CF(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for k, v in p.items():
+                setattr(self, k, torch.nn.Parameter(torch.tensor(v)))
+
+        def forward(self, t, z):
+            u = torch.relu(z @ self.Wf.T + self.bf)
+            return torch.tanh(u @ self.Wo + self.bo).view(-1, H, C)
+
+    f = CF()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        X = torchcde.NaturalCubicSpline(
+            torchcde.natural_cubic_coeffs(torch.tensor(x))
+        )
+    z0t = torch.tensor(z0, requires_grad=True)
+    kw = dict(adjoint_params=tuple(f.parameters())) if adjoint else {}
+    zs = torchcde.cdeint(
+        X, f, z0t, X.grid_points, adjoint=adjoint, method="rk4", **kw
+    )
+    (zs * torch.tensor(g)).sum().backward()
+    return (
+        zs.detach().numpy(),
+        z0t.grad.numpy(),
+        {k: getattr(f, k).grad.numpy() for k in p},
+    )
+
+
+def _our_cde_grads(x, p, z0, g, adjoint):
+    from online_neural_cdes_tpu.ops import interpolation as I
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+
+    H, C = _CDE["H"], _CDE["C"]
+    X = I.CubicSpline.create(I.natural_cubic_coeffs(jnp.asarray(x)))
+
+    def field(t, z, pp):
+        u = jax.nn.relu(z @ pp["Wf"].T + pp["bf"])
+        return jnp.tanh(u @ pp["Wo"] + pp["bo"]).reshape(z.shape[:-1] + (H, C))
+
+    def loss(args):
+        z0_, pp = args
+        zs = cdeint(X, field, z0_, X.grid_points, pp, adjoint=adjoint,
+                    method="rk4")
+        return jnp.sum(zs * jnp.asarray(g)), zs
+
+    pj = {k: jnp.asarray(v) for k, v in p.items()}
+    (_, zs), (gz0, gp) = jax.value_and_grad(loss, has_aux=True)(
+        (jnp.asarray(z0), pj))
+    return np.asarray(zs), np.asarray(gz0), {k: np.asarray(v) for k, v in gp.items()}
+
+
+def test_cdeint_forward_matches_torchcde(oracle):
+    """Cubic-spline rk4 cdeint forward bit-matches the reference stack
+    (torchcde solver.py:223-229 -> torchdiffeq fixed-grid rk4)."""
+    x, p, z0, g = _cde_problem()
+    zs_ref, _, _ = _ref_cde_grads(oracle, x, p, z0, g, adjoint=False)
+    zs_ours, _, _ = _our_cde_grads(x, p, z0, g, adjoint=False)
+    np.testing.assert_allclose(zs_ours, zs_ref, rtol=0, atol=1e-13)
+
+
+def test_cdeint_direct_grads_match_reference_backprop(oracle):
+    """Identical discrete forward => identical discrete gradients:
+    jax.grad through our piece scan == torch autograd through the
+    reference's rk4 loop, to round-off."""
+    x, p, z0, g = _cde_problem()
+    _, gz0_ref, gp_ref = _ref_cde_grads(oracle, x, p, z0, g, adjoint=False)
+    _, gz0_ours, gp_ours = _our_cde_grads(x, p, z0, g, adjoint=False)
+    np.testing.assert_allclose(gz0_ours, gz0_ref, rtol=0, atol=1e-12)
+    for k in gp_ref:
+        np.testing.assert_allclose(gp_ours[k], gp_ref[k], rtol=0, atol=1e-12)
+
+
+def test_cdeint_adjoint_grads_match_reference_adjoint(oracle):
+    """Our interval adjoint integrates the SAME augmented ODE on the same
+    grid as the reference's OdeintAdjointMethod (adjoint.py:65-133), so
+    the two continuous-adjoint gradients agree to round-off (they differ
+    from the discrete gradient by the usual optimise-then-discretise
+    error, which both sides share)."""
+    x, p, z0, g = _cde_problem()
+    _, gz0_ref, gp_ref = _ref_cde_grads(oracle, x, p, z0, g, adjoint=True)
+    _, gz0_ours, gp_ours = _our_cde_grads(x, p, z0, g, adjoint=True)
+    np.testing.assert_allclose(gz0_ours, gz0_ref, rtol=0, atol=1e-12)
+    for k in gp_ref:
+        np.testing.assert_allclose(gp_ours[k], gp_ref[k], rtol=0, atol=1e-12)
+
+
+def test_cdeint_linear_dopri5_matches_at_tolerance(oracle):
+    """Linear control + adaptive dopri5: stages land inside pieces (no
+    knot-side ambiguity), so the two stacks agree at solver tolerance."""
+    torch, torchcde, _ = oracle
+    from online_neural_cdes_tpu.ops import interpolation as I
+    from online_neural_cdes_tpu.ops.cdeint import cdeint
+
+    x, p, z0, g = _cde_problem(seed=2)
+    H, C = _CDE["H"], _CDE["C"]
+
+    class CF(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for k, v in p.items():
+                setattr(self, k, torch.nn.Parameter(torch.tensor(v)))
+
+        def forward(self, t, z):
+            u = torch.relu(z @ self.Wf.T + self.bf)
+            return torch.tanh(u @ self.Wo + self.bo).view(-1, H, C)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        Xt = torchcde.LinearInterpolation(
+            torchcde.linear_interpolation_coeffs(torch.tensor(x))
+        )
+    with torch.no_grad():
+        zs_ref = torchcde.cdeint(
+            Xt, CF(), torch.tensor(z0), Xt.grid_points, adjoint=False,
+            method="dopri5", rtol=1e-8, atol=1e-10,
+        ).numpy()
+
+    X = I.LinearInterpolation.create(I.linear_interpolation_coeffs(jnp.asarray(x)))
+
+    def field(t, z, pp):
+        u = jax.nn.relu(z @ pp["Wf"].T + pp["bf"])
+        return jnp.tanh(u @ pp["Wo"] + pp["bo"]).reshape(z.shape[:-1] + (H, C))
+
+    zs_ours = cdeint(
+        X, field, jnp.asarray(z0), X.grid_points,
+        {k: jnp.asarray(v) for k, v in p.items()},
+        adjoint=False, method="dopri5", rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(zs_ours), zs_ref, rtol=0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Log-ODE windows vs a closed-form depth-2 oracle (log_ode.py:15-77)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("L", [17, 18])  # divisible and partial last window
+def test_logsig_windows_depth2_closed_form(L):
+    """For a piecewise-linear path each segment's depth-2 log-signature is
+    its increment; composition is exact BCH: a (+) b = a + b + [a,b]/2.
+    Folding that in numpy gives a closed-form oracle for the window
+    values; the first row / cumsum structure mirrors reference
+    log_ode.py:55-72 (first_increment = x0, then cumulative sums)."""
+    from online_neural_cdes_tpu.ops.logsig import (
+        logsig_windows, logsignature_channels,
+    )
+
+    C, depth, win = 3, 2, 4
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(2, L, C))
+    ours = np.asarray(logsig_windows(jnp.asarray(xs), depth, win))
+
+    n_ch = logsignature_channels(C, depth)
+    n_win = int(np.ceil((L - 1) / win))
+    assert ours.shape == (2, n_win + 1, n_ch)
+
+    def bch_window(seg):
+        lvl1 = np.zeros(C)
+        lvl2 = np.zeros((C, C))
+        for d in seg:
+            lvl2 = lvl2 + 0.5 * (np.outer(lvl1, d) - np.outer(d, lvl1))
+            lvl1 = lvl1 + d
+        return lvl1, lvl2
+
+    expected = []
+    for b in range(2):
+        first = np.zeros(n_ch)
+        first[:C] = xs[b, 0]
+        rows = [first]
+        for w in range(n_win):
+            lo, hi = w * win, min(w * win + win, L - 1)
+            l1, l2 = bch_window(np.diff(xs[b, lo:hi + 1], axis=0))
+            # Lyndon-word order at depth 2, C=3: pairs (i, j), i < j.
+            rows.append(np.concatenate([l1, [l2[0, 1], l2[0, 2], l2[1, 2]]]))
+        expected.append(np.cumsum(np.stack(rows), axis=0))
+    np.testing.assert_allclose(ours, np.stack(expected), rtol=0, atol=1e-12)
