@@ -498,6 +498,12 @@ def pipelined_cde_solve(
     spline_cls = type(X)
     pf = _piece_field(spline_cls, func, vector_field_type)
     step = solvers.tree_fixed_step(method)
+    if adjoint_method is not None and adjoint_method not in solvers.FIXED_METHODS:
+        # Same contract/message as cdeint's fixed-grid adjoint_options check.
+        raise ValueError(
+            f"fixed-grid adjoint_options method {adjoint_method!r} must be "
+            f"one of {solvers.FIXED_METHODS}"
+        )
     pf_e = (
         _piece_field(spline_cls, even_func, vector_field_type)
         if even_func is not None else None

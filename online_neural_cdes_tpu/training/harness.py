@@ -326,6 +326,17 @@ def train(
     (the first compiles) into the directory, viewable in TensorBoard /
     Perfetto (the TPU-native analogue of the reference's CUDA memory/time
     counters, SURVEY §5 tracing)."""
+    if final_lr_multiplier is None:
+        # None is the vmapped-wave sentinel (make_train_step's 6-argument
+        # runtime-scalar signature, training/wave.py); the sequential
+        # harness calls the 5-argument form, so a config that explicitly
+        # sets `trainer.final_lr_multiplier: null` would otherwise surface
+        # as a confusing TypeError deep inside the epoch loop.
+        raise ValueError(
+            "train(final_lr_multiplier=None): None is reserved for the "
+            "vmapped wave path; pass a number (reference default 10.0, "
+            "trainer.py:272-302)."
+        )
     if minimize is None:
         minimize = val_metric_to_monitor in ("loss",)
     sign = 1.0 if minimize else -1.0

@@ -290,16 +290,18 @@ def run_hyperopt(
     unit_obs: list = []
     scores: list = []
     best = (math.inf, None, None)
-    # Replay exactly the CONTIGUOUS recorded prefix.  Once any trial is
-    # re-run (a gap in the records), the TPE history diverges from the one
-    # later records were generated against, so those stale records must be
-    # ignored and overwritten (the ledger's last-entry-wins read handles
-    # the overwrite).  Wave boundaries are deterministic from
-    # (total_trials, wave_size), and a wave's TPE candidates condition on
-    # COMPLETED waves only, so a crash mid-wave resumes bit-identically:
-    # the recorded wave members replay, the rest regenerate from the same
-    # wave-start history.
-    replaying = True
+    # Per-trial replay: a trial's candidate row is a DETERMINISTIC function
+    # of the wave-start history (startup rows come from `seed`; TPE
+    # candidates condition on COMPLETED waves only and draw from an rng
+    # keyed (seed, t)), so each recorded entry can be validated
+    # independently — regenerate the row the search would propose now and
+    # replay the record iff its unit_row matches.  A mismatch means the
+    # history the record was generated against has diverged (some earlier
+    # trial was re-run with a different outcome); that record is stale and
+    # is re-evaluated/overwritten (the ledger's last-entry-wins read
+    # handles the overwrite).  This replays recorded wave members even
+    # when an earlier member of the same wave is missing — a prefix-only
+    # rule discarded those and paid a full training run each (ADVICE r3).
     trial = 0
     while trial < total_trials:
         wave = list(range(trial, min(trial + wave_size, total_trials)))
@@ -309,9 +311,23 @@ def run_hyperopt(
         wave_rows, wave_points, pending = [], [], []
         wave_out: dict = {}
         for t in wave:
+            if t < n_startup or hist_rows.size == 0:
+                row = startup_unit[t]
+            else:
+                rng = np.random.default_rng((seed, t))
+                row = tpe_suggest(hist_rows, hist_scores, rng)
+            row = np.asarray(row, float)
             entry = recorded.get(t)
-            if replaying and entry is not None:
-                row = np.asarray(entry["info"]["unit_row"], float)
+            rec_row = (
+                np.asarray(entry["info"]["unit_row"], float)
+                if entry is not None else None
+            )
+            if (
+                rec_row is not None
+                and rec_row.shape == row.shape
+                and np.allclose(rec_row, row, rtol=0, atol=1e-12)
+            ):
+                row = rec_row
                 wave_out[t] = (
                     float(entry["results"]["score"]),
                     entry["results"].get("trial_results", {}),
@@ -320,12 +336,6 @@ def run_hyperopt(
                 logger.info("trial %d/%d: resumed from ledger (score %.5f)",
                             t + 1, total_trials, wave_out[t][0])
             else:
-                replaying = False
-                if t < n_startup or hist_rows.size == 0:
-                    row = startup_unit[t]
-                else:
-                    rng = np.random.default_rng((seed, t))
-                    row = tpe_suggest(hist_rows, hist_scores, rng)
                 point = _decode_row(dims, fixed, row)
                 pending.append(t)
             wave_rows.append(row)

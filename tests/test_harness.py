@@ -1053,3 +1053,15 @@ def test_wave_adaptive_nfe_tracks_sequential(toy_dataset, _wave_cfg):
         assert seq["nfe"] > 0
         assert abs(res["nfe"] - seq["nfe"]) / seq["nfe"] < 0.05, (
             res["nfe"], seq["nfe"])
+
+
+def test_train_rejects_none_final_lr_multiplier():
+    """`trainer.final_lr_multiplier: null` in a config must fail with a
+    clear message at the harness boundary, not a 5-vs-6-argument TypeError
+    deep in the epoch loop (None is the vmapped-wave sentinel; ADVICE r3)."""
+    import pytest
+
+    from online_neural_cdes_tpu.training.harness import train
+
+    with pytest.raises(ValueError, match="vmapped wave"):
+        train(None, None, None, None, final_lr_multiplier=None)

@@ -207,10 +207,12 @@ def test_hyperopt_resumes_from_trial_ledger(monkeypatch, tmp_path):
     assert second["best_parameters"] == first["best_parameters"]
 
 
-def test_hyperopt_gap_in_records_stops_replay(monkeypatch, tmp_path):
-    """A missing trial record (lost mid-crash) invalidates the TPE history
-    later records were generated against: the search replays only the
-    contiguous prefix and re-runs everything after the gap."""
+def test_hyperopt_gap_in_records_rerun_only_missing(monkeypatch, tmp_path):
+    """A missing trial record (lost mid-crash) re-runs ONLY that trial:
+    every other record whose unit_row still matches what the search would
+    regenerate from the same history replays (ADVICE r3 — the old
+    prefix-only rule discarded all records after the gap, re-training
+    each at full cost)."""
     import json
 
     import online_neural_cdes_tpu.training.hyperopt as ho
@@ -234,7 +236,7 @@ def test_hyperopt_gap_in_records_stops_replay(monkeypatch, tmp_path):
     }
     path = tmp_path / "ledger.jsonl"
     ledger = Ledger(str(path))
-    ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    first = ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
     assert calls["n"] == 6
 
     # Drop trial 2's record to simulate a lost write.
@@ -245,6 +247,56 @@ def test_hyperopt_gap_in_records_stops_replay(monkeypatch, tmp_path):
             fh.write(json.dumps(e) + "\n")
 
     second = ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
-    # Trials 0-1 replayed; 2-5 re-run (stale 3-5 ignored and overwritten).
-    assert calls["n"] == 6 + 4
-    assert np.isfinite(second["best_score"])
+    # Only trial 2 re-runs: its regenerated result is deterministic, so the
+    # history trials 3-5 were recorded against is unchanged and their rows
+    # validate.
+    assert calls["n"] == 6 + 1
+    assert second["best_score"] == first["best_score"]
+    assert second["best_parameters"] == first["best_parameters"]
+
+
+def test_hyperopt_stale_history_reruns_dependent_trials(monkeypatch, tmp_path):
+    """A record whose unit_row no longer matches the row the search would
+    propose (its generating history diverged) is stale and re-evaluated.
+    Tampering with a startup trial's SCORE leaves startup rows valid (they
+    are score-independent Sobol points) but invalidates the TPE trial that
+    conditioned on it."""
+    import json
+
+    import online_neural_cdes_tpu.training.hyperopt as ho
+    from online_neural_cdes_tpu.training.ledger import Ledger
+
+    calls = {"n": 0}
+
+    def fake_run_experiment(cfg, **kw):
+        calls["n"] += 1
+        return {"val.loss": (float(cfg["model"]["hidden_dim"]) - 150.0) ** 2}
+
+    monkeypatch.setattr(ho, "run_experiment", fake_run_experiment)
+    cfg = {
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [32, 256]},
+        ],
+        "evaluation_metric": "loss",
+        "total_trials": 6,  # n_startup = 5, so trial 5 is the TPE trial
+        "seed": 0,
+        "model": {}, "trainer": {},
+    }
+    path = tmp_path / "ledger.jsonl"
+    ledger = Ledger(str(path))
+    ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    assert calls["n"] == 6
+
+    # Corrupt trial 2's score: the TPE candidate at trial 5 was generated
+    # against the true score, so its recorded row no longer validates.
+    lines = [json.loads(l) for l in open(path)]
+    for e in lines:
+        if e["config"].get("trial") == 2:
+            e["results"]["score"] = 0.0
+    with open(path, "w") as fh:
+        for e in lines:
+            fh.write(json.dumps(e) + "\n")
+
+    ho.run_hyperopt(dict(cfg), ledger=ledger, run_name="hyperopt")
+    # Startup trials 0-4 replay (rows score-independent); trial 5 re-runs.
+    assert calls["n"] == 6 + 1

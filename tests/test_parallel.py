@@ -822,6 +822,26 @@ def test_pipeline_adjoint_honours_adjoint_method():
     assert max(diffs) > 1e-4, diffs    # the knob is live, not ignored
 
 
+def test_pipeline_rejects_unknown_adjoint_method():
+    """An invalid adjoint_method raises the same descriptive ValueError as
+    cdeint's fixed-grid adjoint_options check, not a raw KeyError
+    (ADVICE r3)."""
+    from online_neural_cdes_tpu.models.ncde import make_spline
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.parallel.sequence import (
+        make_sequence_mesh,
+        pipelined_cde_solve,
+    )
+
+    x, func, z0, params = _adjoint_pipe_setup(L=17)
+    spline = make_spline("linear", linear_interpolation_coeffs(x))
+    mesh = make_sequence_mesh(8)
+    with pytest.raises(ValueError, match="must be one of"):
+        pipelined_cde_solve(spline, func, z0, params, mesh=mesh,
+                            microbatches=4, adjoint=True,
+                            adjoint_method="dopri5")
+
+
 def test_mesh_sharded_predictor_matches_single_device():
     """Serving over a data mesh: a Predictor given a mesh shards each
     bucket batch over the data axis (params replicated, sharding
