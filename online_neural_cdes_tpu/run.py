@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--analyse", action="store_true",
                     help="print seed-averaged tables instead of running")
+    ap.add_argument("--tables-out", default=None, metavar="DIR",
+                    help="with --analyse: also write the full reference "
+                         "table set (sparsity/gating/medical-sota/"
+                         "interpolation .tex) under DIR")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -41,6 +45,13 @@ def main(argv=None):
         ledger = Ledger(args.ledger)
         print(metric_table(ledger, name))
         print(nfe_table(ledger, name))
+        if args.tables_out:
+            from online_neural_cdes_tpu.training.analyse import (
+                write_analysis_tables,
+            )
+
+            for path in write_analysis_tables(ledger, args.tables_out, name):
+                print(f"wrote {path}")
         return
 
     from online_neural_cdes_tpu.training.sweep import run

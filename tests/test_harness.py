@@ -263,6 +263,12 @@ def test_cli_main(toy_dataset, tmp_path, capsys):
     main(["toy", "--analyse", "--ledger", ledger])
     out = capsys.readouterr().out
     assert "ncde" in out
+    # --tables-out writes the reference .tex set from the same ledger.
+    tables_dir = str(tmp_path / "tables")
+    main(["toy", "--analyse", "--ledger", ledger, "--tables-out", tables_dir])
+    out = capsys.readouterr().out
+    assert "medical-sota.tex" in out
+    assert os.path.exists(os.path.join(tables_dir, "medical-sota.tex"))
 
 
 def test_cli_analyse_matches_test_mode_run_name(toy_dataset, tmp_path, capsys):
@@ -1065,3 +1071,107 @@ def test_train_rejects_none_final_lr_multiplier():
 
     with pytest.raises(ValueError, match="vmapped wave"):
         train(None, None, None, None, final_lr_multiplier=None)
+
+
+def _seed_ledger_rows(ledger, run_name, rows):
+    """Write synthetic completed runs shaped like harness.train results."""
+    for i, (cfg_extra, results) in enumerate(rows):
+        cfg = {"seed": cfg_extra.pop("seed", i % 2), **cfg_extra}
+        ledger.save_result(cfg, results, run_name=run_name)
+
+
+def test_sparsity_and_gating_tables(tmp_path):
+    """sparsity_tables reproduces the reference's four table kinds
+    (reference experiments/analyse.py:98-205) from synthetic ledger rows."""
+    from online_neural_cdes_tpu.training import analyse
+
+    ledger = analyse.Ledger(str(tmp_path / "ledger.jsonl"))
+    rows = []
+    # matmul-sparsity sweep: original + sparse at presented/unpresented
+    # levels. The (matmul, original, no-sparsity) gating-grid run doubles as
+    # the dense anchor, exactly as in the reference sweep.
+    for dataset in ("Mortality", "SpeechCommands"):
+        for seed in (0, 1):
+            for vf in ("sparse", "low-rank"):
+                for sp in (0.5, 0.9, 0.6):   # 0.6 is swept but not presented
+                    rows.append((
+                        {"seed": seed, "dataset_name": dataset,
+                         "dataset": {"evaluation_metric": "auc"},
+                         "model": {"model_string": "ncde", "vector_field": vf,
+                                   "vector_field_type": "matmul",
+                                   "sparsity": sp}},
+                        {"test.auc": 0.85, "num_params": int(1000 * (1 - sp))},
+                    ))
+            # gating grid: no sparsity, all contraction x gating combos.
+            for vft in ("matmul", "evaluate", "derivative"):
+                for gating in ("original", "minimal", "gru"):
+                    dense_anchor = vft == "matmul" and gating == "original"
+                    rows.append((
+                        {"seed": seed, "dataset_name": dataset,
+                         "dataset": {"evaluation_metric": "auc"},
+                         "model": {"model_string": "ncde",
+                                   "vector_field": gating,
+                                   "vector_field_type": vft}},
+                        {"test.auc": 0.90 + 0.01 * seed if dense_anchor
+                         else 0.88, "num_params": 1000},
+                    ))
+    _seed_ledger_rows(ledger, "sparsity", rows)
+
+    tables = analyse.sparsity_tables(ledger, "sparsity")
+    sp_irr = tables["sparsity_irregular"]
+    # Rows: original + 2 fields x 2 presented sparsities; 0.6 filtered out.
+    assert len(sp_irr) == 5
+    assert 0.6 not in sp_irr.index.get_level_values(1)
+    # Parameter fraction normalised by the dense original's count.
+    frac = sp_irr[("Mortality", "Parameter fraction")]
+    assert frac.iloc[0] == 1.0 and frac.min() < 0.2
+    # Mean +/- std over the two seeds for the original row.
+    assert "0.905" in sp_irr[("Mortality", "Test metric")].iloc[0]
+    # Dataset split respected.
+    assert all(c[0] == "Mortality" for c in sp_irr.columns)
+    assert all(c[0] == "SpeechCommands"
+               for c in tables["sparsity_regular"].columns)
+
+    gating = tables["gating_irregular"]
+    assert len(gating) == 9  # 3 contractions x 3 gatings
+    assert r"$f(z) \dby X$" in gating.index.get_level_values(0)
+    assert "GRU" in gating.index.get_level_values(1)
+
+
+def test_medical_sota_table_and_writer(tmp_path):
+    """medical_sota_table orders/renames rows like the reference
+    (analyse.py:208-250); write_analysis_tables emits the .tex set."""
+    from online_neural_cdes_tpu.training import analyse
+
+    ledger = analyse.Ledger(str(tmp_path / "ledger.jsonl"))
+    rows = []
+    for dataset in ("Mortality", "LOS"):
+        for model, interp in (
+            ("odernn", None), ("gru", None), ("gru-d", None),
+            ("ncde", "rectilinear"), ("ncde", "rectilinear-intensity"),
+        ):
+            cfg = {"dataset_name": dataset,
+                   "dataset": {"evaluation_metric": "auc",
+                               "interpolation": interp},
+                   "model": {"model_string": model}}
+            rows.append((cfg, {"test.auc": 0.8, "num_params": 10,
+                               "nfe_per_epoch": 1200.0}))
+    _seed_ledger_rows(ledger, "sota", rows)
+
+    table = analyse.medical_sota_table(ledger, "sota")
+    # Reference row order: GRU first, NCDE variants last (analyse.py:223-242).
+    assert list(table.index) == [
+        "GRU", "GRU-D", "ODE-RNN", "NCDE (rectilinear)",
+        "NCDE (rectilinear-intensity)",
+    ]
+    assert set(table.columns) == {"Mortality", "LOS"}
+    latex = analyse.medical_sota_table(ledger, "sota", latex=True)
+    assert "NCDE (rectilinear)" in latex
+
+    out = tmp_path / "results"
+    written = analyse.write_analysis_tables(ledger, str(out), "sota")
+    names = {str(p).replace(str(out) + "/", "") for p in written}
+    assert "medical-sota.tex" in names
+    assert "interpolation/metric_nfe_irregular.tex" in names
+    for p in written:
+        assert open(p).read().startswith("\\begin{tabular}")
