@@ -47,6 +47,7 @@ def test_odernn_forward(gru, return_sequences):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.smoke
 def test_odernn_dt_quirk_replication():
     """With non-uniform times the reference applies dts[-1] before the first
     observation (odernn.py:76-81); the quirk flag controls that."""

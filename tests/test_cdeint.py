@@ -92,6 +92,7 @@ def _loss_fn(adjoint, method, options=None):
     return loss, (z0_0, W0, coeffs0)
 
 
+@pytest.mark.smoke
 def test_adjoint_matches_direct_backprop_rk4():
     """Gradient agreement between adjoint and straight-through autodiff
     (reference gradient_tests.py:34-104 / test_tricks.py:21-49).  The

@@ -14,6 +14,7 @@ def _params():
     return model, model.init(jax.random.PRNGKey(0))
 
 
+@pytest.mark.smoke
 def test_npz_roundtrip(tmp_path):
     _, params = _params()
     path = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)

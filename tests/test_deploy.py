@@ -163,6 +163,7 @@ def test_cli_logsig_config_serves_raw_rows(tmp_path, corpus):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_cli_update_params_only_rolls_checkpoint(tmp_path, corpus):
     """A retrained checkpoint deploys with --update-params-only: the
     existing artifact (and its nested stepper artifact) gets the new

@@ -94,6 +94,12 @@ def _truth(f, y0, t_end):
     return sol.y[:, -1]
 
 
+@pytest.mark.smoke
+def test_detest_smoke_instance():
+    """Fast tier: one DETEST problem through the adaptive dopri5 path."""
+    test_detest_problem("A1", "dopri5")
+
+
 @pytest.mark.parametrize("name", sorted(PROBLEMS))
 @pytest.mark.parametrize("method", ["dopri5", "dopri8", "bosh3"])
 def test_detest_problem(name, method):

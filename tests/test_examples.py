@@ -10,7 +10,8 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
 @pytest.mark.parametrize("script", [
-    "quickstart.py", "streaming_inference.py", "long_context.py",
+    pytest.param("quickstart.py", marks=pytest.mark.smoke),
+    "streaming_inference.py", "long_context.py",
 ])
 def test_example_runs(script, capsys):
     import runpy

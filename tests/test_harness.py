@@ -128,6 +128,7 @@ def test_loader_roundtrip(toy_dataset):
     assert splits_i[0].temporal.shape[-1] == 3 + 2
 
 
+@pytest.mark.smoke
 def test_end_to_end_sweep_smoke(toy_dataset, tmp_path):
     """The full harness path: suite -> configs -> experiment -> ledger ->
     analysis (reference TEST_MODE smoke semantics)."""

@@ -31,6 +31,7 @@ def test_forward_fill():
     np.testing.assert_array_equal(np.asarray(out), expected)
 
 
+@pytest.mark.smoke
 def test_linear_fill_interior_and_ends():
     t = jnp.arange(5.0)
     x = jnp.array([np.nan, 1.0, np.nan, 5.0, np.nan])[:, None]

@@ -31,6 +31,7 @@ def _setup(seed=0):
     return field, params, z, dx
 
 
+@pytest.mark.smoke
 def test_fused_matches_unfused_field():
     field, params, z, dx = _setup()
     expected = jnp.einsum("bhi,bi->bh", field.apply(params, 0.0, z), dx)

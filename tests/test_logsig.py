@@ -2,6 +2,7 @@
 channel counting (reference test_log_ode.py's role, without the signatory
 dependency)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def _bch_two_segments(a, b):
     return l1, l2, l3
 
 
+@pytest.mark.smoke
 def test_two_segment_bch_oracle():
     rng = np.random.default_rng(0)
     C = 3

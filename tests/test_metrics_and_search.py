@@ -1,6 +1,7 @@
 """Metric-registry and hyperparameter-search unit tests (reference
 ingredients/metrics.py:61-141 metric set; hyperoptimize.py search budget)."""
 
+import pytest
 import numpy as np
 
 from online_neural_cdes_tpu.training.hyperopt import (
@@ -16,6 +17,7 @@ def test_metric_registry_names():
         assert name in METRICS, name
 
 
+@pytest.mark.smoke
 def test_precision_f1_binary_with_nan_mask():
     from sklearn.metrics import f1_score, precision_score
 

@@ -28,6 +28,7 @@ def test_exclude_times_drop_and_reduce():
     assert t[1].shape == (1, 2)  # the 80h row is cut
 
 
+@pytest.mark.smoke
 def test_sepsis_windowing():
     times = np.arange(0.0, 30.0)
     ls = np.zeros(30)

@@ -48,6 +48,7 @@ def _base_config(model_string, interpolation, dataset="Sepsis", **model_kw):
     }
 
 
+@pytest.mark.smoke
 def test_online_ncde_on_sepsis(mimic_root):
     results = run_experiment(_base_config("ncde", "rectilinear"), data_root=mimic_root)
     assert results["epochs_run"] == 2

@@ -47,6 +47,7 @@ def test_linear_fill_matches():
         np.testing.assert_allclose(g, expected, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_rectilinear_matches():
     series = _ragged(2)
     got = native.rectilinear_ragged(series, time_index=0)

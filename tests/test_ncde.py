@@ -83,6 +83,7 @@ def test_interpolation_schemes_forward(interpolation, eps):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.smoke
 def test_return_sequences_and_rectilinear_filtering():
     model = NeuralCDE(
         input_dim=C, hidden_dim=H, output_dim=2, interpolation="rectilinear",

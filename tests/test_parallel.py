@@ -36,6 +36,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.smoke
 def test_data_parallel_step_matches_single_device():
     model, params, coeffs, y = _setup()
     opt_state = init_adam_state(params)

@@ -9,6 +9,7 @@ import pytest
 from online_neural_cdes_tpu.data.prefetch import prefetch_to_device
 
 
+@pytest.mark.smoke
 def test_prefetch_preserves_order_and_values():
     batches = [(np.full((4, 3), i, np.float32), np.full((4,), i, np.float32))
                for i in range(7)]

@@ -30,6 +30,7 @@ def test_mel_filterbank_covers_spectrum():
     assert (fb[5:-5].sum(axis=1) > 0).all()
 
 
+@pytest.mark.smoke
 def test_mfcc_shapes_and_tone_sensitivity():
     sr, T = 16000, 16000
     t = np.arange(T) / sr

@@ -45,6 +45,7 @@ def test_sequence_outputs_truncated_to_request_length():
         assert np.isfinite(o).all()
 
 
+@pytest.mark.smoke
 def test_oneshot_outputs_and_batch_padding():
     pred = _predictor(return_sequences=False)
     outs = pred.predict(_requests(5))  # pads batch 5 -> bucket 16

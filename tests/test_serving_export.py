@@ -42,6 +42,7 @@ def _requests(n, seed=0):
     return out
 
 
+@pytest.mark.smoke
 def test_roundtrip_matches_live_predictor(tmp_path):
     """The loaded artifact serves the exact computation the live predictor
     dispatches — same outputs for ragged, batch-padded, chunked requests,

@@ -48,6 +48,7 @@ def test_adams_accuracy(method):
     assert err_i < err_e
 
 
+@pytest.mark.smoke
 def test_adams_coefficient_tables_match_published():
     """The Lagrange-integration generator reproduces the classic published
     Adams constants (reference fixed_adams.py:10-143 tables)."""

@@ -32,6 +32,7 @@ def test_fixed_grid_constant_ode_exact(method):
     np.testing.assert_allclose(np.asarray(ys), expected, rtol=1e-12)
 
 
+@pytest.mark.smoke
 def test_rk4_accuracy_cos():
     y0 = jnp.array([0.0])
     t = jnp.linspace(0.0, 3.0, 31)

@@ -7,6 +7,7 @@ weights copied from the JAX model.  Outputs must agree to float32
 round-off — the strongest cross-framework evidence that the TPU solve
 computes the reference algorithm."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def _torch_forward(params, coeffs_np, hidden_dim, input_dim):
     return out[:, ::2].numpy()           # rectilinear ::2 filtering
 
 
+@pytest.mark.smoke
 def test_ncde_matches_torch_replica():
     model = NeuralCDE(
         input_dim=C, hidden_dim=H, output_dim=2, hidden_hidden_dim=HH,
