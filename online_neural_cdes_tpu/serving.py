@@ -25,6 +25,20 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _shard_streams(x, mesh):
+    """Place a per-stream array with its leading (stream-batch) axis split
+    over the mesh's data axis, failing with the fix if it doesn't divide."""
+    from online_neural_cdes_tpu.parallel.mesh import shard_batch
+
+    n_mesh = int(np.prod(mesh.devices.shape))
+    if x.shape[0] % n_mesh:
+        raise ValueError(
+            f"stream batch {x.shape[0]} does not divide the {n_mesh}-device "
+            "mesh; pad the stream population to a multiple of the mesh size"
+        )
+    return shard_batch(x, mesh)
+
+
 class Predictor:
     """Jitted bucketed-forward server for a model bundle.
 
@@ -326,7 +340,8 @@ class OnlineNCDEStepper:
         state, y = stepper.step(state, x_new)   # per new (B, C) row
     """
 
-    def __init__(self, model, params, static: Optional[jax.Array] = None):
+    def __init__(self, model, params, static: Optional[jax.Array] = None,
+                 mesh=None):
         from online_neural_cdes_tpu.ops import solvers as _solvers
         from online_neural_cdes_tpu.utils.params import linear_apply
 
@@ -346,6 +361,18 @@ class OnlineNCDEStepper:
         if model.static_dim is not None and static is None:
             raise ValueError("model has static_dim: pass static features.")
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # Mesh-sharded streaming: params/static replicate once, the
+            # per-stream state shards over the data axis at init, and XLA
+            # propagates that sharding through every jitted tick — the
+            # same pattern as Predictor(mesh=...), so one stepper scales a
+            # stream population over a slice.
+            from online_neural_cdes_tpu.parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+            if static is not None:
+                static = _shard_streams(jnp.asarray(static), mesh)
         self.params = params
         self.static = static
         # Step/init are pure functions of (params, ...) — params ride as a
@@ -428,14 +455,20 @@ class OnlineNCDEStepper:
 
     def init(self, x0: jax.Array):
         """State from the first (B, C) observations (NaN -> 0)."""
-        z, x0 = self._init_fn(self.params, jnp.asarray(x0), self.static)
+        x0 = jnp.asarray(x0)
+        if self.mesh is not None:
+            x0 = _shard_streams(x0, self.mesh)
+        z, x0 = self._init_fn(self.params, x0, self.static)
         return {"z": z, "last_obs": x0}
 
     def step(self, state: dict, x_new: jax.Array):
         """Advance by one observation; returns (new_state, outputs) where
         outputs match the offline model's per-observation rows."""
+        x_new = jnp.asarray(x_new)
+        if self.mesh is not None:
+            x_new = _shard_streams(x_new, self.mesh)
         z, filled, y = self._step_fn(
-            self.params, state["z"], state["last_obs"], jnp.asarray(x_new)
+            self.params, state["z"], state["last_obs"], x_new
         )
         return {"z": z, "last_obs": filled}, y
 

@@ -457,8 +457,21 @@ class _LoadedStepper:
     ``readout(z)`` API as the live ``OnlineNCDEStepper``, dispatching each
     call to the deserialized module for its stream-batch size."""
 
-    def __init__(self, manifest, flat, modules, static):
+    def __init__(self, manifest, flat, modules, static, mesh=None):
         self._manifest = manifest
+        self.mesh = mesh
+        if mesh is not None:
+            # Mirror OnlineNCDEStepper(mesh=...): replicate the loaded
+            # params, shard per-stream arrays over the data axis — XLA
+            # propagates the sharding through the deserialized StableHLO.
+            from online_neural_cdes_tpu.parallel.mesh import replicate
+            from online_neural_cdes_tpu.serving import _shard_streams
+
+            flat = replicate(flat, mesh)
+            if static is not None:
+                static = _shard_streams(
+                    jnp.asarray(static, jnp.float32), mesh
+                )
         self._flat = flat
         self._modules = modules
         self._jitted = {}  # per-module jit wrapper: steps must not re-trace
@@ -478,6 +491,10 @@ class _LoadedStepper:
 
     def init(self, x0):
         x0 = jnp.asarray(x0, jnp.float32)
+        if self.mesh is not None:
+            from online_neural_cdes_tpu.serving import _shard_streams
+
+            x0 = _shard_streams(x0, self.mesh)
         b = x0.shape[0]
         if self._manifest["static_dim"] is not None:
             if self.static is None:
@@ -494,9 +511,13 @@ class _LoadedStepper:
 
     def step(self, state, x_new):
         b = state["z"].shape[0]
+        x_new = jnp.asarray(x_new, jnp.float32)
+        if self.mesh is not None:
+            from online_neural_cdes_tpu.serving import _shard_streams
+
+            x_new = _shard_streams(x_new, self.mesh)
         z, filled, y = self._mod("step", b)(
-            self._flat, state["z"], state["last_obs"],
-            jnp.asarray(x_new, jnp.float32),
+            self._flat, state["z"], state["last_obs"], x_new,
         )
         return {"z": z, "last_obs": filled}, y
 
@@ -504,12 +525,20 @@ class _LoadedStepper:
         return self._mod("readout", z.shape[0])(self._flat, z)
 
 
-def load_stepper(path: str, static=None) -> _LoadedStepper:
+def load_stepper(path: str, static=None, mesh=None) -> _LoadedStepper:
     """Rebuild a streaming stepper from an artifact written by
     :func:`export_stepper` — no model code required.  ``static`` binds the
     per-stream static features (required iff the artifact was exported
-    from a static-featured stepper), mirroring the live constructor."""
+    from a static-featured stepper), mirroring the live constructor.
+
+    ``mesh``: optional data-parallel ``jax.sharding.Mesh`` — the loaded
+    params replicate and the per-stream state dict shards over the data
+    axis at ``init``, exactly like ``OnlineNCDEStepper(mesh=...)``.  The
+    artifact is single-device StableHLO; XLA re-propagates the stream
+    sharding through it at compile time, so one exported stepper artifact
+    serves a stream population across a slice.  Every exported
+    stream-batch size used must divide the mesh size."""
     manifest, flat, modules = _read_artifact(path, "stepper")
     if static is not None and manifest["static_dim"] is None:
         raise ValueError("artifact has no static head; do not pass static")
-    return _LoadedStepper(manifest, flat, modules, static)
+    return _LoadedStepper(manifest, flat, modules, static, mesh=mesh)
