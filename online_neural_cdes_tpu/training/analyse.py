@@ -65,22 +65,57 @@ def runs_frame(ledger: Ledger, run_name: Optional[str] = None) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _mean_std(series: pd.Series) -> str:
+# Per-dataset display precision for the eval metric (reference
+# analyse.py:62-70): the Beijing RMSE targets print at 1 decimal, all
+# classification AUCs at 3.
+ROUNDING = {"BeijingPM10": 1, "BeijingPM2pt5": 1}
+_DEFAULT_DIGITS = 3
+
+
+def _mean_std(series: pd.Series, digits: int = _DEFAULT_DIGITS) -> str:
     vals = series.dropna().astype(float)
     if len(vals) == 0:
         return "-"
-    return f"{vals.mean():.3f} +/- {vals.std(ddof=0):.3f}"
+    return (f"{vals.mean():.{digits}f} +/- {vals.std(ddof=0):.{digits}f}")
 
 
 def seed_averaged(frame: pd.DataFrame, value: str = "test_metric",
                   index=("model",), columns=("dataset_name",)) -> pd.DataFrame:
-    """Seed-averaged mean+-std pivot (reference analyse.py:98-205)."""
+    """Seed-averaged mean+-std pivot (reference analyse.py:98-205).
+
+    The eval metric formats with the reference's per-dataset precision
+    (ROUNDING, analyse.py:364-373) when the dataset appears in the pivot's
+    rows or columns; other values use 3 decimals."""
     if frame.empty or value not in frame.columns:
         return pd.DataFrame()
-    return pd.pivot_table(
-        frame, values=value, index=list(index), columns=list(columns),
-        aggfunc=_mean_std,
+    idx_names, col_names = list(index), list(columns)
+
+    def _digits(i, j):
+        if value != "test_metric":
+            return _DEFAULT_DIGITS
+        if "dataset_name" in col_names:
+            lvl = col_names.index("dataset_name")
+            ds = j[lvl] if isinstance(j, tuple) else j
+        elif "dataset_name" in idx_names:
+            lvl = idx_names.index("dataset_name")
+            ds = i[lvl] if isinstance(i, tuple) else i
+        else:
+            return _DEFAULT_DIGITS
+        return ROUNDING.get(ds, _DEFAULT_DIGITS)
+
+    raw = pd.pivot_table(
+        frame, values=value, index=idx_names, columns=col_names,
+        aggfunc=list,
     )
+    table = raw.copy().astype(object)
+    for i in table.index:
+        for j in table.columns:
+            cell = raw.loc[i, j]
+            table.loc[i, j] = (
+                _mean_std(pd.Series(cell), _digits(i, j))
+                if isinstance(cell, list) else "-"
+            )
+    return table
 
 
 def metric_table(ledger: Ledger, run_name: Optional[str] = None,
@@ -159,10 +194,9 @@ def sparsity_tables(ledger: Ledger, run_name: Optional[str] = None) -> dict:
         # NaN sparsity (the dense original row) would break MultiIndex
         # alignment in the concat below — pin it to a printable sentinel.
         mm = mm.assign(sparsity=mm["sparsity"].fillna(-1.0))
-        metric = pd.pivot_table(
-            mm, values="test_metric",
-            index=["vector_field", "sparsity"],
-            columns="dataset_name", aggfunc=_mean_std,
+        metric = seed_averaged(
+            mm, "test_metric", index=("vector_field", "sparsity"),
+            columns=("dataset_name",),
         )
         params = pd.pivot_table(
             mm, values="num_params",
@@ -197,10 +231,9 @@ def sparsity_tables(ledger: Ledger, run_name: Optional[str] = None) -> dict:
     # -- gating: the non-sparse runs, (vector_field_type, vector_field) rows.
     gate = frame[frame["sparsity"].isna()]
     if not gate.empty:
-        gating = pd.pivot_table(
-            gate, values="test_metric",
-            index=["vector_field_type", "vector_field"],
-            columns="dataset_name", aggfunc=_mean_std,
+        gating = seed_averaged(
+            gate, "test_metric", index=("vector_field_type", "vector_field"),
+            columns=("dataset_name",),
         ).sort_index(ascending=False)  # reference row order, analyse.py:179
         gating = gating.rename(index=_GATING_RENAMES)
         gating.index = gating.index.rename(
@@ -240,9 +273,9 @@ def medical_sota_table(ledger: Ledger, run_name: Optional[str] = None,
         axis=1,
     )
     frame = frame.assign(_sota_key=key)
-    table = pd.pivot_table(
-        frame, values="test_metric", index="_sota_key",
-        columns="dataset_name", aggfunc=_mean_std,
+    table = seed_averaged(
+        frame, "test_metric", index=("_sota_key",),
+        columns=("dataset_name",),
     )
     # Reference asserts set equality then reorders (analyse.py:243-246); a
     # local ledger may hold a subset, so order what exists and append any

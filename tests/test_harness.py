@@ -1176,3 +1176,26 @@ def test_medical_sota_table_and_writer(tmp_path):
     assert "interpolation/metric_nfe_irregular.tex" in names
     for p in written:
         assert open(p).read().startswith("\\begin{tabular}")
+
+
+def test_seed_averaged_per_dataset_rounding():
+    """The eval metric formats with the reference's per-dataset precision
+    (ROUNDING, reference analyse.py:62-70,364-373): Beijing RMSE at 1
+    decimal, classification metrics at 3."""
+    import pandas as pd
+
+    from online_neural_cdes_tpu.training import analyse
+
+    frame = pd.DataFrame([
+        {"dataset_name": "BeijingPM10", "model": "ncde", "seed": 0,
+         "test_metric": 62.337},
+        {"dataset_name": "BeijingPM10", "model": "ncde", "seed": 1,
+         "test_metric": 63.021},
+        {"dataset_name": "Mortality", "model": "ncde", "seed": 0,
+         "test_metric": 0.8123},
+        {"dataset_name": "Mortality", "model": "ncde", "seed": 1,
+         "test_metric": 0.8251},
+    ])
+    t = analyse.seed_averaged(frame)
+    assert t.loc["ncde", "BeijingPM10"] == "62.7 +/- 0.3"
+    assert t.loc["ncde", "Mortality"] == "0.819 +/- 0.006"
