@@ -19,8 +19,9 @@ from online_neural_cdes_tpu.training.ledger import Ledger
 
 __all__ = [
     "runs_frame", "seed_averaged", "metric_table", "nfe_table",
-    "sparsity_tables", "medical_sota_table", "write_analysis_tables",
-    "IRREGULAR_DATASETS", "REGULAR_DATASETS",
+    "sparsity_tables", "medical_sota_table", "interpolation_eps_table",
+    "write_analysis_tables", "IRREGULAR_DATASETS", "REGULAR_DATASETS",
+    "ROUNDING",
 ]
 
 # Dataset categories (reference analyse.py:53-61): the paper's tables split
@@ -51,6 +52,7 @@ def runs_frame(ledger: Ledger, run_name: Optional[str] = None) -> pd.DataFrame:
             # Absent => the default matmul contraction (models/ncde.py).
             "vector_field_type": model_cfg.get("vector_field_type", "matmul"),
             "sparsity": model_cfg.get("sparsity"),
+            "interpolation_eps": model_cfg.get("interpolation_eps"),
             "seed": cfg.get("seed"),
             "eval_metric": cfg.get("dataset", {}).get("evaluation_metric"),
         }
@@ -257,6 +259,22 @@ _SOTA_ORDER = (
 )
 
 
+def interpolation_eps_table(ledger: Ledger, run_name: Optional[str] = None,
+                            latex: bool = False):
+    """Matching-region sensitivity pivot (reference analyse.py:301-307
+    ``eps_frame``): test metric by (interpolation scheme, interpolation_eps)
+    per dataset, over the runs that set a smoothing matching region."""
+    frame = runs_frame(ledger, run_name)
+    if frame.empty or frame["interpolation_eps"].isna().all():
+        return pd.DataFrame()
+    sub = frame[frame["interpolation_eps"].notna()]
+    table = seed_averaged(
+        sub, "test_metric", index=("interpolation", "interpolation_eps"),
+        columns=("dataset_name",),
+    )
+    return table.to_latex(escape=False) if latex else table
+
+
 def medical_sota_table(ledger: Ledger, run_name: Optional[str] = None,
                        latex: bool = False):
     """Medical-SOTA model ranking (reference analyse.py:208-250): one row
@@ -308,6 +326,11 @@ def write_analysis_tables(ledger: Ledger, out_dir: str,
     for name, table in sparsity_tables(ledger, run_name).items():
         _save(table, "sparsity", f"{name}.tex")
     _save(medical_sota_table(ledger, run_name), "medical-sota.tex")
+    eps = interpolation_eps_table(ledger, run_name)
+    if not eps.empty:
+        irr_eps, reg_eps = _split_datasets(eps)
+        _save(reg_eps, "interpolation", "eps_frame_regular.tex")
+        _save(irr_eps, "interpolation", "eps_frame_irregular.tex")
     frame = runs_frame(ledger, run_name)
     metric_nfe = seed_averaged(frame, "test_metric",
                                index=("dataset_name", "interpolation"),

@@ -1159,6 +1159,24 @@ def test_medical_sota_table_and_writer(tmp_path):
                                "nfe_per_epoch": 1200.0}))
     _seed_ledger_rows(ledger, "sota", rows)
 
+    # Matching-region sensitivity runs (reference eps_frame) live in their
+    # own suite, like the reference's interpolation-v2 collection.
+    eps_rows = []
+    for dataset in ("Mortality", "LOS"):
+        for eps in (0.1, 1.0):
+            cfg = {"dataset_name": dataset,
+                   "dataset": {"evaluation_metric": "auc",
+                               "interpolation": "linear_cubic_smoothing"},
+                   "model": {"model_string": "ncde",
+                             "interpolation_eps": eps}}
+            eps_rows.append((cfg, {"test.auc": 0.82, "num_params": 10,
+                                   "nfe_per_epoch": 900.0}))
+    _seed_ledger_rows(ledger, "interp", eps_rows)
+
+    eps_table = analyse.interpolation_eps_table(ledger, "interp")
+    assert eps_table.shape == (2, 2)  # 2 eps values x 2 datasets
+    assert set(eps_table.index.get_level_values(1)) == {0.1, 1.0}
+
     table = analyse.medical_sota_table(ledger, "sota")
     # Reference row order: GRU first, NCDE variants last (analyse.py:223-242).
     assert list(table.index) == [
@@ -1174,6 +1192,11 @@ def test_medical_sota_table_and_writer(tmp_path):
     names = {str(p).replace(str(out) + "/", "") for p in written}
     assert "medical-sota.tex" in names
     assert "interpolation/metric_nfe_irregular.tex" in names
+    written_eps = analyse.write_analysis_tables(
+        ledger, str(tmp_path / "results_interp"), "interp"
+    )
+    eps_names = {os.path.basename(p) for p in written_eps}
+    assert "eps_frame_irregular.tex" in eps_names
     for p in written:
         assert open(p).read().startswith("\\begin{tabular}")
 
