@@ -257,6 +257,11 @@ def main(argv=None) -> str:
                          "<out>/stepper (plain rectilinear NCDE configs)")
     ap.add_argument("--stream-batch-sizes", default="64",
                     help="comma-separated stream-batch sizes for --stepper")
+    ap.add_argument("--params-dtype", default=None,
+                    help="store parameters in this floating dtype (e.g. "
+                         "bfloat16 — halves the weight payload and serve-"
+                         "time weight HBM traffic; outputs match f32 to "
+                         "reduced-precision tolerance)")
     ap.add_argument("--update-params-only", action="store_true",
                     help="roll the checkpoint into the EXISTING artifact "
                          "at --out (atomic params.npz rewrite; architecture "
@@ -297,6 +302,7 @@ def main(argv=None) -> str:
         max_length=args.max_length or info["max_length"],
         static_dim=info["static_dim"],
         platforms=tuple(args.platforms.split(",")),
+        params_dtype=args.params_dtype,
     )
     summary = {
         "artifact": args.out,
@@ -318,6 +324,7 @@ def main(argv=None) -> str:
             ),
             channels=sinfo["channels"],
             platforms=tuple(args.platforms.split(",")),
+            params_dtype=args.params_dtype,
         )
         summary["stepper_artifact"] = stepper_out
     print(json.dumps(summary))

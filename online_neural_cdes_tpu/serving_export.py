@@ -85,15 +85,16 @@ def _flat_spec(leaves):
 
 
 def _write_params(path, leaves):
-    """Atomically (re)write params.npz.  Extension float dtypes (bfloat16)
-    are upcast losslessly to f32 for npz (which stores them as unrestorable
-    void records otherwise — same policy as utils/checkpoint.py); the
-    loader casts back per the manifest's leaf_dtypes."""
+    """Atomically (re)write params.npz.  Extension float dtypes (bfloat16,
+    float8) store as their raw bit patterns via a same-width unsigned-int
+    view — lossless AND the size win params_dtype='bfloat16' promises
+    (npz would otherwise store them as unrestorable void records); the
+    loader views back per the manifest's leaf_dtypes."""
     out = {}
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
         if arr.dtype.kind not in "biufc":
-            arr = np.asarray(jnp.asarray(leaf, jnp.float32))
+            arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
         out[f"p{i:04d}"] = arr
     target = os.path.join(path, _PARAMS)
     tmp = target + ".tmp.npz"  # must end in .npz or np.savez appends it
@@ -124,6 +125,27 @@ def _write_artifact(path, leaves, named_modules, manifest):
         json.dump(manifest, f, indent=1)
 
 
+def _cast_float_leaves(leaves, params_dtype):
+    """Cast floating leaves to ``params_dtype`` (int/bool leaves pass
+    through).  The serving-storage lever: bfloat16 params halve the
+    artifact's params.npz and the weight HBM traffic every serve step —
+    compute still runs in the modules' promoted precision (a bf16 weight
+    x f32 activation matmul accumulates in f32 on the MXU)."""
+    if params_dtype is None:
+        return leaves
+    dt = jnp.dtype(params_dtype)
+    if not jnp.issubdtype(dt, jnp.floating):
+        raise ValueError(
+            f"params_dtype must be a floating dtype, got {params_dtype!r}"
+        )
+    return [
+        jnp.asarray(l, dt)
+        if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+        else jnp.asarray(l)
+        for l in leaves
+    ]
+
+
 def update_params(path: str, params) -> int:
     """Roll a new checkpoint into an existing artifact without re-export:
     params are an *argument* of every exported module, so updating the
@@ -148,14 +170,26 @@ def update_params(path: str, params) -> int:
             "fields; a different architecture needs a re-export.\n"
             f"  artifact: {manifest['treedef']}\n  new:      {treedef}"
         )
+    cast = []
     for i, (leaf, dt) in enumerate(zip(leaves, manifest["leaf_dtypes"])):
-        arr = np.asarray(leaf)
+        arr = jnp.asarray(leaf)
         if str(arr.dtype) != dt:
-            raise ValueError(
-                f"leaf #{i}: new dtype {arr.dtype} != exported {dt} — a "
-                "different architecture needs a re-export, not a params "
-                "update"
-            )
+            want = jnp.dtype(dt)
+            if jnp.issubdtype(arr.dtype, jnp.floating) and jnp.issubdtype(
+                want, jnp.floating
+            ):
+                # Float checkpoints roll into a reduced-precision artifact
+                # (e.g. f32 training weights -> a bfloat16 params_dtype
+                # export): the modules' input spec pins the dtype.
+                arr = arr.astype(want)
+            else:
+                raise ValueError(
+                    f"leaf #{i}: new dtype {arr.dtype} != exported {dt} — "
+                    "a different architecture needs a re-export, not a "
+                    "params update"
+                )
+        cast.append(arr)
+    leaves = cast
     with np.load(os.path.join(path, _PARAMS)) as old:
         for i, leaf in enumerate(leaves):
             if np.shape(leaf) != old[f"p{i:04d}"].shape:
@@ -175,12 +209,18 @@ def _read_artifact(path: str, expected_artifact: str):
 
     manifest = _read_manifest(path, expected_artifact)
     npz = np.load(os.path.join(path, _PARAMS))
-    # Cast back to the exported dtypes (extension floats were upcast to
-    # f32 for npz storage — the modules' input specs need the originals).
-    flat = [
-        jnp.asarray(npz[f"p{i:04d}"], dtype=dt)
-        for i, dt in enumerate(manifest["leaf_dtypes"])
-    ]
+    # Restore the exported dtypes: extension floats were written as raw
+    # same-width unsigned-int bit patterns (view back, lossless); earlier
+    # artifacts stored them f32-upcast (value-cast covers those).
+    flat = []
+    for i, dt in enumerate(manifest["leaf_dtypes"]):
+        raw = npz[f"p{i:04d}"]
+        want = np.dtype(dt)  # ml_dtypes registers bfloat16/float8 names
+        if (raw.dtype != want and raw.dtype.kind == "u"
+                and want.kind not in "biufc"
+                and raw.dtype.itemsize == want.itemsize):
+            raw = raw.view(want)
+        flat.append(jnp.asarray(raw, dtype=want))
     modules = {}
     mod_dir = os.path.join(path, _MODULES)
     for fname in os.listdir(mod_dir):
@@ -200,8 +240,16 @@ def export_predictor(
     max_length: int,
     static_dim: Optional[int] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    params_dtype: Optional[str] = None,
 ) -> int:
     """Serialize ``predictor``'s full bucket grid to ``path``.
+
+    ``params_dtype``: optional floating dtype (e.g. ``"bfloat16"``) to
+    store the parameters in — halves the artifact's weight payload and
+    the per-request weight HBM traffic at serve time; outputs then match
+    the f32 predictor to reduced-precision tolerance rather than
+    bit-exactly.  Updates via :func:`update_params` cast float
+    checkpoints to the artifact's dtype automatically.
 
     Each exported module computes ``model.apply(params, coeff_fn(series))``
     (with the static-feature tuple wrapped in when ``static_dim`` is given)
@@ -232,6 +280,7 @@ def export_predictor(
         )
 
     leaves, treedef = _flatten_params(predictor.params)
+    leaves = _cast_float_leaves(leaves, params_dtype)
     model, coeff_fn = predictor.model, predictor.coeff_fn
 
     if static_dim is None:
@@ -376,6 +425,7 @@ def export_stepper(
     batch_sizes: Sequence[int],
     channels: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    params_dtype: Optional[str] = None,
 ) -> int:
     """Serialize an :class:`~online_neural_cdes_tpu.serving.OnlineNCDEStepper`
     — the streaming (one-observation-at-a-time) serving surface — for each
@@ -388,6 +438,7 @@ def export_stepper(
     from jax import export as jax_export
 
     leaves, treedef = _flatten_params(stepper.params)
+    leaves = _cast_float_leaves(leaves, params_dtype)
     flat_spec = _flat_spec(leaves)
     static = stepper.static
     static_dim = None if static is None else int(static.shape[-1])

@@ -477,3 +477,36 @@ def test_recurrent_config_with_interpolation_rejected(tmp_path, corpus):
     ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
     with pytest.raises(ValueError, match="interpolation: null"):
         build_predictor_from_config(config, ckpt, data_root=corpus)
+
+
+def test_cli_params_dtype_bf16_export(tmp_path, corpus):
+    """--params-dtype bfloat16 exports a reduced-precision artifact that
+    serves within bf16 tolerance of the f32 one."""
+    config = _config("linear")
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(3))
+    ckpt = save_checkpoint(str(tmp_path / "best_params"), params,
+                           use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    out32, out16 = str(tmp_path / "a32"), str(tmp_path / "a16")
+    base = ["--config", str(cfg_path), "--checkpoint", ckpt,
+            "--data-root", corpus, "--batch-buckets", "4",
+            "--length-multiple", "8", "--platforms", "cpu"]
+    main(base + ["--out", out32])
+    main(base + ["--out", out16, "--params-dtype", "bfloat16"])
+
+    manifest = json.load(open(os.path.join(out16, "manifest.json")))
+    assert all(d == "bfloat16" for d in manifest["leaf_dtypes"]
+               if "float" in d), manifest["leaf_dtypes"]
+
+    npz = np.load(
+        os.path.join(corpus, "Toy/CLI/improved-neural-cdes_data.npz"),
+        allow_pickle=True,
+    )
+    raw = npz["temporal_data_raw"][npz["test_idxs"][:3]]
+    a = load_predictor(out32).predict([r for r in raw])
+    b = load_predictor(out16).predict([r for r in raw])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=0.05, atol=0.05)

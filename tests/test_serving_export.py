@@ -482,3 +482,55 @@ def test_mesh_sharded_stepper_rejects_indivisible_batch(tmp_path):
                                 mesh=make_mesh(4))
     with pytest.raises(ValueError, match="does not divide"):
         sharded.init(_stream(3, 4)[:, 0])
+
+
+def test_bf16_params_export_roundtrip(tmp_path):
+    """params_dtype='bfloat16' halves the weight payload; the loaded
+    predictor matches the f32 one to reduced-precision tolerance, and an
+    f32 checkpoint rolls into the bf16 artifact via update_params."""
+    from online_neural_cdes_tpu.serving_export import (
+        export_predictor, load_predictor, update_params,
+    )
+
+    pred = _predictor()
+    f32_dir, bf16_dir = str(tmp_path / "f32"), str(tmp_path / "bf16")
+    export_predictor(pred, f32_dir, channels=3, max_length=16,
+                     platforms=("cpu",))
+    export_predictor(pred, bf16_dir, channels=3, max_length=16,
+                     platforms=("cpu",), params_dtype="bfloat16")
+
+    def _payload(d):
+        with np.load(os.path.join(d, "params.npz")) as z:
+            return sum(z[k].nbytes for k in z.files)
+
+    # Stored weight payload halves (bit-pattern uint16 storage, no f32
+    # upcast); the file itself also shrinks.
+    assert _payload(bf16_dir) == _payload(f32_dir) // 2
+    assert os.path.getsize(os.path.join(bf16_dir, "params.npz")) < \
+        os.path.getsize(os.path.join(f32_dir, "params.npz"))
+
+    reqs = _requests(3, seed=9)
+    outs_f32 = load_predictor(f32_dir).predict(reqs)
+    outs_bf16 = load_predictor(bf16_dir).predict(reqs)
+    for a, b in zip(outs_bf16, outs_f32):
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+        assert not np.array_equal(a, b)  # really reduced precision
+
+    # Roll the (f32) training checkpoint into the bf16 artifact: floats
+    # cast to the manifest dtype; outputs unchanged after the no-op roll.
+    n = update_params(bf16_dir, pred.params)
+    assert n > 0
+    outs_rolled = load_predictor(bf16_dir).predict(reqs)
+    for a, b in zip(outs_rolled, outs_bf16):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_params_export_rejects_non_float_dtype(tmp_path):
+    import pytest
+
+    from online_neural_cdes_tpu.serving_export import export_predictor
+
+    with pytest.raises(ValueError, match="floating"):
+        export_predictor(_predictor(), str(tmp_path), channels=3,
+                         max_length=8, platforms=("cpu",),
+                         params_dtype="int8")
