@@ -825,6 +825,28 @@ def bench_serving():
     )
     aot_status = "ok (bit-exact)" if aot_dev == 0.0 else f"max|dev|={aot_dev:.2e}"
 
+    # bf16-weight artifact: half the weight HBM traffic per request.
+    # Same computation graph, weights stored/streamed bfloat16 — measures
+    # whether serving is weight-bandwidth-bound at this shape (r4).
+    with tempfile.TemporaryDirectory() as art16:
+        export_predictor(
+            aot_pred, art16, channels=C, max_length=L,
+            platforms=(jax.default_backend(),), params_dtype="bfloat16",
+        )
+        loaded16 = load_predictor(art16)
+        outs16 = loaded16.predict(series)  # warm + correctness sample
+        t0 = time.perf_counter()
+        for _ in range(m):
+            loaded16.predict(series)
+        bf16_ms = (time.perf_counter() - t0) / m * 1000.0
+    # Scale-relative: max deviation over the live outputs' scale (the
+    # untrained CDE integrates 199 knots, so absolute outputs are O(10)).
+    out_scale = max(float(np.max(np.abs(b))) for b in outs_live[0])
+    bf16_dev = max(
+        float(np.max(np.abs(a - b)))
+        for a, b in zip(outs16, outs_live[0])
+    ) / max(out_scale, 1e-12)
+
     return {
         "config": "Serving latency (streaming stepper + bucketed predictor; no reference counterpart)",
         "shape": f"B={B} L={L} C={C} H={H}",
@@ -854,6 +876,14 @@ def bench_serving():
             "serving_export round-trip on this hardware: the bucket grid "
             "staged to StableHLO, reloaded model-code-free, outputs vs "
             "the live predictor"
+        ),
+        "bf16_artifact_batch_ms": round(bf16_ms, 2),
+        "bf16_artifact_rel_dev": float(f"{bf16_dev:.2e}"),
+        "bf16_artifact_note": (
+            "params_dtype='bfloat16' artifact, same raw accounting as "
+            "bucketed_batch_ms (its f32 twin): the delta is the weight-"
+            "HBM-traffic share of serve latency; rel_dev is max|bf16-f32| "
+            "over the f32 output scale"
         ),
     }
 
