@@ -137,7 +137,14 @@ def _piece_field(spline_cls, func, vector_field_type: str):
     else:
         raise ValueError(f"Unknown vector_field_type {vector_field_type!r}")
 
-    return pf
+    def pf_state_dtype(piece, t, frac, z, args):
+        # dz/dt carries the state's storage dtype: f32 grid times otherwise
+        # promote a reduced-precision state (bf16 storage) to f32 through
+        # the spline evaluation, breaking scan-carry dtypes and the
+        # adjoint's vjp cotangent types.  f32 states: no-op.
+        return pf(piece, t, frac, z, args).astype(z.dtype)
+
+    return pf_state_dtype
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +216,12 @@ def _interval_adjoint_bwd(step, pf, piece, t0, t1, z_end, a, args, args_bar,
         return (-f, vz, vp, va)
 
     def sub(aug, k):
-        return step(aug_f, -t1 + k * dt, dt, aug), None
+        out = step(aug_f, -t1 + k * dt, dt, aug)
+        # Keep the augmented carry at its storage dtypes (see
+        # _piece_field.pf_state_dtype): the f32 dt otherwise promotes a
+        # reduced-precision adjoint state mid-scan.
+        out = jax.tree.map(lambda o, r: o.astype(r.dtype), out, aug)
+        return out, None
 
     aug, _ = jax.lax.scan(sub, aug0, jnp.arange(substeps))
     z_new, a_new, piece_bar, args_bar_new = aug
@@ -283,11 +295,17 @@ def _one_interval(step, pf, piece, t0, t1, z, args, substeps):
     def f(tt, zz):
         return pf(piece, tt, tt - t0, zz, args)
 
+    def keep_dtype(out):
+        # Mixed-precision storage: grid times stay f32, so the RK update
+        # promotes a reduced-precision carry (bf16 storage experiment) —
+        # store the state back at its own dtype (f32 carries: no-op).
+        return jax.tree.map(lambda o, zz: o.astype(zz.dtype), out, z)
+
     if substeps == 1:
-        return step(f, t0, dt, z)
+        return keep_dtype(step(f, t0, dt, z))
 
     def sub(zz, k):
-        return step(f, t0 + k * dt, dt, zz), None
+        return keep_dtype(step(f, t0 + k * dt, dt, zz)), None
 
     z, _ = jax.lax.scan(sub, z, jnp.arange(substeps))
     return z

@@ -376,3 +376,45 @@ def test_fixed_adjoint_step_size_resolves_like_substeps():
     diffs = [float(jnp.max(jnp.abs(a - b)))
              for a, b in zip(jax.tree.leaves(g_step), jax.tree.leaves(g_one))]
     assert max(diffs) > 0, diffs
+
+
+def test_bf16_storage_adjoint_path():
+    """Reduced-precision storage (bf16 params + coefficients) flows through
+    the paired rectilinear forward AND the interval adjoint: scan carries
+    and vjp cotangents keep the storage dtype (the f32 grid times must not
+    promote them), gradients come back bf16 and finite, and the loss sits
+    within reduced-precision tolerance of f32."""
+    import optax
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+
+    B, L, C, H = 8, 12, 4, 8
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    coeffs32 = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, hidden_hidden_dim=H,
+        num_layers=2, interpolation="rectilinear", return_sequences=True,
+        adjoint=True, solver="rk4",
+    )
+
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        params = model.init(jax.random.PRNGKey(0), dtype=dtype)
+        inputs = jax.tree.map(lambda c: c.astype(dtype), coeffs32)
+
+        def loss_fn(p):
+            logits = model.apply(p, inputs)[..., 0]
+            per = optax.sigmoid_binary_cross_entropy(
+                logits.astype(jnp.float32), labels)
+            return per.mean()
+
+        v, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+        leaves = jax.tree.leaves(g)
+        assert {str(l.dtype) for l in leaves} == {dtype.__name__}
+        assert all(bool(jnp.isfinite(l.astype(jnp.float32)).all())
+                   for l in leaves)
+        losses[dtype.__name__] = float(v)
+    assert abs(losses["float32"] - losses["bfloat16"]) < 0.06, losses
