@@ -534,3 +534,36 @@ def test_bf16_params_export_rejects_non_float_dtype(tmp_path):
         export_predictor(_predictor(), str(tmp_path), channels=3,
                          max_length=8, platforms=("cpu",),
                          params_dtype="int8")
+
+
+def test_mesh_sharded_static_stepper_matches_single_device(tmp_path):
+    """Static features shard with the stream population: the MIMIC-shaped
+    (static-featured) stepper over a mesh ticks identically to
+    single-device, live and from the artifact."""
+    from online_neural_cdes_tpu.parallel.mesh import make_mesh
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    B = 8
+    stepper, static = _stepper(static_dim=5, B=B)
+    mesh = make_mesh(4)
+    sharded = OnlineNCDEStepper(stepper.model, stepper.params,
+                                static=static, mesh=mesh)
+    export_stepper(stepper, str(tmp_path), batch_sizes=(B,), channels=3,
+                   platforms=("cpu",))
+    loaded = load_stepper(str(tmp_path), static=static, mesh=mesh)
+
+    x = _stream(B, 4, seed=13)
+    s_ref = stepper.init(x[:, 0])
+    s_mesh = sharded.init(x[:, 0])
+    s_art = loaded.init(x[:, 0])
+    for k in range(1, 4):
+        s_ref, y_ref = stepper.step(s_ref, x[:, k])
+        s_mesh, y_mesh = sharded.step(s_mesh, x[:, k])
+        s_art, y_art = loaded.step(s_art, x[:, k])
+        np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
