@@ -288,7 +288,8 @@ def _calibrate_protocol():
     return round(_TUNNEL_RT_S * 1000.0, 1)
 
 
-def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3):
+def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3,
+                     compute_dtype=None):
     """Median of ``_CHAINS`` chains of ``n`` steps with ONE host sync per
     chain: each chain's elapsed time is ``n * step + one tunnel round-trip``
     (a 54 ms RT over a 20-step chain silently added 2.7 ms/step to r3's
@@ -307,7 +308,8 @@ def _time_train_step(model, inputs, labels, loss="bce", n=30, lr=1e-3):
         n = min(max(n, int(_TUNNEL_RT_S * 1000.0)), 300)
     params = model.init(jax.random.PRNGKey(0))
     opt_state = init_adam_state(params)
-    step = make_train_step(model, loss=loss, lr=lr, donate=False)
+    step = make_train_step(model, loss=loss, lr=lr, donate=False,
+                           compute_dtype=compute_dtype)
     params, opt_state, l = step(params, opt_state, inputs, labels, 1.0)
     float(l)
     times = []
@@ -1107,18 +1109,27 @@ def bf16_storage_experiment():
 
     ms32, loss32 = measure(jnp.float32)
     ms16, loss16 = measure(jnp.bfloat16)
+    # The production path (trainer.compute_dtype): f32 master weights, the
+    # fwd+bwd at bf16 storage via in-step casts — what the harness ships.
+    amp_ms = _time_train_step(model, (static32, coeffs32), labels,
+                              loss="bce", lr=5e-4, n=10,
+                              compute_dtype="bfloat16")
     return {
         "config": "bf16-storage experiment (flagship fwd+bwd, params+coeffs stored bf16)",
         "shape": f"B={B} knots={2*L-1} C={C} H={H}",
         "f32_storage_ms": round(ms32, 2),
         "bf16_storage_ms": round(ms16, 2),
         "speedup": round(ms32 / ms16, 3),
+        "amp_step_ms": round(amp_ms, 2),
         "loss_f32": round(loss32, 6),
         "loss_bf16": round(loss16, 6),
         "note": (
             "storage dtype of params + coefficients (activations follow by "
             "promotion); MXU passes are bf16 either way on this chip, so "
-            "any delta is pure HBM-traffic relief"
+            "any delta is pure HBM-traffic relief. amp_step_ms is the "
+            "shipped trainer.compute_dtype='bfloat16' step (f32 master "
+            "weights, in-step casts) — compare against the mfu_grid "
+            "B=512,H=128 f32 cell"
         ),
     }
 

@@ -77,7 +77,7 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
                    "interpolation_eps", "sparsity", "adjoint", "solver",
                    "return_sequences"},
       "trainer": {"loss_str", "metrics", "val_metric_to_monitor", "lr",
-                   "max_epochs", ...},
+                   "max_epochs", "compute_dtype", ...},
     }
     """
     ds = dict(config.get("dataset", {}))
@@ -111,5 +111,6 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         resume=trainer_cfg.get("resume", False),
         prefetch=trainer_cfg.get("prefetch") or 0,
         profile_dir=trainer_cfg.get("profile_dir"),
+        compute_dtype=trainer_cfg.get("compute_dtype"),
     )
     return results

@@ -305,6 +305,7 @@ def train(
     resume: bool = False,
     prefetch: int = 0,
     profile_dir: Optional[str] = None,
+    compute_dtype: Optional[str] = None,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics.
@@ -349,6 +350,7 @@ def train(
     step = make_train_step(
         bundle.apply_fn, loss=loss_str, lr=lr,
         final_lr_multiplier=final_lr_multiplier, mesh=mesh, donate=False,
+        compute_dtype=compute_dtype,
     )
 
     train_batches = Batches(train_data, batch_size)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -48,7 +49,8 @@ def _resolve_apply(model_or_fn) -> Callable:
     return model_or_fn.apply
 
 
-def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier, final_key):
+def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier,
+                    final_key, compute_dtype=None):
     """The un-jitted per-batch update shared by :func:`make_train_step`
     (jitted directly) and :func:`make_epoch_step` (scanned over stacked
     batches).  Returns ``(step, n_runtime)`` where ``n_runtime`` counts the
@@ -58,9 +60,38 @@ def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier, final_key):
     pointwise = make_loss(loss)
     sqrt = loss == "rmse"
 
-    def loss_fn(params, inputs, labels):
-        preds = apply_fn(params, inputs)
-        return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
+    if compute_dtype is None:
+
+        def loss_fn(params, inputs, labels):
+            preds = apply_fn(params, inputs)
+            return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
+
+    else:
+        # Mixed-precision compute storage (AMP-style): master weights and
+        # the optimizer stay f32; the fwd+bwd runs on params/inputs cast
+        # to ``compute_dtype`` (bf16 halves the HBM bytes of weights,
+        # coefficients and the backward's rematerialised activations —
+        # MXU passes are bf16 either way on TPU, so this relieves
+        # traffic, not compute).  jax differentiates through the casts,
+        # so gradients come back f32 and updates keep full precision.
+        cdt = jnp.dtype(compute_dtype)
+        if not jnp.issubdtype(cdt, jnp.floating):
+            raise ValueError(
+                f"compute_dtype must be a floating dtype, got {compute_dtype!r}"
+            )
+
+        def _cast(tree):
+            return jax.tree.map(
+                lambda a: a.astype(cdt)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                tree,
+            )
+
+        def loss_fn(params, inputs, labels):
+            preds = apply_fn(_cast(params), _cast(inputs))
+            return masked_temporal_loss(
+                pointwise, preds.astype(jnp.float32), labels, sqrt=sqrt
+            )
 
     if optimizer is not None:
 
@@ -133,8 +164,14 @@ def make_train_step(
     final_key: str = "final",
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    compute_dtype=None,
 ) -> Callable:
     """Returns a jitted step.
+
+    ``compute_dtype`` (e.g. ``"bfloat16"``): mixed-precision compute
+    storage — master weights/optimizer stay f32, the fwd+bwd runs with
+    params and float inputs cast to this dtype (halves their HBM
+    traffic; gradients return f32 through the cast).
 
     With ``optimizer`` given (e.g. from :func:`make_optimizer`):
         ``step(params, opt_state, inputs, labels) -> (params, opt_state, loss)``
@@ -152,7 +189,8 @@ def make_train_step(
     TemporalLossWrapper).
     """
     step, n_runtime = _make_step_body(
-        model, optimizer, loss, lr, final_lr_multiplier, final_key
+        model, optimizer, loss, lr, final_lr_multiplier, final_key,
+        compute_dtype,
     )
     return _jit_with_mesh(step, mesh, n_runtime, P("data"), donate)
 
@@ -166,6 +204,7 @@ def make_epoch_step(
     final_key: str = "final",
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    compute_dtype=None,
 ) -> Callable:
     """One dispatch per EPOCH: ``inputs``/``labels`` carry a leading steps
     axis ``(S, B, ...)`` and the jitted function ``lax.scan``s the shared
@@ -183,7 +222,8 @@ def make_epoch_step(
     batches; use :func:`make_train_step` for ragged tails).
     """
     step, n_runtime = _make_step_body(
-        model, optimizer, loss, lr, final_lr_multiplier, final_key
+        model, optimizer, loss, lr, final_lr_multiplier, final_key,
+        compute_dtype,
     )
 
     def epoch(params, opt_state, inputs, labels, *extra):

@@ -1222,3 +1222,59 @@ def test_seed_averaged_per_dataset_rounding():
     t = analyse.seed_averaged(frame)
     assert t.loc["ncde", "BeijingPM10"] == "62.7 +/- 0.3"
     assert t.loc["ncde", "Mortality"] == "0.819 +/- 0.006"
+
+
+def test_compute_dtype_mixed_precision_step(toy_dataset):
+    """trainer.compute_dtype='bfloat16' (AMP-style): master weights and
+    optimizer state stay f32 while the fwd+bwd runs at bf16 storage —
+    losses track the f32 step to reduced-precision tolerance and still
+    decrease, and an end-to-end experiment stays finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import (
+        linear_interpolation_coeffs,
+    )
+    from online_neural_cdes_tpu.training.loop import (
+        init_adam_state, make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, C, H = 16, 10, 3, 8
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
+    model = NeuralCDE(input_dim=C, hidden_dim=H, output_dim=1,
+                      hidden_hidden_dim=H, num_layers=1,
+                      interpolation="rectilinear", return_sequences=True,
+                      adjoint=True, solver="rk4")
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    losses = {}
+    for cdt in (None, "bfloat16"):
+        step = make_train_step(model.apply, lr=1e-2, donate=False,
+                               compute_dtype=cdt)
+        params, opt_state = params0, init_adam_state(params0)
+        vals = []
+        for _ in range(8):
+            params, opt_state, v = step(params, opt_state, coeffs, labels,
+                                        1.0)
+            vals.append(float(v))
+        # Master weights stay f32 whatever the compute dtype.
+        assert {str(l.dtype) for l in jax.tree.leaves(params)} == {"float32"}
+        assert vals[-1] < vals[0]
+        losses[cdt] = vals
+    np.testing.assert_allclose(losses["bfloat16"], losses[None],
+                               rtol=0.05, atol=0.02)
+
+    # End-to-end through the config path.
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+    from online_neural_cdes_tpu.training.config import parse_configuration_json
+
+    cfg = parse_configuration_json("toy")[0][0]
+    cfg["trainer"]["compute_dtype"] = "bfloat16"
+    cfg["trainer"]["max_epochs"] = 2
+    results = run_experiment(cfg, data_root=toy_dataset)
+    assert np.isfinite(results["test.loss"])
