@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from online_neural_cdes_tpu.data.loader import pad_ragged
+from online_neural_cdes_tpu.parallel.mesh import (
+    DATA_AXIS, replicate, shard_batch,
+)
 
 __all__ = ["OnlineNCDEStepper", "Predictor", "predictor_from_bundle"]
 
@@ -25,16 +28,22 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _data_axis_size(mesh) -> int:
+    """Devices along the axis batches shard over — the divisibility unit.
+    A multi-axis mesh (e.g. (ensemble, data)) shards batches over its
+    'data' axis only, so total device count is the wrong divisor."""
+    return int(dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS])
+
+
 def _shard_streams(x, mesh):
     """Place a per-stream array with its leading (stream-batch) axis split
     over the mesh's data axis, failing with the fix if it doesn't divide."""
-    from online_neural_cdes_tpu.parallel.mesh import shard_batch
-
-    n_mesh = int(np.prod(mesh.devices.shape))
-    if x.shape[0] % n_mesh:
+    n_data = _data_axis_size(mesh)
+    if x.shape[0] % n_data:
         raise ValueError(
-            f"stream batch {x.shape[0]} does not divide the {n_mesh}-device "
-            "mesh; pad the stream population to a multiple of the mesh size"
+            f"stream batch {x.shape[0]} does not divide the mesh's "
+            f"{n_data}-device data axis; pad the stream population to a "
+            "multiple of it"
         )
     return shard_batch(x, mesh)
 
@@ -59,7 +68,7 @@ class Predictor:
             bucket batches shard across it (params replicated, XLA
             propagates the batch sharding through the coefficient build
             and the forward), scaling one predictor over a multi-chip
-            slice.  Every batch bucket must divide by the mesh size.
+            slice.  Every batch bucket must divide the data-axis size.
         pad_forward_fill: how the length-pad region is filled.  True
             (default) repeats each request's final row — for interpolated
             controls the pad intervals then have dX = 0, freezing the CDE
@@ -91,14 +100,13 @@ class Predictor:
         self.pad_forward_fill = pad_forward_fill
         self.accept_static = accept_static
         if mesh is not None:
-            from online_neural_cdes_tpu.parallel.mesh import replicate
-
-            n_mesh = int(np.prod(mesh.devices.shape))
-            bad = [b for b in self.batch_buckets if b % n_mesh]
+            n_data = _data_axis_size(mesh)
+            bad = [b for b in self.batch_buckets if b % n_data]
             if bad:
                 raise ValueError(
-                    f"batch_buckets {bad} do not divide the {n_mesh}-device "
-                    "mesh; every bucket must shard evenly over the data axis"
+                    f"batch_buckets {bad} do not divide the mesh's "
+                    f"{n_data}-device data axis; every bucket must shard "
+                    "evenly over it"
                 )
             params = replicate(params, mesh)
         self.params = params
@@ -167,8 +175,6 @@ class Predictor:
                 )
 
         if self.mesh is not None:
-            from online_neural_cdes_tpu.parallel.mesh import shard_batch
-
             padded = shard_batch(padded, self.mesh)
             if static is not None:
                 static = shard_batch(np.asarray(static, np.float32), self.mesh)
@@ -368,8 +374,6 @@ class OnlineNCDEStepper:
             # propagates that sharding through every jitted tick — the
             # same pattern as Predictor(mesh=...), so one stepper scales a
             # stream population over a slice.
-            from online_neural_cdes_tpu.parallel.mesh import replicate
-
             params = replicate(params, mesh)
             if static is not None:
                 static = _shard_streams(jnp.asarray(static), mesh)

@@ -49,7 +49,12 @@ __all__ = [
 _MANIFEST = "manifest.json"
 _PARAMS = "params.npz"
 _MODULES = "modules"
-_FORMAT_VERSION = 1
+# v1: extension-float leaves stored f32-upcast.  v2: stored as raw
+# same-width unsigned-int bit patterns (half the payload).  The reader
+# accepts both; the writer stamps v2 so a v1-only loader REFUSES a
+# bit-pattern artifact instead of value-casting garbage weights.
+_FORMAT_VERSION = 2
+_READABLE_FORMAT_VERSIONS = (1, 2)
 
 
 def _shape_key(batch: int, length: int) -> str:
@@ -199,6 +204,17 @@ def update_params(path: str, params) -> int:
                     "needs a re-export, not a params update"
                 )
     _write_params(path, leaves)
+    if manifest["format_version"] != _FORMAT_VERSION and any(
+        np.asarray(l).dtype.kind not in "biufc" for l in leaves
+    ):
+        # The rewrite just stored extension floats in the v2 bit-pattern
+        # encoding; stamp the manifest so a v1-only loader refuses the
+        # artifact instead of value-casting garbage weights.
+        manifest["format_version"] = _FORMAT_VERSION
+        tmp = os.path.join(path, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(path, _MANIFEST))
     return len(leaves)
 
 
@@ -333,10 +349,10 @@ def export_predictor(
 def _load_manifest(path: str) -> dict:
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
-    if manifest["format_version"] != _FORMAT_VERSION:
+    if manifest["format_version"] not in _READABLE_FORMAT_VERSIONS:
         raise ValueError(
-            f"artifact format v{manifest['format_version']} != "
-            f"v{_FORMAT_VERSION} supported by this loader"
+            f"artifact format v{manifest['format_version']} not in "
+            f"{_READABLE_FORMAT_VERSIONS} supported by this loader"
         )
     return manifest
 
@@ -511,6 +527,7 @@ class _LoadedStepper:
     def __init__(self, manifest, flat, modules, static, mesh=None):
         self._manifest = manifest
         self.mesh = mesh
+        self._shard = None  # bound once: ticks must not pay import lookups
         if mesh is not None:
             # Mirror OnlineNCDEStepper(mesh=...): replicate the loaded
             # params, shard per-stream arrays over the data axis — XLA
@@ -518,11 +535,10 @@ class _LoadedStepper:
             from online_neural_cdes_tpu.parallel.mesh import replicate
             from online_neural_cdes_tpu.serving import _shard_streams
 
+            self._shard = lambda x: _shard_streams(x, mesh)
             flat = replicate(flat, mesh)
             if static is not None:
-                static = _shard_streams(
-                    jnp.asarray(static, jnp.float32), mesh
-                )
+                static = self._shard(jnp.asarray(static, jnp.float32))
         self._flat = flat
         self._modules = modules
         self._jitted = {}  # per-module jit wrapper: steps must not re-trace
@@ -542,10 +558,8 @@ class _LoadedStepper:
 
     def init(self, x0):
         x0 = jnp.asarray(x0, jnp.float32)
-        if self.mesh is not None:
-            from online_neural_cdes_tpu.serving import _shard_streams
-
-            x0 = _shard_streams(x0, self.mesh)
+        if self._shard is not None:
+            x0 = self._shard(x0)
         b = x0.shape[0]
         if self._manifest["static_dim"] is not None:
             if self.static is None:
@@ -563,10 +577,8 @@ class _LoadedStepper:
     def step(self, state, x_new):
         b = state["z"].shape[0]
         x_new = jnp.asarray(x_new, jnp.float32)
-        if self.mesh is not None:
-            from online_neural_cdes_tpu.serving import _shard_streams
-
-            x_new = _shard_streams(x_new, self.mesh)
+        if self._shard is not None:
+            x_new = self._shard(x_new)
         z, filled, y = self._mod("step", b)(
             self._flat, state["z"], state["last_obs"], x_new,
         )

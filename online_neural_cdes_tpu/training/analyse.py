@@ -123,7 +123,7 @@ def seed_averaged(frame: pd.DataFrame, value: str = "test_metric",
 def metric_table(ledger: Ledger, run_name: Optional[str] = None,
                  index=("model",), columns=("dataset_name",),
                  latex: bool = False):
-    frame = runs_frame(ledger, run_name)
+    frame = _as_frame(ledger, run_name)
     table = seed_averaged(frame, "test_metric", index, columns)
     return table.to_latex() if latex else table
 
@@ -132,7 +132,7 @@ def nfe_table(ledger: Ledger, run_name: Optional[str] = None,
               latex: bool = False):
     """NFE-per-epoch comparison across interpolation schemes
     (reference analyse.py:279-299)."""
-    frame = runs_frame(ledger, run_name)
+    frame = _as_frame(ledger, run_name)
     table = seed_averaged(
         frame, "nfe_per_epoch", index=("interpolation",), columns=("dataset_name",)
     )
@@ -168,6 +168,15 @@ def _split_datasets(table: pd.DataFrame):
     return table[irregular], table[regular + other]
 
 
+def _as_frame(ledger_or_frame, run_name):
+    """Table builders accept either a Ledger (parsed on demand) or an
+    already-built runs_frame — write_analysis_tables parses the JSONL once
+    and fans the same frame out to every generator."""
+    if isinstance(ledger_or_frame, pd.DataFrame):
+        return ledger_or_frame
+    return runs_frame(ledger_or_frame, run_name)
+
+
 def sparsity_tables(ledger: Ledger, run_name: Optional[str] = None) -> dict:
     """The paper's sparsity + gating tables (reference analyse.py:98-205).
 
@@ -179,7 +188,7 @@ def sparsity_tables(ledger: Ledger, run_name: Optional[str] = None) -> dict:
     metric by (vector_field_type, gating) for the non-sparse runs
     (analyse.py:165-193).
     """
-    frame = runs_frame(ledger, run_name)
+    frame = _as_frame(ledger, run_name)
     out = {k: pd.DataFrame() for k in (
         "sparsity_irregular", "sparsity_regular",
         "gating_irregular", "gating_regular",
@@ -192,7 +201,12 @@ def sparsity_tables(ledger: Ledger, run_name: Optional[str] = None) -> dict:
         frame["vector_field"].isin(["original", "sparse", "low-rank"])
         & (frame["vector_field_type"] == "matmul")
     ]
-    if not mm.empty:
+    # Parameter counts are part of this table's contract; a ledger written
+    # by older/external tooling may lack them — skip the sparsity table
+    # (same resilience as seed_averaged's missing-column guard) rather
+    # than crash the whole --tables-out run.
+    if not mm.empty and "num_params" in mm.columns \
+            and mm["num_params"].notna().any():
         # NaN sparsity (the dense original row) would break MultiIndex
         # alignment in the concat below — pin it to a printable sentinel.
         mm = mm.assign(sparsity=mm["sparsity"].fillna(-1.0))
@@ -215,7 +229,9 @@ def sparsity_tables(ledger: Ledger, run_name: Optional[str] = None) -> dict:
             ix for ix in metric.index
             if ix[0] != "original" and ix[1] in PRESENTED_SPARSITIES
         ]
-        metric, params = metric.loc[keep], params.loc[keep]
+        # reindex (not .loc): rows whose runs recorded no num_params show
+        # "-"/NaN instead of raising on the missing index combo.
+        metric, params = metric.loc[keep], params.reindex(keep)
         sparsity = pd.concat(
             {"Test metric": metric, "Parameter fraction": params}, axis=1
         ).swaplevel(0, 1, axis=1).sort_index(axis=1, level=0)
@@ -264,8 +280,9 @@ def interpolation_eps_table(ledger: Ledger, run_name: Optional[str] = None,
     """Matching-region sensitivity pivot (reference analyse.py:301-307
     ``eps_frame``): test metric by (interpolation scheme, interpolation_eps)
     per dataset, over the runs that set a smoothing matching region."""
-    frame = runs_frame(ledger, run_name)
-    if frame.empty or frame["interpolation_eps"].isna().all():
+    frame = _as_frame(ledger, run_name)
+    if (frame.empty or "interpolation_eps" not in frame.columns
+            or frame["interpolation_eps"].isna().all()):
         return pd.DataFrame()
     sub = frame[frame["interpolation_eps"].notna()]
     table = seed_averaged(
@@ -280,7 +297,7 @@ def medical_sota_table(ledger: Ledger, run_name: Optional[str] = None,
     """Medical-SOTA model ranking (reference analyse.py:208-250): one row
     per baseline model (NCDE rows suffixed by interpolation scheme), one
     column per dataset, mean+-std of the test metric."""
-    frame = runs_frame(ledger, run_name)
+    frame = _as_frame(ledger, run_name)
     if frame.empty:
         return pd.DataFrame()
     # NCDE rows carry the interpolation in their name (analyse.py:215-221).
@@ -323,15 +340,16 @@ def write_analysis_tables(ledger: Ledger, out_dir: str,
             fh.write(table.to_latex(escape=False))
         written.append(path)
 
-    for name, table in sparsity_tables(ledger, run_name).items():
+    # Parse the ledger JSONL once; every generator accepts the frame.
+    frame = _as_frame(ledger, run_name)
+    for name, table in sparsity_tables(frame, run_name).items():
         _save(table, "sparsity", f"{name}.tex")
-    _save(medical_sota_table(ledger, run_name), "medical-sota.tex")
-    eps = interpolation_eps_table(ledger, run_name)
+    _save(medical_sota_table(frame, run_name), "medical-sota.tex")
+    eps = interpolation_eps_table(frame, run_name)
     if not eps.empty:
         irr_eps, reg_eps = _split_datasets(eps)
         _save(reg_eps, "interpolation", "eps_frame_regular.tex")
         _save(irr_eps, "interpolation", "eps_frame_irregular.tex")
-    frame = runs_frame(ledger, run_name)
     metric_nfe = seed_averaged(frame, "test_metric",
                                index=("dataset_name", "interpolation"),
                                columns=())

@@ -200,6 +200,10 @@ def run_trials_vmapped(
         bundle.apply_fn, loss=loss_str, lr=1.0,
         final_lr_multiplier=None,
         donate=False,
+        # Trial-invariant (configs differ only in waveable scalars), so the
+        # mixed-precision compute storage rides the shared traced program —
+        # the wave matches the sequential path's trainer.compute_dtype.
+        compute_dtype=cfg0.get("trainer", {}).get("compute_dtype"),
     )
     vstep = jax.jit(jax.vmap(base_step, in_axes=(0, 0, None, None, 0, 0)))
     final_mult_dev = jnp.asarray(final_mults, jnp.float32)

@@ -1278,3 +1278,27 @@ def test_compute_dtype_mixed_precision_step(toy_dataset):
     cfg["trainer"]["max_epochs"] = 2
     results = run_experiment(cfg, data_root=toy_dataset)
     assert np.isfinite(results["test.loss"])
+
+
+def test_wave_honours_compute_dtype(toy_dataset, _wave_cfg):
+    """trainer.compute_dtype rides the wave's shared traced program (it is
+    trial-invariant): vmapped per-trial results match the sequential path
+    running the same mixed-precision config."""
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+    from online_neural_cdes_tpu.training.wave import run_trials_vmapped
+
+    base = {k: v for k, v in _wave_cfg.items()
+            if k not in ("total_trials", "wave_size", "search",
+                         "parameterization")}
+    cfgs = []
+    for i in range(2):
+        cfg = {**base, "trainer": {**base["trainer"], "lr": 1e-3 * (i + 1),
+                                   "compute_dtype": "bfloat16"}}
+        cfgs.append(cfg)
+    wave = run_trials_vmapped(cfgs, data_root=toy_dataset)
+    for cfg, res in zip(cfgs, wave):
+        seq = run_experiment(cfg, data_root=toy_dataset)
+        # Same bf16 arithmetic on both paths -> close final metrics.
+        assert np.isfinite(res["test.loss"])
+        np.testing.assert_allclose(res["test.loss"], seq["test.loss"],
+                                   rtol=0.05, atol=0.02)

@@ -567,3 +567,64 @@ def test_mesh_sharded_static_stepper_matches_single_device(tmp_path):
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_multi_axis_mesh_stepper_divides_by_data_axis(tmp_path):
+    """On a multi-axis mesh the stream batch must divide the DATA axis, not
+    the total device count: batch 4 on a (2 ensemble, 4 data) 8-device
+    mesh is valid and ticks match single-device."""
+    from jax.sharding import Mesh
+
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    B = 4
+    stepper, _ = _stepper(B=B)
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("ensemble", "data"))
+    sharded = OnlineNCDEStepper(stepper.model, stepper.params, mesh=mesh)
+    x = _stream(B, 4, seed=17)
+    s_ref, s_mesh = stepper.init(x[:, 0]), sharded.init(x[:, 0])
+    for k in range(1, 4):
+        s_ref, y_ref = stepper.step(s_ref, x[:, k])
+        s_mesh, y_mesh = sharded.step(s_mesh, x[:, k])
+        np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_v1_artifact_still_loads_and_v2_is_stamped(tmp_path):
+    """Format compatibility: the reader accepts v1 artifacts (extension
+    floats stored f32-upcast) and serves them correctly; new exports stamp
+    v2 so a v1-only loader refuses bit-pattern params instead of
+    value-casting garbage; update_params rewriting a v1 artifact with
+    extension floats bumps the manifest."""
+    from online_neural_cdes_tpu.serving_export import update_params
+
+    pred = _predictor()
+    bf16_dir = str(tmp_path / "a")
+    export_predictor(pred, bf16_dir, channels=3, max_length=16,
+                     platforms=("cpu",), params_dtype="bfloat16")
+    manifest_path = os.path.join(bf16_dir, "manifest.json")
+    manifest = json.load(open(manifest_path))
+    assert manifest["format_version"] == 2
+    v2_outs = load_predictor(bf16_dir).predict(_requests(2, seed=21))
+
+    # Rewrite as a v1 artifact: f32-upcast params + v1 manifest (the old
+    # writer's encoding).
+    with np.load(os.path.join(bf16_dir, "params.npz")) as z:
+        f32up = {
+            k: np.asarray(jnp.asarray(
+                z[k].view(np.dtype("bfloat16")), jnp.float32))
+            for k in z.files
+        }
+    np.savez(os.path.join(bf16_dir, "params.npz"), **f32up)
+    manifest["format_version"] = 1
+    json.dump(manifest, open(manifest_path, "w"))
+
+    v1_outs = load_predictor(bf16_dir).predict(_requests(2, seed=21))
+    for a, b in zip(v1_outs, v2_outs):
+        np.testing.assert_array_equal(a, b)
+
+    # update_params rolls bit patterns into the v1 artifact -> stamps v2.
+    update_params(bf16_dir, pred.params)
+    assert json.load(open(manifest_path))["format_version"] == 2
+    load_predictor(bf16_dir).predict(_requests(2, seed=21))
