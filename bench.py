@@ -224,6 +224,7 @@ def bench_torch(x, y, epochs=3):
 
 _TUNNEL_RT_S = None   # measured once in main(); None = assume healthy
 _CHAINS = 3
+_BENCH_DEADLINE = None  # perf_counter deadline set by main(); None = no cap
 _TOY_EPOCHS = 10
 
 
@@ -1017,6 +1018,9 @@ def mfu_grid():
     grid = {}
     for H in (128, 256):
         for B in (256, 512, 1024, 2048):
+            if _BENCH_DEADLINE is not None and time.perf_counter() > _BENCH_DEADLINE:
+                grid[f"B={B},H={H}"] = {"error": "skipped (time budget)"}
+                continue
             # Per-CELL fence: one OOM/timeout at the big corner must not
             # discard the cells already measured (fail-soft contract).
             try:
@@ -1181,7 +1185,22 @@ def main():
         sys.stdout.flush()
         os._exit(0)  # a hung daemon probe thread must not block exit
 
+    # Total-runtime budget: an external (driver-level) timeout kill would
+    # erase the whole JSON line, defeating fail-soft — so once the budget
+    # is spent, remaining legs are SKIPPED (recorded in errors) and the
+    # line prints with everything measured so far.  The budget leaves
+    # headroom under any plausible driver timeout; override via
+    # ONCDE_BENCH_BUDGET_S.
+    t_bench_start = time.perf_counter()
+    budget_s = float(os.environ.get("ONCDE_BENCH_BUDGET_S", "900"))
+    global _BENCH_DEADLINE
+    _BENCH_DEADLINE = t_bench_start + budget_s
+
     def leg(name, fn, *a, **kw):
+        if time.perf_counter() - t_bench_start > budget_s:
+            errors.append(f"{name}: skipped (bench time budget "
+                          f"{budget_s:.0f}s spent)")
+            return None
         try:
             return fn(*a, **kw)
         except Exception as e:  # noqa: BLE001 — recorded in the artifact
@@ -1195,6 +1214,9 @@ def main():
     parity = leg("pallas_parity", assert_pallas_parity)
     x, y = _make_data()
     toy_res = leg("toy", bench_jax, x, y)
+    # torch-CPU baseline right after the toy it normalises: the headline
+    # vs_baseline must survive a time-budget cut of the later legs.
+    torch_res = leg("torch_baseline", bench_torch, x, y)
     flag_res = leg("flagship", bench_flagship_step)
     flagship, flagship_ms, flagship_nfe_s, flagship_mid_ms = (
         flag_res if flag_res is not None else (None, None, None, None))
@@ -1207,7 +1229,6 @@ def main():
     roofline = leg("roofline", roofline_decomposition)
     grid = leg("mfu_grid", mfu_grid)
     bf16 = leg("bf16_storage", bf16_storage_experiment)
-    torch_res = leg("torch_baseline", bench_torch, x, y)
 
     jax_epoch_s, _jax_loss = toy_res if toy_res is not None else (None, None)
     torch_epoch_s = torch_res[0] if torch_res is not None else None
