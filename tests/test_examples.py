@@ -11,7 +11,7 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 @pytest.mark.parametrize("script", [
     pytest.param("quickstart.py", marks=pytest.mark.smoke),
-    "streaming_inference.py", "long_context.py",
+    "streaming_inference.py", "long_context.py", "deployment.py",
 ])
 def test_example_runs(script, capsys):
     import runpy
