@@ -628,3 +628,24 @@ def test_v1_artifact_still_loads_and_v2_is_stamped(tmp_path):
     update_params(bf16_dir, pred.params)
     assert json.load(open(manifest_path))["format_version"] == 2
     load_predictor(bf16_dir).predict(_requests(2, seed=21))
+
+
+def test_bf16_stepper_export_ticks_within_tolerance(tmp_path):
+    """params_dtype='bfloat16' on the streaming artifact: ticks track the
+    f32 live stepper within reduced-precision tolerance."""
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    stepper, _ = _stepper()
+    export_stepper(stepper, str(tmp_path), batch_sizes=(3,), channels=3,
+                   platforms=("cpu",), params_dtype="bfloat16")
+    loaded = load_stepper(str(tmp_path))
+    x = _stream(3, 5, seed=23)
+    s_live, s_art = stepper.init(x[:, 0]), loaded.init(x[:, 0])
+    for k in range(1, 5):
+        s_live, y_live = stepper.step(s_live, x[:, k])
+        s_art, y_art = loaded.step(s_art, x[:, k])
+        np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_live),
+                                   rtol=0.05, atol=0.05)
+        assert not np.array_equal(np.asarray(y_art), np.asarray(y_live))
