@@ -257,6 +257,12 @@ def main(argv=None) -> str:
                          "<out>/stepper (plain rectilinear NCDE configs)")
     ap.add_argument("--stream-batch-sizes", default="64",
                     help="comma-separated stream-batch sizes for --stepper")
+    ap.add_argument("--stream-block-sizes", default="",
+                    help="comma-separated catch-up block lengths K for "
+                         "--stepper: each exports a step_block module "
+                         "advancing K observations in one dispatch "
+                         "(load_stepper().step_many chunks a backlog "
+                         "into them)")
     ap.add_argument("--params-dtype", default=None,
                     help="store parameters in this floating dtype (e.g. "
                          "bfloat16 — halves the weight payload and serve-"
@@ -325,6 +331,9 @@ def main(argv=None) -> str:
             channels=sinfo["channels"],
             platforms=tuple(args.platforms.split(",")),
             params_dtype=args.params_dtype,
+            block_sizes=tuple(
+                int(k) for k in args.stream_block_sizes.split(",") if k
+            ),
         )
         summary["stepper_artifact"] = stepper_out
     print(json.dumps(summary))

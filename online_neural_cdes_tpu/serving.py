@@ -48,6 +48,21 @@ def _shard_streams(x, mesh):
     return shard_batch(x, mesh)
 
 
+def _shard_block(xs, mesh):
+    """Place a (K, B, C) observation block with its STREAM axis (axis 1)
+    split over the data axis — the block axis is time and stays local."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = _data_axis_size(mesh)
+    if xs.shape[1] % n_data:
+        raise ValueError(
+            f"stream batch {xs.shape[1]} does not divide the mesh's "
+            f"{n_data}-device data axis; pad the stream population to a "
+            "multiple of it"
+        )
+    return jax.device_put(xs, NamedSharding(mesh, P(None, DATA_AXIS)))
+
+
 class Predictor:
     """Jitted bucketed-forward server for a model bundle.
 
@@ -384,6 +399,7 @@ class OnlineNCDEStepper:
         # baked-in constant, so checkpoint updates need no re-trace.
         self._step_fn = jax.jit(self._make_step())
         self._init_fn = self._make_init()
+        self._block_fn = jax.jit(self._make_step_block())
         self._linear_apply = linear_apply
 
     def _make_step(self):
@@ -475,6 +491,38 @@ class OnlineNCDEStepper:
             self.params, state["z"], state["last_obs"], x_new
         )
         return {"z": z, "last_obs": filled}, y
+
+    def _make_step_block(self):
+        advance = self._make_step()
+
+        def block(params, z, x_prev, xs):
+            def body(carry, x_new):
+                z_, prev_ = carry
+                z_, filled, y = advance(params, z_, prev_, x_new)
+                return (z_, filled), y
+
+            (z, x_prev), ys = jax.lax.scan(body, (z, x_prev), xs)
+            return z, x_prev, ys
+
+        return block
+
+    def step_many(self, state: dict, xs: jax.Array):
+        """Catch-up/replay: advance through a BLOCK of K observations
+        ``xs`` of shape (K, B, C) in ONE device dispatch (a ``lax.scan``
+        of the per-tick body — on a tunneled/remote device this replaces
+        K dispatch round-trips with one).  Returns
+        ``(new_state, ys)`` with ``ys[k]`` equal to ``step``'s output at
+        observation k (exact — same arithmetic, tested).  Each distinct K
+        compiles once; chunk a long backlog into fixed-size blocks to
+        bound the jit cache."""
+        xs = jnp.asarray(xs)
+        if self.mesh is not None:
+            # Shard the stream axis (axis 1); the block axis stays local.
+            xs = _shard_block(xs, self.mesh)
+        z, filled, ys = self._block_fn(
+            self.params, state["z"], state["last_obs"], xs
+        )
+        return {"z": z, "last_obs": filled}, ys
 
     def readout(self, z: jax.Array):
         if self.model.apply_final_linear:

@@ -442,6 +442,7 @@ def export_stepper(
     channels: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
     params_dtype: Optional[str] = None,
+    block_sizes: Sequence[int] = (),
 ) -> int:
     """Serialize an :class:`~online_neural_cdes_tpu.serving.OnlineNCDEStepper`
     — the streaming (one-observation-at-a-time) serving surface — for each
@@ -450,7 +451,12 @@ def export_stepper(
     = the two rectilinear control pieces, returning the per-observation
     output), and ``readout`` (state -> output, for reading y before the
     first step).  Params ride as arguments, exactly like
-    :func:`export_predictor`.  Returns the number of modules written."""
+    :func:`export_predictor`.  Returns the number of modules written.
+
+    ``block_sizes``: optional catch-up block lengths K — each adds a
+    ``step_block`` module advancing through (K, B, C) observations in ONE
+    dispatch (the live ``step_many``); the loaded stepper's ``step_many``
+    chunks a backlog into the largest exported blocks and single steps."""
     from jax import export as jax_export
 
     leaves, treedef = _flatten_params(stepper.params)
@@ -487,6 +493,12 @@ def export_stepper(
             params = jax.tree_util.tree_unflatten(treedef, flat)
             return init_fn(params, x0, st)
 
+    block_fn = stepper._make_step_block()
+
+    def block_mod(flat, z, x_prev, xs):
+        params = jax.tree_util.tree_unflatten(treedef, flat)
+        return block_fn(params, z, x_prev, xs)
+
     named_modules = []
     for b in batch_sizes:
         z_spec = jax.ShapeDtypeStruct((b, hidden), jnp.float32)
@@ -503,11 +515,19 @@ def export_stepper(
                 jax.jit(fn), platforms=list(platforms)
             )(*args)
             named_modules.append((f"{name}_b{b}", exported))
+        for k in block_sizes:
+            xs_spec = jax.ShapeDtypeStruct((int(k), b, channels),
+                                           jnp.float32)
+            exported = jax_export.export(
+                jax.jit(block_mod), platforms=list(platforms)
+            )(flat_spec, z_spec, x_spec, xs_spec)
+            named_modules.append((f"stepblock{int(k)}_b{b}", exported))
 
     manifest = {
         "artifact": "stepper",
         "treedef": str(treedef),
         "batch_sizes": sorted(int(b) for b in batch_sizes),
+        "block_sizes": sorted(int(k) for k in block_sizes),
         "channels": channels,
         "hidden_dim": hidden,
         "static_dim": static_dim,
@@ -583,6 +603,38 @@ class _LoadedStepper:
             self._flat, state["z"], state["last_obs"], x_new,
         )
         return {"z": z, "last_obs": filled}, y
+
+    def step_many(self, state, xs):
+        """Catch-up through a (K, B, C) backlog, mirroring the live
+        ``step_many``: greedily dispatch the largest exported
+        ``block_sizes`` modules (one round-trip per block), then single
+        steps for the remainder.  Exact — same per-tick arithmetic."""
+        xs = jnp.asarray(xs, jnp.float32)
+        if self._shard is not None:
+            from online_neural_cdes_tpu.serving import _shard_block
+
+            xs = _shard_block(xs, self.mesh)
+        b = state["z"].shape[0]
+        blocks = sorted(self._manifest.get("block_sizes", []), reverse=True)
+        ys, k = [], 0
+        while k < xs.shape[0]:
+            rest = xs.shape[0] - k
+            size = next((s for s in blocks
+                         if s <= rest and f"stepblock{s}_b{b}" in self._modules),
+                        None)
+            if size is not None:
+                z, filled, ys_blk = self._mod(f"stepblock{size}", b)(
+                    self._flat, state["z"], state["last_obs"],
+                    xs[k:k + size],
+                )
+                state = {"z": z, "last_obs": filled}
+                ys.extend(ys_blk[i] for i in range(size))
+                k += size
+            else:
+                state, y = self.step(state, xs[k])
+                ys.append(y)
+                k += 1
+        return state, jnp.stack(ys, axis=0)
 
     def readout(self, z):
         return self._mod("readout", z.shape[0])(self._flat, z)

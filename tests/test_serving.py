@@ -375,3 +375,36 @@ def test_predictor_from_bundle_rejects_recurrent_one_shot():
                          return_sequences=False)
     with pytest.raises(ValueError, match="one-shot"):
         predictor_from_bundle(bundle, bundle.init(jax.random.PRNGKey(0)))
+
+
+def test_step_many_matches_sequential_steps():
+    """Catch-up blocks: step_many over a (K, B, C) backlog equals K
+    sequential step() calls exactly (same per-tick arithmetic in one
+    lax.scan dispatch)."""
+    from online_neural_cdes_tpu.serving import OnlineNCDEStepper
+
+    rng = np.random.default_rng(3)
+    B, K, C = 4, 6, 3
+    x = rng.normal(size=(B, K + 1, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(K + 1)
+    x[2, 3, 1] = np.nan  # held value inside the block
+    model = NeuralCDE(input_dim=C, hidden_dim=8, output_dim=2,
+                      hidden_hidden_dim=8, num_layers=1,
+                      interpolation="rectilinear", return_sequences=True,
+                      adjoint=False, solver="rk4")
+    stepper = OnlineNCDEStepper(model, model.init(jax.random.PRNGKey(0)))
+
+    s_seq = stepper.init(x[:, 0])
+    ys_seq = []
+    for k in range(1, K + 1):
+        s_seq, y = stepper.step(s_seq, x[:, k])
+        ys_seq.append(np.asarray(y))
+
+    s_blk = stepper.init(x[:, 0])
+    xs = jnp.asarray(np.swapaxes(x[:, 1:], 0, 1))  # (K, B, C)
+    s_blk, ys_blk = stepper.step_many(s_blk, xs)
+    np.testing.assert_array_equal(np.asarray(ys_blk), np.stack(ys_seq))
+    np.testing.assert_array_equal(np.asarray(s_blk["z"]),
+                                  np.asarray(s_seq["z"]))
+    np.testing.assert_array_equal(np.asarray(s_blk["last_obs"]),
+                                  np.asarray(s_seq["last_obs"]))

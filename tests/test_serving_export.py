@@ -649,3 +649,33 @@ def test_bf16_stepper_export_ticks_within_tolerance(tmp_path):
         np.testing.assert_allclose(np.asarray(y_art), np.asarray(y_live),
                                    rtol=0.05, atol=0.05)
         assert not np.array_equal(np.asarray(y_art), np.asarray(y_live))
+
+
+def test_exported_step_blocks_catch_up_backlog(tmp_path):
+    """block_sizes= exports catch-up modules; the loaded stepper's
+    step_many chunks a backlog into the largest blocks plus single-step
+    remainder and matches the live sequential ticks exactly."""
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    B, K = 3, 7  # blocks of 4 -> one block + 3 singles
+    stepper, _ = _stepper(B=B)
+    n = export_stepper(stepper, str(tmp_path), batch_sizes=(B,), channels=3,
+                       platforms=("cpu",), block_sizes=(4,))
+    assert n == 4  # step + init + readout + stepblock4
+    loaded = load_stepper(str(tmp_path))
+
+    x = _stream(B, K + 1, seed=29)
+    s_live = stepper.init(x[:, 0])
+    ys_live = []
+    for k in range(1, K + 1):
+        s_live, y = stepper.step(s_live, x[:, k])
+        ys_live.append(np.asarray(y))
+
+    s_art = loaded.init(x[:, 0])
+    xs = np.swapaxes(x[:, 1:], 0, 1)  # (K, B, C)
+    s_art, ys_art = loaded.step_many(s_art, xs)
+    np.testing.assert_array_equal(np.asarray(ys_art), np.stack(ys_live))
+    np.testing.assert_array_equal(np.asarray(s_art["z"]),
+                                  np.asarray(s_live["z"]))
