@@ -63,3 +63,17 @@ from online_neural_cdes_tpu.models import (  # noqa: F401
     prepare_gru_variant_data,
     sparsemax,
 )
+
+# serving / deployment surface (no reference counterpart)
+from online_neural_cdes_tpu.serving import (  # noqa: F401
+    OnlineNCDEStepper,
+    Predictor,
+    predictor_from_bundle,
+)
+from online_neural_cdes_tpu.serving_export import (  # noqa: F401
+    export_predictor,
+    export_stepper,
+    load_predictor,
+    load_stepper,
+    update_params,
+)
