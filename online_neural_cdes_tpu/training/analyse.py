@@ -354,12 +354,20 @@ def write_analysis_tables(ledger: Ledger, out_dir: str,
                                index=("dataset_name", "interpolation"),
                                columns=())
     if not metric_nfe.empty:
-        nfe = seed_averaged(frame, "nfe_per_epoch",
-                            index=("dataset_name", "interpolation"),
-                            columns=())
         combined = metric_nfe.rename(columns={"test_metric": "Metric"})
-        if not nfe.empty:
-            combined["NFEs per epoch"] = nfe["nfe_per_epoch"]
+        if "nfe_per_epoch" in frame.columns:
+            # Reference display convention (analyse.py:286-299): NFE/epoch
+            # in thousands, one decimal, mean $\pm$ std.
+            kilo = frame.assign(nfe_per_epoch=frame["nfe_per_epoch"] / 1e3)
+            nfe = pd.pivot_table(
+                kilo, values="nfe_per_epoch",
+                index=["dataset_name", "interpolation"],
+                aggfunc=lambda v: (
+                    f"{v.mean():.1f} $\\pm$ {v.std(ddof=0):.1f}"),
+            )
+            if not nfe.empty:
+                combined[r"NFEs per epoch $\times 10^3$"] = (
+                    nfe["nfe_per_epoch"])
         irr, reg = combined.pipe(_split_by_index_dataset)
         _save(reg, "interpolation", "metric_nfe_regular.tex")
         _save(irr, "interpolation", "metric_nfe_irregular.tex")
