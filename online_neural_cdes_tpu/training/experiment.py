@@ -112,5 +112,6 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         prefetch=trainer_cfg.get("prefetch") or 0,
         profile_dir=trainer_cfg.get("profile_dir"),
         compute_dtype=trainer_cfg.get("compute_dtype"),
+        epoch_fused=trainer_cfg.get("epoch_fused", False),
     )
     return results

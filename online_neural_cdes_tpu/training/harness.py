@@ -306,6 +306,7 @@ def train(
     prefetch: int = 0,
     profile_dir: Optional[str] = None,
     compute_dtype: Optional[str] = None,
+    epoch_fused: bool = False,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics.
@@ -323,6 +324,15 @@ def train(
     the H2D copy overlaps the previous step's compute instead of sitting on
     the critical path (``data/prefetch.py``).
 
+    ``epoch_fused=True``: ONE device dispatch per epoch — the same-shape
+    batch prefix is stacked once and the shared step body ``lax.scan``s
+    over it (``loop.make_epoch_step``); differently-shaped batches (the
+    ragged tail, bucketed lengths) run through the per-step path in
+    original order, so the update sequence is identical to the default
+    trainer (tested).  Wins when dispatch latency dominates (small
+    models, tunneled/remote devices); costs device memory (the stacked
+    prefix stays resident).  Mutually exclusive with ``prefetch``.
+
     ``profile_dir``: capture a ``jax.profiler`` trace of the SECOND epoch
     (the first compiles) into the directory, viewable in TensorBoard /
     Perfetto (the TPU-native analogue of the reference's CUDA memory/time
@@ -338,6 +348,12 @@ def train(
             "vmapped wave path; pass a number (reference default 10.0, "
             "trainer.py:272-302)."
         )
+    if epoch_fused and prefetch > 0:
+        raise ValueError(
+            "epoch_fused and prefetch are mutually exclusive: the fused "
+            "epoch transfers the whole split once, there is nothing to "
+            "overlap per batch"
+        )
     if minimize is None:
         minimize = val_metric_to_monitor in ("loss",)
     sign = 1.0 if minimize else -1.0
@@ -352,7 +368,6 @@ def train(
         final_lr_multiplier=final_lr_multiplier, mesh=mesh, donate=False,
         compute_dtype=compute_dtype,
     )
-
     train_batches = Batches(train_data, batch_size)
     val_batches = Batches(val_data, batch_size)
     test_batches = Batches(test_data, batch_size)
@@ -421,6 +436,52 @@ def train(
         def epoch_batches():
             return train_batches
 
+    # Epoch fusion (trainer.epoch_fused): one lax.scan dispatch per epoch
+    # over the pre-stacked batches instead of one dispatch per step — on a
+    # tunneled/remote device per-step dispatch latency dominates small
+    # models (the bench toy's protocol, loop.make_epoch_step).  Batches
+    # iterate deterministically, so the stack happens ONCE; only the
+    # longest same-shape PREFIX fuses (bucketed lengths / the ragged tail
+    # batch can differ) and the remainder runs through the per-step path
+    # in original order — the update sequence is identical to the unfused
+    # trainer (tested).  Trades device memory (the whole stacked prefix
+    # stays resident) for dispatch.
+    epoch_fn = stacked_inputs = stacked_labels = None
+    fused_tail: list = []
+    if epoch_fused:
+        from online_neural_cdes_tpu.training.loop import make_epoch_step
+
+        prepared_all, labels_all = [], []
+        for inputs, labels in train_batches:
+            prepared_all.append(bundle.prepare_batch(inputs))
+            labels_all.append(jnp.asarray(labels))
+
+        def _shapes(tree):
+            return jax.tree.map(lambda a: jnp.shape(a), tree)
+
+        k = 1
+        while (
+            k < len(prepared_all)
+            and _shapes(prepared_all[k]) == _shapes(prepared_all[0])
+            and labels_all[k].shape == labels_all[0].shape
+        ):
+            k += 1
+        if k >= 2:
+            stacked_inputs = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *prepared_all[:k]
+            )
+            stacked_labels = jnp.stack(labels_all[:k])
+            fused_tail = list(zip(prepared_all[k:], labels_all[k:]))
+            epoch_fn = make_epoch_step(
+                bundle.apply_fn, loss=loss_str, lr=lr,
+                final_lr_multiplier=final_lr_multiplier, mesh=mesh,
+                donate=False, compute_dtype=compute_dtype,
+            )
+        else:
+            # One (or one-shaped) batch: the per-step path IS one dispatch.
+            fused_tail = list(zip(prepared_all, labels_all))
+            epoch_fn = "tail-only"
+
     # Profile the second epoch (the first compiles) — or the only epoch
     # when just one will run, so profile_dir never silently captures
     # nothing.
@@ -438,11 +499,24 @@ def train(
         else:
             ctx = contextlib.nullcontext()
         with ctx:
-            for inputs, labels in epoch_batches():
-                prepared = bundle.prepare_batch(inputs)
-                params, opt_state, loss_val = step(
-                    params, opt_state, prepared, jnp.asarray(labels), lr_scale
-                )
+            if epoch_fn is not None:
+                if epoch_fn != "tail-only":
+                    params, opt_state, losses = epoch_fn(
+                        params, opt_state, stacked_inputs, stacked_labels,
+                        lr_scale,
+                    )
+                    loss_val = losses[-1]
+                for prepared, lab in fused_tail:
+                    params, opt_state, loss_val = step(
+                        params, opt_state, prepared, lab, lr_scale
+                    )
+            else:
+                for inputs, labels in epoch_batches():
+                    prepared = bundle.prepare_batch(inputs)
+                    params, opt_state, loss_val = step(
+                        params, opt_state, prepared, jnp.asarray(labels),
+                        lr_scale,
+                    )
             if profiling:
                 from online_neural_cdes_tpu.utils.profiling import device_sync
 

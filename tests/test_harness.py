@@ -1302,3 +1302,34 @@ def test_wave_honours_compute_dtype(toy_dataset, _wave_cfg):
         assert np.isfinite(res["test.loss"])
         np.testing.assert_allclose(res["test.loss"], seq["test.loss"],
                                    rtol=0.05, atol=0.02)
+
+
+def test_epoch_fused_trainer_matches_default(toy_dataset):
+    """trainer.epoch_fused=True (one lax.scan dispatch per epoch over the
+    pre-stacked batches) reproduces the default per-step trainer exactly —
+    same update order, same final metrics — including a ragged tail batch
+    that falls back to the per-step path."""
+    from online_neural_cdes_tpu.training.config import parse_configuration_json
+    from online_neural_cdes_tpu.training.experiment import run_experiment
+
+    base = parse_configuration_json("toy")[0][0]
+    base["trainer"]["max_epochs"] = 3
+    for bs in (32, 40):  # 96 train paths: 3 uniform batches / 2+ragged 16
+        cfg_a = {**base, "dataset": {**base["dataset"], "batch_size": bs}}
+        cfg_b = {**cfg_a, "trainer": {**cfg_a["trainer"],
+                                      "epoch_fused": True}}
+        res_a = run_experiment(cfg_a, data_root=toy_dataset)
+        res_b = run_experiment(cfg_b, data_root=toy_dataset)
+        np.testing.assert_allclose(res_b["test.loss"], res_a["test.loss"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(res_b["test.auc"], res_a["test.auc"],
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_epoch_fused_rejects_prefetch(toy_dataset):
+    import pytest
+
+    from online_neural_cdes_tpu.training.harness import train
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        train(None, None, None, None, epoch_fused=True, prefetch=2)
