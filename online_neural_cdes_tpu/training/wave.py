@@ -130,6 +130,11 @@ def run_trials_vmapped(
         # raising sends hyperopt down its sequential fallback (which
         # honours them) instead of silently dropping mid-trial fault
         # tolerance or profiling.
+        # NOTE: `epoch_fused` is deliberately NOT in this list — it is a
+        # pure execution-strategy knob with identical numerics, and the
+        # wave loop already amortises dispatch across trials; silently
+        # proceeding loses nothing user-visible, unlike the facilities
+        # below.
         unsupported = [key for key in (
             "checkpoint_dir", "checkpoint_every", "resume", "prefetch",
             "profile_dir",
