@@ -48,6 +48,19 @@ def _shard_streams(x, mesh):
     return shard_batch(x, mesh)
 
 
+def _check_backlog_layout(xs, n_streams: int):
+    """A backlog must be time-major (K, B, C).  The natural pipeline
+    layout is (B, K, C) — when B == K a swapped array is shape-consistent
+    and would silently scan streams as time, so the stream axis is
+    checked against the state explicitly."""
+    if xs.ndim != 3 or xs.shape[1] != n_streams:
+        raise ValueError(
+            f"step_many expects a time-major (K, B={n_streams}, C) "
+            f"backlog; got shape {tuple(xs.shape)} — np.swapaxes(xs, 0, 1) "
+            "a (B, K, C) array first"
+        )
+
+
 def _shard_block(xs, mesh):
     """Place a (K, B, C) observation block with its STREAM axis (axis 1)
     split over the data axis — the block axis is time and stays local."""
@@ -516,6 +529,7 @@ class OnlineNCDEStepper:
         compiles once; chunk a long backlog into fixed-size blocks to
         bound the jit cache."""
         xs = jnp.asarray(xs)
+        _check_backlog_layout(xs, state["z"].shape[0])
         if self.mesh is not None:
             # Shard the stream axis (axis 1); the block axis stays local.
             xs = _shard_block(xs, self.mesh)

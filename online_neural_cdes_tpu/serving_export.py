@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from online_neural_cdes_tpu.serving import Predictor, _round_up
+from online_neural_cdes_tpu.serving import (
+    Predictor, _check_backlog_layout, _round_up,
+)
 
 __all__ = [
     "export_predictor",
@@ -610,13 +612,20 @@ class _LoadedStepper:
         ``block_sizes`` modules (one round-trip per block), then single
         steps for the remainder.  Exact — same per-tick arithmetic."""
         xs = jnp.asarray(xs, jnp.float32)
+        b = state["z"].shape[0]
+        _check_backlog_layout(xs, b)
+        if xs.shape[0] == 0:
+            # Match the live stepper's empty-scan result: (0, B, out),
+            # with out read from the step module's output signature.
+            y_aval = self._modules[f"step_b{b}"].out_avals[-1]
+            return state, jnp.zeros((0,) + tuple(y_aval.shape),
+                                    y_aval.dtype)
         if self._shard is not None:
             from online_neural_cdes_tpu.serving import _shard_block
 
             xs = _shard_block(xs, self.mesh)
-        b = state["z"].shape[0]
         blocks = sorted(self._manifest.get("block_sizes", []), reverse=True)
-        ys, k = [], 0
+        parts, k = [], 0  # (size, B, out) chunks; ONE concatenate at the end
         while k < xs.shape[0]:
             rest = xs.shape[0] - k
             size = next((s for s in blocks
@@ -628,13 +637,13 @@ class _LoadedStepper:
                     xs[k:k + size],
                 )
                 state = {"z": z, "last_obs": filled}
-                ys.extend(ys_blk[i] for i in range(size))
+                parts.append(ys_blk)
                 k += size
             else:
                 state, y = self.step(state, xs[k])
-                ys.append(y)
+                parts.append(y[None])
                 k += 1
-        return state, jnp.stack(ys, axis=0)
+        return state, jnp.concatenate(parts, axis=0)
 
     def readout(self, z):
         return self._mod("readout", z.shape[0])(self._flat, z)

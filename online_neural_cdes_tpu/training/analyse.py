@@ -75,10 +75,12 @@ _DEFAULT_DIGITS = 3
 
 
 def _mean_std(series: pd.Series, digits: int = _DEFAULT_DIGITS) -> str:
+    # "$\pm$" is the reference's LaTeX convention (analyse.py:288,372).
     vals = series.dropna().astype(float)
     if len(vals) == 0:
         return "-"
-    return (f"{vals.mean():.{digits}f} +/- {vals.std(ddof=0):.{digits}f}")
+    return (f"{vals.mean():.{digits}f} $\\pm$ "
+            f"{vals.std(ddof=0):.{digits}f}")
 
 
 def seed_averaged(frame: pd.DataFrame, value: str = "test_metric",
@@ -362,8 +364,7 @@ def write_analysis_tables(ledger: Ledger, out_dir: str,
             nfe = pd.pivot_table(
                 kilo, values="nfe_per_epoch",
                 index=["dataset_name", "interpolation"],
-                aggfunc=lambda v: (
-                    f"{v.mean():.1f} $\\pm$ {v.std(ddof=0):.1f}"),
+                aggfunc=lambda v: _mean_std(v, 1),
             )
             if not nfe.empty:
                 combined[r"NFEs per epoch $\times 10^3$"] = (

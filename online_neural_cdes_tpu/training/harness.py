@@ -478,9 +478,9 @@ def train(
                 donate=False, compute_dtype=compute_dtype,
             )
         else:
-            # One (or one-shaped) batch: the per-step path IS one dispatch.
+            # One (or one-shaped) batch: the per-step path IS one dispatch;
+            # epoch_fn stays None and only the tail loop runs.
             fused_tail = list(zip(prepared_all, labels_all))
-            epoch_fn = "tail-only"
 
     # Profile the second epoch (the first compiles) — or the only epoch
     # when just one will run, so profile_dir never silently captures
@@ -499,8 +499,8 @@ def train(
         else:
             ctx = contextlib.nullcontext()
         with ctx:
-            if epoch_fn is not None:
-                if epoch_fn != "tail-only":
+            if epoch_fused:
+                if epoch_fn is not None:
                     params, opt_state, losses = epoch_fn(
                         params, opt_state, stacked_inputs, stacked_labels,
                         lr_scale,

@@ -1220,8 +1220,8 @@ def test_seed_averaged_per_dataset_rounding():
          "test_metric": 0.8251},
     ])
     t = analyse.seed_averaged(frame)
-    assert t.loc["ncde", "BeijingPM10"] == "62.7 +/- 0.3"
-    assert t.loc["ncde", "Mortality"] == "0.819 +/- 0.006"
+    assert t.loc["ncde", "BeijingPM10"] == r"62.7 $\pm$ 0.3"
+    assert t.loc["ncde", "Mortality"] == r"0.819 $\pm$ 0.006"
 
 
 def test_compute_dtype_mixed_precision_step(toy_dataset):

@@ -674,6 +674,13 @@ def test_exported_step_blocks_catch_up_backlog(tmp_path):
         ys_live.append(np.asarray(y))
 
     s_art = loaded.init(x[:, 0])
+    # Empty backlog: no-op state, (0, B, out) like the live scan.
+    s_art, ys_empty = loaded.step_many(s_art, np.zeros((0, B, 3), np.float32))
+    assert ys_empty.shape[0] == 0 and ys_empty.shape[1] == B
+    # Wrong layout ((B, K, C) un-swapped) fails loudly, not silently.
+    import pytest
+    with pytest.raises(ValueError, match="time-major"):
+        loaded.step_many(s_art, x[:, 1:])
     xs = np.swapaxes(x[:, 1:], 0, 1)  # (K, B, C)
     s_art, ys_art = loaded.step_many(s_art, xs)
     np.testing.assert_array_equal(np.asarray(ys_art), np.stack(ys_live))
