@@ -268,6 +268,11 @@ def main(argv=None) -> str:
                          "bfloat16 — halves the weight payload and serve-"
                          "time weight HBM traffic; outputs match f32 to "
                          "reduced-precision tolerance)")
+    ap.add_argument("--verify", action="store_true",
+                    help="after exporting, reload the artifact in-process "
+                         "and assert it serves synthetic rows identically "
+                         "to the live predictor (adds 'verified' to the "
+                         "summary)")
     ap.add_argument("--update-params-only", action="store_true",
                     help="roll the checkpoint into the EXISTING artifact "
                          "at --out (atomic params.npz rewrite; architecture "
@@ -317,6 +322,37 @@ def main(argv=None) -> str:
         "channels": info["channels"],
         "max_length": args.max_length or info["max_length"],
     }
+    if args.verify:
+        # Load-and-compare gate before the artifact ships: synthetic rows
+        # (time channel first, the corpus input space) through the
+        # reloaded StableHLO vs the live predictor.  params_dtype exports
+        # compare within reduced-precision tolerance, f32 bit-exactly.
+        from online_neural_cdes_tpu.serving_export import load_predictor
+
+        rng = np.random.default_rng(0)
+        C = info["channels"]
+        max_len = args.max_length or info["max_length"]
+        rows = []
+        for L in {4, max(4, max_len // 2), max_len}:
+            r = rng.normal(size=(L, C)).astype(np.float32)
+            r[:, 0] = np.arange(L)
+            rows.append(r)
+        static = (
+            rng.normal(size=(len(rows), info["static_dim"])).astype(
+                np.float32)
+            if info["static_dim"] else None
+        )
+        live_outs = predictor.predict(rows, static=static)
+        art_outs = load_predictor(args.out).predict(rows, static=static)
+        for a, b in zip(art_outs, live_outs):
+            if args.params_dtype is None:
+                np.testing.assert_array_equal(a, b)
+            else:
+                np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+        summary["verified"] = (
+            "bit-exact" if args.params_dtype is None
+            else f"within {args.params_dtype} tolerance"
+        )
     if args.stepper:
         stepper, sinfo = build_stepper_from_config(
             config, args.checkpoint, _rebuilt=rebuilt

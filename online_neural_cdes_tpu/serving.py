@@ -542,3 +542,19 @@ class OnlineNCDEStepper:
         if self.model.apply_final_linear:
             return self._linear_apply(self.params["final"], z)
         return z
+
+    def precompile(self, n_streams: int, block_sizes=()) -> int:
+        """Warm the jitted tick (and optional catch-up-block) caches with
+        zero observations so the first real stream pays no compile —
+        the stepper analogue of ``Predictor.precompile``.  Returns the
+        number of programs compiled."""
+        c = int(self.model.input_dim)
+        x0 = jnp.zeros((n_streams, c), jnp.float32)
+        state = self.init(x0)
+        state, _ = self.step(state, x0)
+        compiled = 2
+        for k in block_sizes:
+            self.step_many(state, jnp.zeros((int(k), n_streams, c),
+                                            jnp.float32))
+            compiled += 1
+        return compiled

@@ -91,6 +91,16 @@ def _flat_spec(leaves):
     ]
 
 
+def _sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def _write_params(path, leaves):
     """Atomically (re)write params.npz.  Extension float dtypes (bfloat16,
     float8) store as their raw bit patterns via a same-width unsigned-int
@@ -107,6 +117,7 @@ def _write_params(path, leaves):
     tmp = target + ".tmp.npz"  # must end in .npz or np.savez appends it
     np.savez(tmp, **out)
     os.replace(tmp, target)
+    return _sha256(target)
 
 
 def _write_artifact(path, leaves, named_modules, manifest):
@@ -119,14 +130,21 @@ def _write_artifact(path, leaves, named_modules, manifest):
     for fname in os.listdir(mod_dir):
         if fname.endswith(".bin"):
             os.remove(os.path.join(mod_dir, fname))
+    module_sha = {}
     for name, exported in named_modules:
-        with open(os.path.join(mod_dir, name + ".bin"), "wb") as f:
+        mod_path = os.path.join(mod_dir, name + ".bin")
+        with open(mod_path, "wb") as f:
             f.write(exported.serialize())
-    _write_params(path, leaves)
+        module_sha[name] = _sha256(mod_path)
+    params_sha = _write_params(path, leaves)
     manifest = dict(
         manifest,
         format_version=_FORMAT_VERSION,
         leaf_dtypes=[str(np.asarray(l).dtype) for l in leaves],
+        # Integrity digests: the loader refuses a corrupted/partially-
+        # copied artifact instead of serving garbage weights.
+        params_sha256=params_sha,
+        module_sha256=module_sha,
     )
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -205,18 +223,18 @@ def update_params(path: str, params) -> int:
                     f"{old[f'p{i:04d}'].shape} — a different architecture "
                     "needs a re-export, not a params update"
                 )
-    _write_params(path, leaves)
-    if manifest["format_version"] != _FORMAT_VERSION and any(
-        np.asarray(l).dtype.kind not in "biufc" for l in leaves
-    ):
-        # The rewrite just stored extension floats in the v2 bit-pattern
-        # encoding; stamp the manifest so a v1-only loader refuses the
-        # artifact instead of value-casting garbage weights.
+    params_sha = _write_params(path, leaves)
+    # The params digest changed; stamp it (and, when the rewrite just
+    # stored extension floats in the v2 bit-pattern encoding, the format
+    # version — so a v1-only loader refuses instead of value-casting
+    # garbage weights).
+    manifest["params_sha256"] = params_sha
+    if any(np.asarray(l).dtype.kind not in "biufc" for l in leaves):
         manifest["format_version"] = _FORMAT_VERSION
-        tmp = os.path.join(path, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(path, _MANIFEST))
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
     return len(leaves)
 
 
@@ -226,6 +244,28 @@ def _read_artifact(path: str, expected_artifact: str):
     from jax import export as jax_export
 
     manifest = _read_manifest(path, expected_artifact)
+    # Integrity: digests are stamped at export/update time; a mismatch
+    # means a corrupted or partially-copied artifact — refuse loudly
+    # instead of serving garbage weights.  (Absent on pre-digest
+    # artifacts — nothing to verify against.)
+    want_params = manifest.get("params_sha256")
+    if want_params is not None:
+        got = _sha256(os.path.join(path, _PARAMS))
+        if got != want_params:
+            raise ValueError(
+                f"artifact integrity check failed: params.npz sha256 "
+                f"{got[:12]}… != manifest {want_params[:12]}… — the "
+                "artifact is corrupted or was partially copied; re-export "
+                "or restore from a good copy"
+            )
+    for name, want in (manifest.get("module_sha256") or {}).items():
+        mod_path = os.path.join(path, _MODULES, name + ".bin")
+        if not os.path.exists(mod_path) or _sha256(mod_path) != want:
+            raise ValueError(
+                f"artifact integrity check failed: module {name!r} is "
+                "missing or corrupted — re-export or restore from a good "
+                "copy"
+            )
     npz = np.load(os.path.join(path, _PARAMS))
     # Restore the exported dtypes: extension floats were written as raw
     # same-width unsigned-int bit patterns (view back, lossless); earlier
@@ -241,12 +281,16 @@ def _read_artifact(path: str, expected_artifact: str):
         flat.append(jnp.asarray(raw, dtype=want))
     modules = {}
     mod_dir = os.path.join(path, _MODULES)
-    for fname in os.listdir(mod_dir):
-        if fname.endswith(".bin"):
-            with open(os.path.join(mod_dir, fname), "rb") as f:
-                modules[fname[: -len(".bin")]] = jax_export.deserialize(
-                    f.read()
-                )
+    listed = manifest.get("module_sha256")
+    if listed:
+        # The digest map is authoritative: load exactly the exported set
+        # (a stray .bin dropped into the directory is never served).
+        names = [n + ".bin" for n in listed]
+    else:  # pre-digest artifact: directory sweep
+        names = [f for f in os.listdir(mod_dir) if f.endswith(".bin")]
+    for fname in names:
+        with open(os.path.join(mod_dir, fname), "rb") as f:
+            modules[fname[: -len(".bin")]] = jax_export.deserialize(f.read())
     return manifest, flat, modules
 
 
@@ -647,6 +691,30 @@ class _LoadedStepper:
 
     def readout(self, z):
         return self._mod("readout", z.shape[0])(self._flat, z)
+
+    def precompile(self) -> int:
+        """Warm every exported module's jit cache (init/step/readout per
+        stream-batch size, plus any catch-up blocks) with zero
+        observations, so the first real tick pays no compile.  Returns
+        the number of programs compiled."""
+        c = int(self._manifest["channels"])
+        compiled = 0
+        for b in self._manifest["batch_sizes"]:
+            if self._manifest["static_dim"] is not None and (
+                self.static is None or self.static.shape[0] != b
+            ):
+                continue  # static binds one stream population size
+            x0 = jnp.zeros((b, c), jnp.float32)
+            state = self.init(x0)
+            self.readout(state["z"])
+            state, _ = self.step(state, x0)
+            compiled += 3
+            for k in self._manifest.get("block_sizes", []):
+                if f"stepblock{k}_b{b}" in self._modules:
+                    self.step_many(state, jnp.zeros((int(k), b, c),
+                                                    jnp.float32))
+                    compiled += 1
+        return compiled
 
 
 def load_stepper(path: str, static=None, mesh=None) -> _LoadedStepper:

@@ -510,3 +510,22 @@ def test_cli_params_dtype_bf16_export(tmp_path, corpus):
     b = load_predictor(out16).predict([r for r in raw])
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, rtol=0.05, atol=0.05)
+
+
+def test_cli_verify_gate(tmp_path, corpus, capsys):
+    """--verify reloads the freshly exported artifact and asserts it
+    serves identically to the live predictor before the CLI returns."""
+    config = _config("linear")
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(3))
+    ckpt = save_checkpoint(str(tmp_path / "best_params"), params,
+                           use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    main(["--config", str(cfg_path), "--checkpoint", ckpt,
+          "--out", str(tmp_path / "a"), "--data-root", corpus,
+          "--batch-buckets", "4", "--length-multiple", "8",
+          "--platforms", "cpu", "--verify"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["verified"] == "bit-exact"

@@ -618,6 +618,9 @@ def test_v1_artifact_still_loads_and_v2_is_stamped(tmp_path):
         }
     np.savez(os.path.join(bf16_dir, "params.npz"), **f32up)
     manifest["format_version"] = 1
+    # v1 artifacts predate the integrity digests too.
+    manifest.pop("params_sha256", None)
+    manifest.pop("module_sha256", None)
     json.dump(manifest, open(manifest_path, "w"))
 
     v1_outs = load_predictor(bf16_dir).predict(_requests(2, seed=21))
@@ -686,3 +689,55 @@ def test_exported_step_blocks_catch_up_backlog(tmp_path):
     np.testing.assert_array_equal(np.asarray(ys_art), np.stack(ys_live))
     np.testing.assert_array_equal(np.asarray(s_art["z"]),
                                   np.asarray(s_live["z"]))
+
+
+def test_artifact_integrity_check_refuses_corruption(tmp_path):
+    """Digests stamped at export time: flipping bytes in params.npz (or a
+    module) makes the loader refuse instead of serving garbage weights;
+    update_params re-stamps the params digest."""
+    from online_neural_cdes_tpu.serving_export import update_params
+
+    pred = _predictor()
+    export_predictor(pred, str(tmp_path), channels=3, max_length=8,
+                     platforms=("cpu",))
+    load_predictor(str(tmp_path))  # intact -> loads
+
+    params_path = os.path.join(str(tmp_path), "params.npz")
+    blob = bytearray(open(params_path, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(params_path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="integrity"):
+        load_predictor(str(tmp_path))
+
+    # Re-export replaces the corrupted artifact wholesale; a subsequent
+    # update_params re-stamps the digest and the artifact still loads.
+    export_predictor(pred, str(tmp_path), channels=3, max_length=8,
+                     platforms=("cpu",))
+    update_params(str(tmp_path), pred.params)
+    load_predictor(str(tmp_path))
+
+    mod_dir = os.path.join(str(tmp_path), "modules")
+    victim = sorted(os.listdir(mod_dir))[0]
+    blob = bytearray(open(os.path.join(mod_dir, victim), "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(os.path.join(mod_dir, victim), "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="integrity"):
+        load_predictor(str(tmp_path))
+
+
+def test_stepper_precompile_warms_all_modules(tmp_path):
+    """precompile() touches every exported module (+catch-up blocks) so
+    the first real tick pays no compile; live stepper analogue too."""
+    from online_neural_cdes_tpu.serving_export import (
+        export_stepper, load_stepper,
+    )
+
+    stepper, _ = _stepper(B=3)
+    assert stepper.precompile(3, block_sizes=(4,)) == 3
+
+    export_stepper(stepper, str(tmp_path), batch_sizes=(3,), channels=3,
+                   platforms=("cpu",), block_sizes=(4,))
+    loaded = load_stepper(str(tmp_path))
+    assert loaded.precompile() == 4  # init/step/readout + stepblock4
+    # Every module wrapper now sits in the jit cache.
+    assert len(loaded._jitted) == 4
