@@ -162,11 +162,16 @@ def _fixed_scan_forward(pf, z0, grid_t, pieces, args, method, substeps, remat,
         def f(tt, zz):
             return pf(piece, tt, tt - t0, zz, args)
 
+        def keep_dtype(out):
+            # As in _one_interval: f32 grid times must not promote a
+            # reduced-precision carry (no-op for f32 states).
+            return jax.tree.map(lambda o, zz: o.astype(zz.dtype), out, z)
+
         if substeps == 1:
-            z = step(f, t0, dt, z)
+            z = keep_dtype(step(f, t0, dt, z))
         else:
-            def sub(z, k):
-                return step(f, t0 + k * dt, dt, z), None
+            def sub(zz, k):
+                return keep_dtype(step(f, t0 + k * dt, dt, zz)), None
 
             z, _ = jax.lax.scan(sub, z, jnp.arange(substeps))
         return z, z

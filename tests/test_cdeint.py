@@ -378,12 +378,18 @@ def test_fixed_adjoint_step_size_resolves_like_substeps():
     assert max(diffs) > 0, diffs
 
 
-def test_bf16_storage_adjoint_path():
+@pytest.mark.parametrize("interpolation,adjoint", [
+    ("rectilinear", True),   # paired scan + interval adjoint
+    ("linear", True),        # unpaired scan + interval adjoint
+    ("linear", False),       # unpaired scan + direct backprop
+])
+def test_bf16_storage_adjoint_path(interpolation, adjoint):
     """Reduced-precision storage (bf16 params + coefficients) flows through
-    the paired rectilinear forward AND the interval adjoint: scan carries
-    and vjp cotangents keep the storage dtype (the f32 grid times must not
-    promote them), gradients come back bf16 and finite, and the loss sits
-    within reduced-precision tolerance of f32."""
+    every fixed-grid solve path — paired rectilinear, unpaired linear,
+    adjoint and direct backprop: scan carries and vjp cotangents keep the
+    storage dtype (the f32 grid times must not promote them), gradients
+    come back bf16 and finite, and the loss sits within reduced-precision
+    tolerance of f32."""
     import optax
 
     from online_neural_cdes_tpu.models.ncde import NeuralCDE
@@ -392,12 +398,15 @@ def test_bf16_storage_adjoint_path():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(B, L, C)).astype(np.float32)
     x[:, :, 0] = np.arange(L)
-    coeffs32 = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    if interpolation == "rectilinear":
+        coeffs32 = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    else:
+        coeffs32 = linear_interpolation_coeffs(jnp.asarray(x))
     labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
     model = NeuralCDE(
         input_dim=C, hidden_dim=H, output_dim=1, hidden_hidden_dim=H,
-        num_layers=2, interpolation="rectilinear", return_sequences=True,
-        adjoint=True, solver="rk4",
+        num_layers=2, interpolation=interpolation, return_sequences=True,
+        adjoint=adjoint, solver="rk4",
     )
 
     losses = {}
