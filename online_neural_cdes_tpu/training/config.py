@@ -176,7 +176,11 @@ def parse_configuration_json(
 ):
     """Suite name -> fully-expanded config list (reference utils.py:145-202)."""
     suites = load_json(os.path.join(config_dir, "configurations.json5"))
-    assert run_name in suites, f"Configuration not found for {run_name}"
+    if run_name not in suites:
+        raise ValueError(
+            f"No configuration suite named {run_name!r}; available: "
+            f"{sorted(suites)}"
+        )
     cfg = copy.deepcopy(suites[run_name])
 
     db_name = run_name
