@@ -54,7 +54,10 @@ def prepare_gru_variant_data(controls: jax.Array, variant: str,
                              feature_means: jax.Array | None = None) -> jax.Array:
     """Returns [N, 4, L, C] for gru-d, else the variant's channel-concat
     [N, L, C*k] (reference grud.py:213-281)."""
-    assert variant in GRU_VARIANTS, f"variant={variant} not implemented"
+    if variant not in GRU_VARIANTS:
+        raise ValueError(
+            f"variant={variant!r} not implemented; one of {GRU_VARIANTS}"
+        )
     controls = jnp.asarray(controls)
 
     # Steps past the final time (NaN time channel) are zeroed after filling.

@@ -94,7 +94,11 @@ class NeuralCDE:
     solver_unroll: int = 1
 
     def __post_init__(self):
-        assert self.interpolation in SPLINES, self.interpolation
+        if self.interpolation not in SPLINES:
+            raise ValueError(
+                f"unknown interpolation {self.interpolation!r}; one of "
+                f"{sorted(SPLINES)}"
+            )
         from online_neural_cdes_tpu.ops import solvers as _solvers
 
         valid = (
@@ -102,7 +106,10 @@ class NeuralCDE:
             + tuple(_solvers.ADAPTIVE_METHODS)
             + ("explicit_adams", "implicit_adams", "scipy_solver")
         )
-        assert self.solver in valid, self.solver
+        if self.solver not in valid:
+            raise ValueError(
+                f"unknown solver {self.solver!r}; one of {sorted(valid)}"
+            )
         # scipy runs on host (not traceable): forward-only, eager.
         assert not (self.solver == "scipy_solver" and self.adjoint), (
             "scipy_solver is a host fallback: gradients cannot trace through "

@@ -54,10 +54,22 @@ class VectorField:
     kind: str = "original"
 
     def __post_init__(self):
-        assert self.kind in VECTOR_FIELDS, self.kind
-        assert self.vector_field_type in ("matmul", "evaluate", "derivative")
+        if self.kind not in VECTOR_FIELDS:
+            raise ValueError(
+                f"unknown vector field {self.kind!r}; one of "
+                f"{sorted(VECTOR_FIELDS)}"
+            )
+        if self.vector_field_type not in ("matmul", "evaluate", "derivative"):
+            raise ValueError(
+                f"unknown vector_field_type {self.vector_field_type!r}; "
+                "one of (matmul, evaluate, derivative)"
+            )
         if self.kind in ("sparse", "low-rank"):
-            assert self.sparsity is not None, "sparse methods must have a sparsity!"
+            if self.sparsity is None:
+                raise ValueError(
+                    f"vector field {self.kind!r} requires sparsity= "
+                    "(reference: 'sparse methods must have a sparsity!')"
+                )
             assert self.vector_field_type == "matmul"
         if self.kind in ("gru", "minimal"):
             assert self.sparsity is None, "sparsity not implemented for gated methods"

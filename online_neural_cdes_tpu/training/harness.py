@@ -99,7 +99,10 @@ def setup_model(
 ) -> ModelBundle:
     """Build a model + batch adapter from a config (reference
     setup_model.py:33-152)."""
-    assert model_string in MODEL_STRINGS, model_string
+    if model_string not in MODEL_STRINGS:
+        raise ValueError(
+            f"unknown model_string {model_string!r}; one of {MODEL_STRINGS}"
+        )
 
     identity = lambda inputs: inputs
 
