@@ -52,6 +52,9 @@ def main():
     )
     params = model.init(jax.random.PRNGKey(0))
     opt_state = init_adam_state(params)
+    # Mixed precision: add compute_dtype="bfloat16" to run the fwd+bwd at
+    # bf16 storage (f32 master weights) — halves weight/coefficient HBM
+    # traffic on TPU.
     step = make_train_step(model, loss="bce", lr=1e-3, donate=False)
 
     labels_j = jnp.asarray(labels)
