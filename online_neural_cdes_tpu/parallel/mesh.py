@@ -20,9 +20,20 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding"]
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "data_parallel_sharding",
+    "data_axis_size",
+]
 
 DATA_AXIS = "data"
+
+
+def data_axis_size(mesh: "Mesh") -> int:
+    """Devices along the axis batches shard over — the divisibility unit
+    for batch/bucket/stream sizes.  A multi-axis mesh (e.g.
+    (ensemble, data)) shards batches over its 'data' axis only, so the
+    total device count is the wrong divisor."""
+    return int(dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS])
 
 
 def initialize_multihost(**kwargs) -> None:

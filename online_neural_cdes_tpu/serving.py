@@ -18,7 +18,7 @@ import numpy as np
 
 from online_neural_cdes_tpu.data.loader import pad_ragged
 from online_neural_cdes_tpu.parallel.mesh import (
-    DATA_AXIS, replicate, shard_batch,
+    DATA_AXIS, data_axis_size as _data_axis_size, replicate, shard_batch,
 )
 
 __all__ = ["OnlineNCDEStepper", "Predictor", "predictor_from_bundle"]
@@ -26,13 +26,6 @@ __all__ = ["OnlineNCDEStepper", "Predictor", "predictor_from_bundle"]
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
-
-
-def _data_axis_size(mesh) -> int:
-    """Devices along the axis batches shard over — the divisibility unit.
-    A multi-axis mesh (e.g. (ensemble, data)) shards batches over its
-    'data' axis only, so total device count is the wrong divisor."""
-    return int(dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS])
 
 
 def _shard_streams(x, mesh):

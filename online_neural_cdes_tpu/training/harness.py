@@ -239,6 +239,29 @@ def _concat_ragged_time(chunks):
     return np.concatenate(padded)
 
 
+def _pad_to_mesh_multiple(prepared, labels, n_data: int):
+    """Pad a ragged tail batch up to the mesh data-axis multiple so the
+    sharded train step accepts it: inputs repeat their final row, labels
+    pad with NaN — the NaN-masked losses ignore the padding, so the
+    gradient (sum over real rows / real count) is unchanged."""
+    b = int(labels.shape[0])
+    pad = (-b) % n_data
+    if pad == 0:
+        return prepared, labels
+    if not jnp.issubdtype(labels.dtype, jnp.floating):
+        labels = labels.astype(jnp.float32)  # NaN-maskable
+    prepared = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+        prepared,
+    )
+    labels = jnp.concatenate(
+        [labels, jnp.full((pad,) + labels.shape[1:], jnp.nan, labels.dtype)],
+        axis=0,
+    )
+    return prepared, labels
+
+
 def _evaluate(bundle, params, batches, loss_name, metric_names):
     pointwise = make_loss(loss_name)
     eval_step = getattr(bundle, "_eval_step", None)
@@ -456,8 +479,15 @@ def train(
 
         prepared_all, labels_all = [], []
         for inputs, labels in train_batches:
-            prepared_all.append(bundle.prepare_batch(inputs))
-            labels_all.append(jnp.asarray(labels))
+            p, lj = bundle.prepare_batch(inputs), jnp.asarray(labels)
+            if mesh is not None:
+                from online_neural_cdes_tpu.parallel.mesh import (
+                    data_axis_size,
+                )
+
+                p, lj = _pad_to_mesh_multiple(p, lj, data_axis_size(mesh))
+            prepared_all.append(p)
+            labels_all.append(lj)
 
         def _shapes(tree):
             return jax.tree.map(lambda a: jnp.shape(a), tree)
@@ -516,9 +546,17 @@ def train(
             else:
                 for inputs, labels in epoch_batches():
                     prepared = bundle.prepare_batch(inputs)
+                    labels_j = jnp.asarray(labels)
+                    if mesh is not None:
+                        from online_neural_cdes_tpu.parallel.mesh import (
+                            data_axis_size,
+                        )
+
+                        prepared, labels_j = _pad_to_mesh_multiple(
+                            prepared, labels_j, data_axis_size(mesh)
+                        )
                     params, opt_state, loss_val = step(
-                        params, opt_state, prepared, jnp.asarray(labels),
-                        lr_scale,
+                        params, opt_state, prepared, labels_j, lr_scale,
                     )
             if profiling:
                 from online_neural_cdes_tpu.utils.profiling import device_sync

@@ -883,3 +883,48 @@ def test_mesh_sharded_predictor_matches_single_device():
 
     with pytest.raises(ValueError, match="divide"):
         Predictor(model, params, mesh=mesh, batch_buckets=(4,))
+
+
+def test_full_feature_stack_composes(tmp_path):
+    """The r4 production stack composes: data-mesh training x epoch_fused
+    x compute_dtype='bfloat16' through the real harness reproduces the
+    plain single-device bf16 run (data parallelism and epoch fusion are
+    execution strategies, not math changes)."""
+    import numpy as np
+
+    from online_neural_cdes_tpu.data.builders import build_toy_bm
+    from online_neural_cdes_tpu.data.loader import load_numpy_data
+    from online_neural_cdes_tpu.parallel.mesh import make_mesh
+    from online_neural_cdes_tpu.training.harness import setup_model, train
+
+    root = str(tmp_path / "processed")
+    build_toy_bm(root=root, num_paths=96, n_points=6, seed=0)
+    path = f"{root}/Toy/BM/improved-neural-cdes_data.npz"
+    splits = load_numpy_data(path, "rectilinear", use_static=True,
+                             problem="online")
+    train_d, val_d, test_d = splits
+
+    def run(**kw):
+        bundle = setup_model(
+            "ncde", input_dim=train_d.input_dim, output_dim=1,
+            static_dim=train_d.static.shape[-1], hidden_dim=8,
+            hidden_hidden_dim=8, num_layers=1,
+            interpolation="rectilinear", adjoint=True, solver="rk4",
+            return_sequences=True, train_data=train_d,
+        )
+        return train(
+            bundle, train_d, val_d, test_d, loss_str="bce",
+            metrics=("loss", "auc"), val_metric_to_monitor="auc",
+            max_epochs=3, batch_size=16, seed=0,
+            compute_dtype="bfloat16", **kw,
+        )
+
+    plain = run()
+    stacked = run(mesh=make_mesh(2), epoch_fused=True)
+    # bf16 compute amplifies the psum-vs-serial reduction-order drift to
+    # ~3e-4 relative over 3 epochs; anything beyond that would indicate a
+    # real composition bug (wrong padding mask, misaligned shards).
+    np.testing.assert_allclose(stacked["test.loss"], plain["test.loss"],
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(stacked["test.auc"], plain["test.auc"],
+                               rtol=5e-3, atol=1e-3)
