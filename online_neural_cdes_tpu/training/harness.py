@@ -453,9 +453,24 @@ def train(
             None if mesh is None else NamedSharding(mesh, PartitionSpec("data"))
         )
 
+        def _mesh_padded():
+            # The prefetcher pre-shards RAW batches over the data axis, so
+            # ragged tails must pad before it (same NaN-label masking as
+            # the un-prefetched path; prepare_batch runs on padded rows).
+            if mesh is None:
+                yield from train_batches
+                return
+            from online_neural_cdes_tpu.parallel.mesh import data_axis_size
+
+            n_data = data_axis_size(mesh)
+            for inputs, labels in train_batches:
+                yield _pad_to_mesh_multiple(
+                    inputs, jnp.asarray(labels), n_data
+                )
+
         def epoch_batches():
             return prefetch_to_device(
-                iter(train_batches), size=prefetch, sharding=batch_sharding
+                _mesh_padded(), size=prefetch, sharding=batch_sharding
             )
     else:
 

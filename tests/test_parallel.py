@@ -928,3 +928,32 @@ def test_full_feature_stack_composes(tmp_path):
                                rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(stacked["test.auc"], plain["test.auc"],
                                rtol=5e-3, atol=1e-3)
+
+
+def test_mesh_prefetch_ragged_tail(tmp_path):
+    """prefetch=N with a mesh must also survive ragged tail batches (the
+    prefetcher pre-shards raw batches over the data axis)."""
+    import numpy as np
+
+    from online_neural_cdes_tpu.data.builders import build_toy_bm
+    from online_neural_cdes_tpu.data.loader import load_numpy_data
+    from online_neural_cdes_tpu.parallel.mesh import make_mesh
+    from online_neural_cdes_tpu.training.harness import setup_model, train
+
+    root = str(tmp_path / "processed")
+    build_toy_bm(root=root, num_paths=96, n_points=6, seed=0)
+    path = f"{root}/Toy/BM/improved-neural-cdes_data.npz"
+    train_d, val_d, test_d = load_numpy_data(
+        path, "rectilinear", use_static=True, problem="online")
+    bundle = setup_model(
+        "ncde", input_dim=train_d.input_dim, output_dim=1,
+        static_dim=train_d.static.shape[-1], hidden_dim=8,
+        hidden_hidden_dim=8, num_layers=1, interpolation="rectilinear",
+        adjoint=True, solver="rk4", return_sequences=True,
+        train_data=train_d,
+    )
+    res = train(bundle, train_d, val_d, test_d, loss_str="bce",
+                metrics=("loss",), val_metric_to_monitor="loss",
+                max_epochs=2, batch_size=16, seed=0,
+                mesh=make_mesh(2), prefetch=2)
+    assert np.isfinite(res["test.loss"])
