@@ -262,12 +262,20 @@ def _pad_to_mesh_multiple(prepared, labels, n_data: int):
     return prepared, labels
 
 
-def _evaluate(bundle, params, batches, loss_name, metric_names):
+def _evaluate(bundle, params, batches, loss_name, metric_names, mesh=None):
     pointwise = make_loss(loss_name)
-    eval_step = getattr(bundle, "_eval_step", None)
+    # Cache one eval step per mesh identity: the sharded step's
+    # in_shardings differ from the single-device one's.
+    cache_key = "_eval_step" if mesh is None else "_eval_step_mesh"
+    eval_step = getattr(bundle, cache_key, None)
     if eval_step is None:
-        eval_step = make_eval_step(bundle.apply_fn)
-        bundle._eval_step = eval_step
+        eval_step = make_eval_step(bundle.apply_fn, mesh=mesh)
+        setattr(bundle, cache_key, eval_step)
+    n_data = None
+    if mesh is not None:
+        from online_neural_cdes_tpu.parallel.mesh import data_axis_size
+
+        n_data = data_axis_size(mesh)
     # Enqueue a WINDOW of batches' forwards + losses before transferring:
     # dispatch is asynchronous, so the device pipelines the window while
     # the host pays one transfer per array at the window end instead of a
@@ -280,14 +288,23 @@ def _evaluate(bundle, params, batches, loss_name, metric_names):
     pending = []
     for inputs, labels in batches:
         prepared = bundle.prepare_batch(inputs)
-        preds = eval_step(params, prepared)
         labels_j = jnp.asarray(labels)
+        if n_data is not None:
+            # Pad ragged tails to the mesh multiple; NaN pad labels are
+            # masked out of the loss here AND of the host metrics below
+            # (the metric helpers mask NaN rows), so results are exact.
+            prepared, labels_j = _pad_to_mesh_multiple(
+                prepared, labels_j, n_data
+            )
+        preds = eval_step(params, prepared)
         losses_dev.append(
             masked_temporal_loss(pointwise, preds, labels_j, sqrt=loss_name == "rmse")
         )
+        # Weight by the REAL batch size: each batch's masked loss already
+        # averages over its real rows only, pad rows contribute nothing.
         counts.append(len(labels))
         pending.append(preds)
-        labels_all.append(np.asarray(labels))
+        labels_all.append(np.asarray(labels_j))
         if len(pending) >= window:
             preds_all.extend(np.asarray(p) for p in pending)
             pending = []
@@ -584,7 +601,8 @@ def train(
             if epoch_nfe is not None:
                 nfe_total += epoch_nfe
 
-        val_results = _evaluate(bundle, params, val_batches, loss_str, metrics)
+        val_results = _evaluate(bundle, params, val_batches, loss_str,
+                                metrics, mesh=mesh)
         score = sign * val_results[val_metric_to_monitor]
         history.append({"epoch": epoch, "lr_scale": lr_scale, **val_results})
         if verbose:
@@ -662,7 +680,8 @@ def train(
     for split, batches in (
         ("train", train_batches), ("val", val_batches), ("test", test_batches)
     ):
-        split_results = _evaluate(bundle, best_params, batches, loss_str, metrics)
+        split_results = _evaluate(bundle, best_params, batches, loss_str,
+                                  metrics, mesh=mesh)
         results.update({f"{split}.{k}": v for k, v in split_results.items()})
     results["best_params"] = best_params
     return results
