@@ -323,6 +323,59 @@ def _evaluate(bundle, params, batches, loss_name, metric_names, mesh=None):
     return results
 
 
+def _build_fused_epoch(bundle, train_batches, mesh, loss_str, lr,
+                       final_lr_multiplier, compute_dtype):
+    """Epoch fusion setup (trainer.epoch_fused): one lax.scan dispatch per
+    epoch over pre-stacked batches instead of one dispatch per step — on a
+    tunneled/remote device per-step dispatch latency dominates small
+    models (the bench toy's protocol, loop.make_epoch_step).  Batches
+    iterate deterministically, so the stack happens ONCE; only the longest
+    same-shape PREFIX fuses (bucketed lengths / the ragged tail batch can
+    differ) and the remainder runs through the per-step path in original
+    order — the update sequence is identical to the unfused trainer
+    (tested).  Trades device memory (the stacked prefix stays resident)
+    for dispatch.  Returns (epoch_fn, stacked_inputs, stacked_labels,
+    tail); epoch_fn is None when no >=2-batch uniform prefix exists (the
+    per-step path is then already one dispatch per batch)."""
+    from online_neural_cdes_tpu.training.loop import make_epoch_step
+
+    n_data = None
+    if mesh is not None:
+        from online_neural_cdes_tpu.parallel.mesh import data_axis_size
+
+        n_data = data_axis_size(mesh)
+    prepared_all, labels_all = [], []
+    for inputs, labels in train_batches:
+        p, lj = bundle.prepare_batch(inputs), jnp.asarray(labels)
+        if n_data is not None:
+            p, lj = _pad_to_mesh_multiple(p, lj, n_data)
+        prepared_all.append(p)
+        labels_all.append(lj)
+
+    def _shapes(tree):
+        return jax.tree.map(lambda a: jnp.shape(a), tree)
+
+    k = 1
+    while (
+        k < len(prepared_all)
+        and _shapes(prepared_all[k]) == _shapes(prepared_all[0])
+        and labels_all[k].shape == labels_all[0].shape
+    ):
+        k += 1
+    if k < 2:
+        return None, None, None, list(zip(prepared_all, labels_all))
+    stacked_inputs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *prepared_all[:k])
+    stacked_labels = jnp.stack(labels_all[:k])
+    epoch_fn = make_epoch_step(
+        bundle.apply_fn, loss=loss_str, lr=lr,
+        final_lr_multiplier=final_lr_multiplier, mesh=mesh,
+        donate=False, compute_dtype=compute_dtype,
+    )
+    return (epoch_fn, stacked_inputs, stacked_labels,
+            list(zip(prepared_all[k:], labels_all[k:])))
+
+
 def train(
     bundle: ModelBundle,
     train_data: LoadedData,
@@ -494,58 +547,15 @@ def train(
         def epoch_batches():
             return train_batches
 
-    # Epoch fusion (trainer.epoch_fused): one lax.scan dispatch per epoch
-    # over the pre-stacked batches instead of one dispatch per step — on a
-    # tunneled/remote device per-step dispatch latency dominates small
-    # models (the bench toy's protocol, loop.make_epoch_step).  Batches
-    # iterate deterministically, so the stack happens ONCE; only the
-    # longest same-shape PREFIX fuses (bucketed lengths / the ragged tail
-    # batch can differ) and the remainder runs through the per-step path
-    # in original order — the update sequence is identical to the unfused
-    # trainer (tested).  Trades device memory (the whole stacked prefix
-    # stays resident) for dispatch.
     epoch_fn = stacked_inputs = stacked_labels = None
     fused_tail: list = []
     if epoch_fused:
-        from online_neural_cdes_tpu.training.loop import make_epoch_step
-
-        prepared_all, labels_all = [], []
-        for inputs, labels in train_batches:
-            p, lj = bundle.prepare_batch(inputs), jnp.asarray(labels)
-            if mesh is not None:
-                from online_neural_cdes_tpu.parallel.mesh import (
-                    data_axis_size,
-                )
-
-                p, lj = _pad_to_mesh_multiple(p, lj, data_axis_size(mesh))
-            prepared_all.append(p)
-            labels_all.append(lj)
-
-        def _shapes(tree):
-            return jax.tree.map(lambda a: jnp.shape(a), tree)
-
-        k = 1
-        while (
-            k < len(prepared_all)
-            and _shapes(prepared_all[k]) == _shapes(prepared_all[0])
-            and labels_all[k].shape == labels_all[0].shape
-        ):
-            k += 1
-        if k >= 2:
-            stacked_inputs = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *prepared_all[:k]
+        epoch_fn, stacked_inputs, stacked_labels, fused_tail = (
+            _build_fused_epoch(
+                bundle, train_batches, mesh, loss_str, lr,
+                final_lr_multiplier, compute_dtype,
             )
-            stacked_labels = jnp.stack(labels_all[:k])
-            fused_tail = list(zip(prepared_all[k:], labels_all[k:]))
-            epoch_fn = make_epoch_step(
-                bundle.apply_fn, loss=loss_str, lr=lr,
-                final_lr_multiplier=final_lr_multiplier, mesh=mesh,
-                donate=False, compute_dtype=compute_dtype,
-            )
-        else:
-            # One (or one-shaped) batch: the per-step path IS one dispatch;
-            # epoch_fn stays None and only the tail loop runs.
-            fused_tail = list(zip(prepared_all, labels_all))
+        )
 
     # Profile the second epoch (the first compiles) — or the only epoch
     # when just one will run, so profile_dir never silently captures
