@@ -6,7 +6,7 @@ ledger; shard the config list across hosts with --shard/--num-shards.
 
     python -m online_neural_cdes_tpu.run toy --test-mode
     python -m online_neural_cdes_tpu.run medical-sota --data-root data/processed
-    python -m online_neural_cdes_tpu.run --analyse medical-sota
+    python -m online_neural_cdes_tpu.run medical-sota --analyse --tables-out results/tables
 """
 
 from __future__ import annotations

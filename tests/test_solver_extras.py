@@ -576,3 +576,33 @@ def test_scipy_min_step_rejected_for_non_lsoda():
             None, method="scipy_solver",
             options={"solver": "RK45", "min_step": 0.1},
         )
+
+
+def test_vmap_per_sample_adaptive_stepping():
+    """Per-sample adaptive stepping (torchode semantics) composes via
+    jax.vmap over the adaptive while_loop core — each sample carries its
+    own step controller, results match per-sample solves (DESIGN.md
+    §Considered and rejected)."""
+    from online_neural_cdes_tpu.ops.solvers import odeint
+
+    def f(t, y, a):
+        return -a * y  # per-sample decay rates -> heterogeneous stiffness
+
+    t = jnp.asarray([0.0, 1.0], jnp.float64)
+    y0 = jnp.ones((4, 1), jnp.float64)
+    rates = jnp.asarray([0.1, 1.0, 10.0, 50.0], jnp.float64)
+
+    batched = jax.vmap(
+        lambda y, a: odeint(f, y, t, a, method="dopri5",
+                            rtol=1e-8, atol=1e-10)
+    )(y0, rates)
+    single = jnp.stack([
+        odeint(f, y0[i], t, rates[i], method="dopri5",
+               rtol=1e-8, atol=1e-10)
+        for i in range(4)
+    ])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
+                               rtol=1e-7, atol=1e-9)
+    exact = y0[:, None, :] * jnp.exp(-rates[:, None, None] * t[None, :, None])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(exact),
+                               rtol=1e-6, atol=1e-8)
