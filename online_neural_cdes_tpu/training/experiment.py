@@ -113,5 +113,6 @@ def run_experiment(config: dict, data_root: str = DEFAULT_DATA_ROOT,
         profile_dir=trainer_cfg.get("profile_dir"),
         compute_dtype=trainer_cfg.get("compute_dtype"),
         epoch_fused=trainer_cfg.get("epoch_fused", False),
+        accum_steps=trainer_cfg.get("accum_steps"),
     )
     return results

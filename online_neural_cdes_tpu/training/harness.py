@@ -324,7 +324,7 @@ def _evaluate(bundle, params, batches, loss_name, metric_names, mesh=None):
 
 
 def _build_fused_epoch(bundle, train_batches, mesh, loss_str, lr,
-                       final_lr_multiplier, compute_dtype):
+                       final_lr_multiplier, compute_dtype, accum_steps=None):
     """Epoch fusion setup (trainer.epoch_fused): one lax.scan dispatch per
     epoch over pre-stacked batches instead of one dispatch per step — on a
     tunneled/remote device per-step dispatch latency dominates small
@@ -370,7 +370,7 @@ def _build_fused_epoch(bundle, train_batches, mesh, loss_str, lr,
     epoch_fn = make_epoch_step(
         bundle.apply_fn, loss=loss_str, lr=lr,
         final_lr_multiplier=final_lr_multiplier, mesh=mesh,
-        donate=False, compute_dtype=compute_dtype,
+        donate=False, compute_dtype=compute_dtype, accum_steps=accum_steps,
     )
     return (epoch_fn, stacked_inputs, stacked_labels,
             list(zip(prepared_all[k:], labels_all[k:])))
@@ -403,6 +403,7 @@ def train(
     profile_dir: Optional[str] = None,
     compute_dtype: Optional[str] = None,
     epoch_fused: bool = False,
+    accum_steps: Optional[int] = None,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics.
@@ -462,7 +463,7 @@ def train(
     step = make_train_step(
         bundle.apply_fn, loss=loss_str, lr=lr,
         final_lr_multiplier=final_lr_multiplier, mesh=mesh, donate=False,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, accum_steps=accum_steps,
     )
     train_batches = Batches(train_data, batch_size)
     val_batches = Batches(val_data, batch_size)
@@ -553,7 +554,7 @@ def train(
         epoch_fn, stacked_inputs, stacked_labels, fused_tail = (
             _build_fused_epoch(
                 bundle, train_batches, mesh, loss_str, lr,
-                final_lr_multiplier, compute_dtype,
+                final_lr_multiplier, compute_dtype, accum_steps,
             )
         )
 

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from online_neural_cdes_tpu.training.metrics import make_loss, masked_temporal_loss
+from online_neural_cdes_tpu.training.metrics import (
+    make_loss, masked_temporal_loss, masked_temporal_loss_parts,
+)
 
 __all__ = [
     "make_optimizer", "make_train_step", "make_epoch_step", "make_eval_step",
@@ -50,7 +52,7 @@ def _resolve_apply(model_or_fn) -> Callable:
 
 
 def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier,
-                    final_key, compute_dtype=None):
+                    final_key, compute_dtype=None, accum_steps=None):
     """The un-jitted per-batch update shared by :func:`make_train_step`
     (jitted directly) and :func:`make_epoch_step` (scanned over stacked
     batches).  Returns ``(step, n_runtime)`` where ``n_runtime`` counts the
@@ -62,9 +64,8 @@ def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier,
 
     if compute_dtype is None:
 
-        def loss_fn(params, inputs, labels):
-            preds = apply_fn(params, inputs)
-            return masked_temporal_loss(pointwise, preds, labels, sqrt=sqrt)
+        def preds_fn(params, inputs):
+            return apply_fn(params, inputs)
 
     else:
         # Mixed-precision compute storage (AMP-style): master weights and
@@ -87,16 +88,87 @@ def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier,
                 tree,
             )
 
-        def loss_fn(params, inputs, labels):
-            preds = apply_fn(_cast(params), _cast(inputs))
-            return masked_temporal_loss(
-                pointwise, preds.astype(jnp.float32), labels, sqrt=sqrt
+        def preds_fn(params, inputs):
+            return apply_fn(_cast(params), _cast(inputs)).astype(jnp.float32)
+
+    def loss_fn(params, inputs, labels):
+        return masked_temporal_loss(
+            pointwise, preds_fn(params, inputs), labels, sqrt=sqrt
+        )
+
+    if accum_steps is None or int(accum_steps) <= 1:
+        value_and_grad_fn = jax.value_and_grad(loss_fn)
+    else:
+        # Gradient accumulation: the batch splits into `accum_steps`
+        # microbatches scanned with SUM-form masked losses (micro sums
+        # add exactly; micro MEANS would need per-micro mask counts to
+        # recombine) and one optimizer update.  Peak activation memory
+        # drops ~accum_steps-fold — the HBM lever for effective batches
+        # beyond device memory, composing with remat and compute_dtype.
+        # For rmse the sqrt is a reduction-level transform: accumulate
+        # the mse gradient, then chain d sqrt(m)/dm = 1/(2 sqrt(m)).
+        n_micro = int(accum_steps)
+
+        def loss_parts(params, inputs, labels):
+            return masked_temporal_loss_parts(
+                pointwise, preds_fn(params, inputs), labels
             )
+
+        def value_and_grad_fn(params, inputs, labels):
+            def resh(a):
+                b = a.shape[0]
+                if b % n_micro:
+                    raise ValueError(
+                        f"accum_steps={n_micro} must divide the batch "
+                        f"size {b}"
+                    )
+                return a.reshape((n_micro, b // n_micro) + a.shape[1:])
+
+            inputs_m = jax.tree.map(resh, inputs)
+            labels_m = resh(labels)
+
+            def micro(carry, mb):
+                gsum, tsum, csum = carry
+                mb_in, mb_lab = mb
+                (t, c), g = jax.value_and_grad(
+                    lambda p: loss_parts(p, mb_in, mb_lab), has_aux=True
+                )(params)
+                return (
+                    jax.tree.map(jnp.add, gsum, g),
+                    tsum + t, csum + c,
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            probe_t, probe_c = jax.eval_shape(
+                lambda p: loss_parts(
+                    p,
+                    jax.tree.map(lambda a: a[0], inputs_m),
+                    labels_m[0],
+                ),
+                params,
+            )
+            t0 = jnp.zeros((), probe_t.dtype)
+            c0 = jnp.zeros((), probe_c.dtype)
+            (gsum, tsum, csum), _ = jax.lax.scan(
+                micro, (zeros, t0, c0), (inputs_m, labels_m)
+            )
+            csafe = jnp.maximum(csum, 1)
+            mean = tsum / csafe
+            if sqrt:
+                value = jnp.sqrt(mean)
+                scale = 1.0 / (2.0 * jnp.maximum(value, 1e-12) * csafe)
+            else:
+                value = mean
+                scale = 1.0 / csafe
+            grads = jax.tree.map(
+                lambda g: (g * scale).astype(g.dtype), gsum
+            )
+            return value, grads
 
     if optimizer is not None:
 
         def step(params, opt_state, inputs, labels):
-            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+            value, grads = value_and_grad_fn(params, inputs, labels)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, value
@@ -121,7 +193,7 @@ def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier,
         # The readout boost rides as runtime data (per-trial in vmapped
         # hyperopt waves, training/wave.py) instead of a closure constant.
         def step(params, opt_state, inputs, labels, lr_scale, final_mult):
-            value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+            value, grads = value_and_grad_fn(params, inputs, labels)
             params, opt_state = apply_scaled(
                 params, opt_state, grads, lr_scale, final_mult
             )
@@ -130,7 +202,7 @@ def _make_step_body(model, optimizer, loss, lr, final_lr_multiplier,
         return step, 2
 
     def step(params, opt_state, inputs, labels, lr_scale):
-        value, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+        value, grads = value_and_grad_fn(params, inputs, labels)
         params, opt_state = apply_scaled(
             params, opt_state, grads, lr_scale, final_lr_multiplier
         )
@@ -165,6 +237,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     compute_dtype=None,
+    accum_steps: Optional[int] = None,
 ) -> Callable:
     """Returns a jitted step.
 
@@ -172,6 +245,12 @@ def make_train_step(
     storage — master weights/optimizer stay f32, the fwd+bwd runs with
     params and float inputs cast to this dtype (halves their HBM
     traffic; gradients return f32 through the cast).
+
+    ``accum_steps=N``: gradient accumulation — the batch splits into N
+    scanned microbatches with sum-form masked losses and ONE optimizer
+    update; identical gradients to the full-batch step (fp reorder
+    aside), ~N-fold lower peak activation memory.  N must divide the
+    batch size.
 
     With ``optimizer`` given (e.g. from :func:`make_optimizer`):
         ``step(params, opt_state, inputs, labels) -> (params, opt_state, loss)``
@@ -190,7 +269,7 @@ def make_train_step(
     """
     step, n_runtime = _make_step_body(
         model, optimizer, loss, lr, final_lr_multiplier, final_key,
-        compute_dtype,
+        compute_dtype, accum_steps,
     )
     return _jit_with_mesh(step, mesh, n_runtime, P("data"), donate)
 
@@ -205,6 +284,7 @@ def make_epoch_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     compute_dtype=None,
+    accum_steps: Optional[int] = None,
 ) -> Callable:
     """One dispatch per EPOCH: ``inputs``/``labels`` carry a leading steps
     axis ``(S, B, ...)`` and the jitted function ``lax.scan``s the shared
@@ -223,7 +303,7 @@ def make_epoch_step(
     """
     step, n_runtime = _make_step_body(
         model, optimizer, loss, lr, final_lr_multiplier, final_key,
-        compute_dtype,
+        compute_dtype, accum_steps,
     )
 
     def epoch(params, opt_state, inputs, labels, *extra):

@@ -54,10 +54,11 @@ def make_loss(name: str) -> Callable:
     raise ValueError(f"Unknown loss {name!r}")
 
 
-def masked_temporal_loss(pointwise, preds, labels, sqrt: bool = False):
-    """Mean of the pointwise loss over non-NaN labels (reference
-    ``TemporalLossWrapper``, metrics.py:26-46).  Works for both per-step
-    (online) and terminal labels."""
+def masked_temporal_loss_parts(pointwise, preds, labels):
+    """(sum of pointwise loss over non-NaN labels, non-NaN count) — the
+    accumulable form of :func:`masked_temporal_loss`: microbatch sums add
+    exactly (gradient accumulation), whereas microbatch MEANS would need
+    per-micro mask counts to recombine."""
     # One-shot labels stored with a trailing singleton axis (e.g. the MIMIC
     # Mortality/LOS (N, 1) contract) must align with the squeezed (B,)
     # predictions — without this, (B,) x (B, 1) broadcasting silently
@@ -71,8 +72,17 @@ def masked_temporal_loss(pointwise, preds, labels, sqrt: bool = False):
     # For ce the mask may lack the trailing class axis; broadcast.
     mask = jnp.broadcast_to(mask, values.shape)
     total = jnp.sum(jnp.where(mask, values, 0.0))
-    count = jnp.maximum(jnp.sum(mask), 1)
-    mean = total / count
+    # Count in the loss dtype: accumulation carries then share one dtype
+    # (per-batch counts are far below float32's exact-integer range).
+    return total, jnp.sum(mask, dtype=values.dtype)
+
+
+def masked_temporal_loss(pointwise, preds, labels, sqrt: bool = False):
+    """Mean of the pointwise loss over non-NaN labels (reference
+    ``TemporalLossWrapper``, metrics.py:26-46).  Works for both per-step
+    (online) and terminal labels."""
+    total, count = masked_temporal_loss_parts(pointwise, preds, labels)
+    mean = total / jnp.maximum(count, 1)
     return jnp.sqrt(mean) if sqrt else mean
 
 

@@ -1333,3 +1333,56 @@ def test_epoch_fused_rejects_prefetch(toy_dataset):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         train(None, None, None, None, epoch_fused=True, prefetch=2)
+
+
+def test_grad_accumulation_matches_full_batch_step():
+    """accum_steps=N (microbatched sum-form losses, one update) reproduces
+    the full-batch step — same loss and same params after an update — for
+    bce and rmse (the sqrt chain rule), including NaN-masked labels."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import (
+        linear_interpolation_coeffs,
+    )
+    from online_neural_cdes_tpu.training.loop import (
+        init_adam_state, make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, C, H = 16, 8, 3, 6
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = rng.integers(0, 2, size=(B, L)).astype(np.float32)
+    labels[3, 2] = np.nan  # masked entry inside a microbatch
+    labels = jnp.asarray(labels)
+    model = NeuralCDE(input_dim=C, hidden_dim=H, output_dim=1,
+                      hidden_hidden_dim=H, num_layers=1,
+                      interpolation="rectilinear", return_sequences=True,
+                      adjoint=True, solver="rk4")
+    params0 = model.init(jax.random.PRNGKey(0))
+
+    for loss in ("bce", "rmse"):
+        full = make_train_step(model.apply, loss=loss, lr=1e-2, donate=False)
+        accum = make_train_step(model.apply, loss=loss, lr=1e-2,
+                                donate=False, accum_steps=4)
+        p_f, _, v_f = full(params0, init_adam_state(params0), coeffs,
+                           labels, 1.0)
+        p_a, _, v_a = accum(params0, init_adam_state(params0), coeffs,
+                            labels, 1.0)
+        np.testing.assert_allclose(float(v_a), float(v_f),
+                                   rtol=1e-6, atol=1e-7)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            p_a, p_f,
+        )
+
+    # Indivisible batch fails with the fix at trace time.
+    import pytest
+    bad = make_train_step(model.apply, loss="bce", lr=1e-2, donate=False,
+                          accum_steps=5)
+    with pytest.raises(ValueError, match="divide"):
+        bad(params0, init_adam_state(params0), coeffs, labels, 1.0)

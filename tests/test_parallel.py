@@ -957,3 +957,30 @@ def test_mesh_prefetch_ragged_tail(tmp_path):
                 max_epochs=2, batch_size=16, seed=0,
                 mesh=make_mesh(2), prefetch=2)
     assert np.isfinite(res["test.loss"])
+
+
+def test_grad_accumulation_composes_with_mesh():
+    """accum_steps over a data mesh: each shard scans its microbatches,
+    the psum is unchanged — same loss and params as the unsharded
+    full-batch step."""
+    from online_neural_cdes_tpu.training.loop import (
+        init_adam_state, make_train_step,
+    )
+
+    model, params, coeffs, y = _setup(batch=32)
+    full = make_train_step(model, loss="bce", lr=1e-2, donate=False)
+    p_f, _, v_f = full(params, init_adam_state(params), coeffs, y, 1.0)
+
+    mesh = make_mesh(4)
+    acc = make_train_step(model, loss="bce", lr=1e-2, donate=False,
+                          accum_steps=4, mesh=mesh)
+    c_s, y_s = shard_batch((coeffs, y), mesh)
+    p_a, _, v_a = acc(replicate(params, mesh),
+                      replicate(init_adam_state(params), mesh),
+                      c_s, y_s, 1.0)
+    np.testing.assert_allclose(float(v_a), float(v_f), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        p_a, p_f,
+    )
