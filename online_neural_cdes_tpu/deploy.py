@@ -237,6 +237,37 @@ def build_stepper_from_config(
     return stepper, {"channels": channels, "static_dim": static_dim}
 
 
+
+def _verify_against_live(predictor, out_dir, channels, max_len, static_dim,
+                         reduced_dtype):
+    """Load-and-compare gate: synthetic rows (time channel first, the
+    corpus input space) through the reloaded StableHLO vs the live
+    predictor.  Reduced-precision artifacts compare within tolerance, f32
+    bit-exactly.  Returns the 'verified' summary string."""
+    from online_neural_cdes_tpu.serving_export import load_predictor
+
+    rng = np.random.default_rng(0)
+    lengths = sorted({min(4, max_len), max(1, max_len // 2), max_len})
+    rows = []
+    for L in lengths:
+        r = rng.normal(size=(L, channels)).astype(np.float32)
+        r[:, 0] = np.arange(L)
+        rows.append(r)
+    static = (
+        rng.normal(size=(len(rows), static_dim)).astype(np.float32)
+        if static_dim else None
+    )
+    live_outs = predictor.predict(rows, static=static)
+    art_outs = load_predictor(out_dir).predict(rows, static=static)
+    for a, b in zip(art_outs, live_outs):
+        if reduced_dtype is None:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    return ("bit-exact" if reduced_dtype is None
+            else f"within {reduced_dtype} tolerance")
+
+
 def main(argv=None) -> str:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", required=True,
@@ -297,6 +328,26 @@ def main(argv=None) -> str:
             summary["stepper_leaves_updated"] = update_params(
                 stepper_dir, params
             )
+        if args.verify:
+            # Gate the rolled checkpoint too: rebuild a live predictor on
+            # the artifact's own bucket grid and compare.
+            manifest = json.load(
+                open(os.path.join(args.out, "manifest.json")))
+            predictor, info = build_predictor_from_config(
+                config,
+                args.checkpoint,
+                _rebuilt=rebuilt,
+                batch_buckets=tuple(manifest["batch_buckets"]),
+                length_multiple=manifest["length_multiple"],
+            )
+            reduced = next(
+                (d for d in manifest["leaf_dtypes"] if d != "float32"),
+                None,
+            )
+            summary["verified"] = _verify_against_live(
+                predictor, args.out, manifest["channels"],
+                manifest["max_length"], manifest["static_dim"], reduced,
+            )
         print(json.dumps(summary))
         return args.out
     predictor, info = build_predictor_from_config(
@@ -323,35 +374,10 @@ def main(argv=None) -> str:
         "max_length": args.max_length or info["max_length"],
     }
     if args.verify:
-        # Load-and-compare gate before the artifact ships: synthetic rows
-        # (time channel first, the corpus input space) through the
-        # reloaded StableHLO vs the live predictor.  params_dtype exports
-        # compare within reduced-precision tolerance, f32 bit-exactly.
-        from online_neural_cdes_tpu.serving_export import load_predictor
-
-        rng = np.random.default_rng(0)
-        C = info["channels"]
-        max_len = args.max_length or info["max_length"]
-        rows = []
-        for L in {4, max(4, max_len // 2), max_len}:
-            r = rng.normal(size=(L, C)).astype(np.float32)
-            r[:, 0] = np.arange(L)
-            rows.append(r)
-        static = (
-            rng.normal(size=(len(rows), info["static_dim"])).astype(
-                np.float32)
-            if info["static_dim"] else None
-        )
-        live_outs = predictor.predict(rows, static=static)
-        art_outs = load_predictor(args.out).predict(rows, static=static)
-        for a, b in zip(art_outs, live_outs):
-            if args.params_dtype is None:
-                np.testing.assert_array_equal(a, b)
-            else:
-                np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
-        summary["verified"] = (
-            "bit-exact" if args.params_dtype is None
-            else f"within {args.params_dtype} tolerance"
+        summary["verified"] = _verify_against_live(
+            predictor, args.out, info["channels"],
+            args.max_length or info["max_length"], info["static_dim"],
+            args.params_dtype,
         )
     if args.stepper:
         stepper, sinfo = build_stepper_from_config(

@@ -404,7 +404,7 @@ class OnlineNCDEStepper:
         # jit argument (and an export argument in serving_export), never a
         # baked-in constant, so checkpoint updates need no re-trace.
         self._step_fn = jax.jit(self._make_step())
-        self._init_fn = self._make_init()
+        self._init_fn = jax.jit(self._make_init())
         self._block_fn = jax.jit(self._make_step_block())
         self._linear_apply = linear_apply
 
@@ -537,10 +537,19 @@ class OnlineNCDEStepper:
         return z
 
     def precompile(self, n_streams: int, block_sizes=()) -> int:
-        """Warm the jitted tick (and optional catch-up-block) caches with
-        zero observations so the first real stream pays no compile —
+        """Warm the jitted init/tick (and optional catch-up-block) caches
+        with zero observations so the first real stream pays no compile —
         the stepper analogue of ``Predictor.precompile``.  Returns the
         number of programs compiled."""
+        if self.model.static_dim is not None and (
+            self.static is None or self.static.shape[0] != n_streams
+        ):
+            raise ValueError(
+                f"precompile(n_streams={n_streams}): static features bind "
+                "one stream population "
+                f"(shape {None if self.static is None else self.static.shape})"
+                " — n_streams must match it"
+            )
         c = int(self.model.input_dim)
         x0 = jnp.zeros((n_streams, c), jnp.float32)
         state = self.init(x0)

@@ -101,23 +101,30 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def _write_params(path, leaves):
-    """Atomically (re)write params.npz.  Extension float dtypes (bfloat16,
-    float8) store as their raw bit patterns via a same-width unsigned-int
-    view — lossless AND the size win params_dtype='bfloat16' promises
-    (npz would otherwise store them as unrestorable void records); the
-    loader views back per the manifest's leaf_dtypes."""
+def _stage_params(path, leaves):
+    """Serialize params.npz to a temp file and return (tmp_path, sha256)
+    WITHOUT publishing it — callers os.replace when their commit protocol
+    says so.  Extension float dtypes (bfloat16, float8) store as their
+    raw bit patterns via a same-width unsigned-int view — lossless AND
+    the size win params_dtype='bfloat16' promises (npz would otherwise
+    store them as unrestorable void records); the loader views back per
+    the manifest's leaf_dtypes."""
     out = {}
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
         if arr.dtype.kind not in "biufc":
             arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
         out[f"p{i:04d}"] = arr
-    target = os.path.join(path, _PARAMS)
-    tmp = target + ".tmp.npz"  # must end in .npz or np.savez appends it
+    tmp = os.path.join(path, _PARAMS + ".tmp.npz")
     np.savez(tmp, **out)
-    os.replace(tmp, target)
-    return _sha256(target)
+    return tmp, _sha256(tmp)
+
+
+def _write_params(path, leaves):
+    """Atomically (re)write params.npz; returns its sha256."""
+    tmp, sha = _stage_params(path, leaves)
+    os.replace(tmp, os.path.join(path, _PARAMS))
+    return sha
 
 
 def _write_artifact(path, leaves, named_modules, manifest):
@@ -223,18 +230,26 @@ def update_params(path: str, params) -> int:
                     f"{old[f'p{i:04d}'].shape} — a different architecture "
                     "needs a re-export, not a params update"
                 )
-    params_sha = _write_params(path, leaves)
-    # The params digest changed; stamp it (and, when the rewrite just
-    # stored extension floats in the v2 bit-pattern encoding, the format
-    # version — so a v1-only loader refuses instead of value-casting
-    # garbage weights).
+    # Two-phase commit (crash-safe AND concurrent-load-safe): stage the
+    # new params to a temp file, publish a manifest that accepts EITHER
+    # digest (new as primary, the old one as `params_sha256_prev`), then
+    # atomically replace params.npz.  A crash or a load() between the two
+    # replaces sees old params + a manifest that still accepts them; after
+    # the final replace the primary digest matches.  The prev digest only
+    # ever names a legitimate earlier version of this same artifact.
+    tmp_params, params_sha = _stage_params(path, leaves)
+    manifest["params_sha256_prev"] = manifest.get("params_sha256")
     manifest["params_sha256"] = params_sha
     if any(np.asarray(l).dtype.kind not in "biufc" for l in leaves):
+        # The staged file uses the v2 bit-pattern encoding; stamp the
+        # version so a v1-only loader refuses instead of value-casting
+        # garbage weights.
         manifest["format_version"] = _FORMAT_VERSION
     tmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(path, _MANIFEST))
+    os.replace(tmp_params, os.path.join(path, _PARAMS))
     return len(leaves)
 
 
@@ -251,7 +266,12 @@ def _read_artifact(path: str, expected_artifact: str):
     want_params = manifest.get("params_sha256")
     if want_params is not None:
         got = _sha256(os.path.join(path, _PARAMS))
-        if got != want_params:
+        # `params_sha256_prev` names the previous legitimate version during
+        # update_params' two-phase commit window (manifest replaced before
+        # params.npz) — accepting it keeps concurrent loads and crash
+        # recovery working without weakening corruption detection.
+        accepted = {want_params, manifest.get("params_sha256_prev")}
+        if got not in accepted:
             raise ValueError(
                 f"artifact integrity check failed: params.npz sha256 "
                 f"{got[:12]}… != manifest {want_params[:12]}… — the "

@@ -264,13 +264,17 @@ def _pad_to_mesh_multiple(prepared, labels, n_data: int):
 
 def _evaluate(bundle, params, batches, loss_name, metric_names, mesh=None):
     pointwise = make_loss(loss_name)
-    # Cache one eval step per mesh identity: the sharded step's
-    # in_shardings differ from the single-device one's.
-    cache_key = "_eval_step" if mesh is None else "_eval_step_mesh"
-    eval_step = getattr(bundle, cache_key, None)
+    # Cache one eval step per MESH OBJECT (Mesh is hashable): a bundle
+    # reused across differently-meshed runs must not serve stale
+    # NamedShardings from an earlier mesh.
+    cache = getattr(bundle, "_eval_steps", None)
+    if cache is None:
+        cache = {}
+        bundle._eval_steps = cache
+    eval_step = cache.get(mesh)
     if eval_step is None:
         eval_step = make_eval_step(bundle.apply_fn, mesh=mesh)
-        setattr(bundle, cache_key, eval_step)
+        cache[mesh] = eval_step
     n_data = None
     if mesh is not None:
         from online_neural_cdes_tpu.parallel.mesh import data_axis_size
@@ -289,13 +293,15 @@ def _evaluate(bundle, params, batches, loss_name, metric_names, mesh=None):
     for inputs, labels in batches:
         prepared = bundle.prepare_batch(inputs)
         labels_j = jnp.asarray(labels)
-        if n_data is not None:
+        padded = False
+        if n_data is not None and labels_j.shape[0] % n_data:
             # Pad ragged tails to the mesh multiple; NaN pad labels are
             # masked out of the loss here AND of the host metrics below
             # (the metric helpers mask NaN rows), so results are exact.
             prepared, labels_j = _pad_to_mesh_multiple(
                 prepared, labels_j, n_data
             )
+            padded = True
         preds = eval_step(params, prepared)
         losses_dev.append(
             masked_temporal_loss(pointwise, preds, labels_j, sqrt=loss_name == "rmse")
@@ -304,7 +310,11 @@ def _evaluate(bundle, params, batches, loss_name, metric_names, mesh=None):
         # averages over its real rows only, pad rows contribute nothing.
         counts.append(len(labels))
         pending.append(preds)
-        labels_all.append(np.asarray(labels_j))
+        # Only a padded tail needs the device labels (alignment with the
+        # padded predictions); everything else keeps the host array — no
+        # per-batch device fetch in this loop.
+        labels_all.append(np.asarray(labels_j) if padded
+                          else np.asarray(labels))
         if len(pending) >= window:
             preds_all.extend(np.asarray(p) for p in pending)
             pending = []
@@ -564,6 +574,15 @@ def train(
     profile_epoch = (
         start_epoch + 1 if max_epochs - start_epoch > 1 else start_epoch
     )
+    # Mesh-constant divisor for ragged-tail padding, computed ONCE; the
+    # prefetch path already pads upstream (its batches arrive pre-sharded),
+    # so the in-loop pad applies only to the direct path.
+    step_pad_n = None
+    if mesh is not None and prefetch == 0:
+        from online_neural_cdes_tpu.parallel.mesh import data_axis_size
+
+        step_pad_n = data_axis_size(mesh)
+
     t_start = time.perf_counter()
     epochs_run = start_epoch
     for epoch in range(start_epoch, max_epochs):
@@ -590,13 +609,9 @@ def train(
                 for inputs, labels in epoch_batches():
                     prepared = bundle.prepare_batch(inputs)
                     labels_j = jnp.asarray(labels)
-                    if mesh is not None:
-                        from online_neural_cdes_tpu.parallel.mesh import (
-                            data_axis_size,
-                        )
-
+                    if step_pad_n is not None:
                         prepared, labels_j = _pad_to_mesh_multiple(
-                            prepared, labels_j, data_axis_size(mesh)
+                            prepared, labels_j, step_pad_n
                         )
                     params, opt_state, loss_val = step(
                         params, opt_state, prepared, labels_j, lr_scale,

@@ -2,7 +2,7 @@
 # One-shot evidence landing: probe the tunnel, run the full bench, save the
 # JSON line under results/ with a timestamp, and print the headline numbers.
 # Run from the repo root when the tunnel is healthy (probe <~5 s).
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 echo "probing tunnel..."
 if ! timeout 300 python -c "
@@ -15,8 +15,13 @@ print(f'probe ok in {time.time()-t0:.1f}s')
 fi
 out="results/bench_r4_$(date -u +%Y%m%dT%H%M%S).json"
 mkdir -p results
-echo "running bench (budget 900s)..."
-timeout 1500 python bench.py | tail -1 > "$out"
+echo "running bench (internal budget 900s, hard cap 1500s)..."
+if ! timeout 1500 python bench.py | tail -1 > "$out"; then
+  echo "bench FAILED (rc=$?) - removing $out"; rm -f "$out"; exit 1
+fi
+if ! python -c "import json,sys; json.loads(open(sys.argv[1]).read())" "$out"; then
+  echo "bench output not parseable - removing $out"; rm -f "$out"; exit 1
+fi
 echo "saved $out"
 python - "$out" << 'PY'
 import json, sys

@@ -529,3 +529,11 @@ def test_cli_verify_gate(tmp_path, corpus, capsys):
           "--platforms", "cpu", "--verify"])
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["verified"] == "bit-exact"
+
+    # --verify also gates checkpoint rolls (--update-params-only).
+    main(["--config", str(cfg_path), "--checkpoint", ckpt,
+          "--out", str(tmp_path / "a"), "--data-root", corpus,
+          "--update-params-only", "--verify"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["leaves_updated"] > 0
+    assert summary["verified"] == "bit-exact"

@@ -741,3 +741,32 @@ def test_stepper_precompile_warms_all_modules(tmp_path):
     assert loaded.precompile() == 4  # init/step/readout + stepblock4
     # Every module wrapper now sits in the jit cache.
     assert len(loaded._jitted) == 4
+
+
+def test_update_params_two_phase_commit_crash_window(tmp_path):
+    """update_params publishes the manifest (accepting old AND new digests)
+    before replacing params.npz — a crash or a concurrent load in the
+    window sees old params + a manifest that still accepts them."""
+    from online_neural_cdes_tpu.serving_export import update_params
+
+    pred = _predictor()
+    export_predictor(pred, str(tmp_path), channels=3, max_length=8,
+                     platforms=("cpu",))
+    params_path = os.path.join(str(tmp_path), "params.npz")
+    old_bytes = open(params_path, "rb").read()
+
+    update_params(str(tmp_path), pred.model.init(jax.random.PRNGKey(9)))
+    manifest = json.load(open(tmp_path / "manifest.json"))
+    assert manifest["params_sha256_prev"] is not None
+    load_predictor(str(tmp_path))  # new params + new digest
+
+    # Simulate the crash window: manifest already replaced, params not yet.
+    open(params_path, "wb").write(old_bytes)
+    load_predictor(str(tmp_path))  # old params accepted via _prev
+
+    # Anything ELSE is still refused.
+    blob = bytearray(old_bytes)
+    blob[len(blob) // 2] ^= 0xFF
+    open(params_path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="integrity"):
+        load_predictor(str(tmp_path))
