@@ -984,3 +984,42 @@ def test_grad_accumulation_composes_with_mesh():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         p_a, p_f,
     )
+
+
+def test_mesh_padding_exact_for_ce_loss():
+    """Multiclass (ce) training over a mesh with a padded tail: the NaN
+    pad labels go through safe-label zeroing before the one-hot gather, so
+    the padded sharded step's loss/params equal the unpadded single-device
+    step exactly."""
+    from online_neural_cdes_tpu.training.harness import _pad_to_mesh_multiple
+    from online_neural_cdes_tpu.training.loop import (
+        init_adam_state, make_train_step,
+    )
+
+    _, _, coeffs, y = _setup(batch=30)  # 30 % 4 != 0
+    rng = np.random.default_rng(0)
+    model = NeuralCDE(
+        input_dim=2, hidden_dim=8, output_dim=3, hidden_hidden_dim=16,
+        num_layers=2, interpolation="rectilinear", return_sequences=True,
+        adjoint=True, solver="rk4",
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    labels = jnp.asarray(
+        rng.integers(0, 3, size=y.shape).astype(np.float64))
+
+    single = make_train_step(model, loss="ce", lr=1e-3, donate=False)
+    p1, _, l1 = single(params, init_adam_state(params), coeffs, labels, 1.0)
+
+    mesh = make_mesh(4)
+    sharded = make_train_step(model, loss="ce", lr=1e-3, mesh=mesh,
+                              donate=False)
+    prepared, labels_p = _pad_to_mesh_multiple(coeffs, labels, 4)
+    p4, _, l4 = sharded(replicate(params, mesh),
+                        replicate(init_adam_state(params), mesh),
+                        *shard_batch((prepared, labels_p), mesh), 1.0)
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        p4, p1,
+    )
