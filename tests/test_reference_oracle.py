@@ -751,3 +751,53 @@ def test_grud_cell_matches_reference(oracle):
         np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(),
                                    rtol=1e-12, atol=1e-12,
                                    err_msg=f"step {step}")
+
+
+def test_odernn_forward_matches_reference(oracle):
+    """End-to-end ODE-RNN vs the reference model itself (reference
+    src/benchmarks/odernn.py:7-111) with copied weights — including the
+    dts[i-1] first-step quirk our replicate_dt_quirk flag reproduces."""
+    torch, _, _ = oracle
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_odernn", "/root/reference/src/benchmarks/odernn.py"
+    )
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    from online_neural_cdes_tpu.models.odernn import ODERNN
+
+    B, L, C, H, HH, OUT = 3, 6, 4, 5, 7, 2
+    # f32 throughout: the reference forward materialises f32 tensors
+    # internally (torch.Tensor([0, t])), so f64 weights would dtype-clash.
+    ref = ref_mod.ODERNN(
+        input_dim=C, hidden_dim=H, output_dim=OUT, hidden_hidden_dim=HH,
+        solver="rk4", gru=True, return_sequences=True,
+    )
+
+    ours = ODERNN(input_dim=C, hidden_dim=H, output_dim=OUT,
+                  hidden_hidden_dim=HH, solver="rk4", gru=True,
+                  return_sequences=True, replicate_dt_quirk=True)
+    p = ours.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    seq = list(ref.ode_cell.net)  # Linear, Tanh, Linear
+    p["ode_net"][0] = {"w": t2j(seq[0].weight).T, "b": t2j(seq[0].bias)}
+    p["ode_out"] = {"w": t2j(seq[2].weight).T, "b": t2j(seq[2].bias)}
+    p["cell"] = {
+        "ih": {"w": t2j(ref.cell.weight_ih).T, "b": t2j(ref.cell.bias_ih)},
+        "hh": {"w": t2j(ref.cell.weight_hh).T, "b": t2j(ref.cell.bias_hh)},
+    }
+    p["final"] = {"w": t2j(ref.final_linear.weight).T,
+                  "b": t2j(ref.final_linear.bias)}
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x))
+    out_j = ours.apply(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j), out_ref.numpy(),
+                               rtol=2e-5, atol=2e-6)
