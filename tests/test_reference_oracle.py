@@ -801,3 +801,78 @@ def test_odernn_forward_matches_reference(oracle):
     out_j = ours.apply(p, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out_j), out_ref.numpy(),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_neural_cde_forward_matches_reference(oracle):
+    """THE headline model end-to-end vs the reference NeuralCDE itself
+    (reference src/ncde/ncde.py + vector_fields/base.py) with copied
+    weights: natural-cubic control (C^1, so the knot-side divergence is
+    moot), original/matmul field, rk4 step_size=1, h0 from the initial
+    observation, per-step outputs."""
+    torch, _, _ = oracle
+    import types
+
+    # src.ncde.__init__ pulls attention.py, which imports autots (not
+    # installed; only preprocessing names are referenced) — stub it.
+    if "autots" not in sys.modules:
+        autots = types.ModuleType("autots")
+        prep = types.ModuleType("autots.preprocessing")
+        prep.ForwardFill = prep.PadRaggedTensors = prep.SimplePipeline = object
+        autots.preprocessing = prep
+        sys.modules["autots"] = autots
+        sys.modules["autots.preprocessing"] = prep
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from src.ncde import NeuralCDE as RefNCDE
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+
+    B, L, C, H, HH, OUT, NL = 2, 8, 3, 6, 8, 2, 2
+    ref = RefNCDE(
+        input_dim=C, hidden_dim=H, output_dim=OUT, hidden_hidden_dim=HH,
+        num_layers=NL, interpolation="cubic", vector_field="original",
+        vector_field_type="matmul", adjoint=False, solver="rk4",
+        return_sequences=True,
+    ).double()
+
+    ours = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=OUT, hidden_hidden_dim=HH,
+        num_layers=NL, interpolation="cubic", vector_field="original",
+        vector_field_type="matmul", adjoint=False, solver="rk4",
+        return_sequences=True, fused=False,
+    )
+    p = ours.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy())
+
+    # trunk: Sequential(Linear, ReLU, [Linear, ReLU]*): linears at 0,2,4...
+    linears = [m for m in ref.func.net_to_hh if isinstance(m, torch.nn.Linear)]
+    assert len(linears) == len(p["field"]["trunk"])
+    p["field"]["trunk"] = [
+        {"w": t2j(m.weight).T, "b": t2j(m.bias)} for m in linears
+    ]
+    out_lin = ref.func.tanh_output_layer[0]
+    p["field"]["out"] = {"w": t2j(out_lin.weight).T, "b": t2j(out_lin.bias)}
+    p["initial"] = {"w": t2j(ref.initial_linear.weight).T,
+                    "b": t2j(ref.initial_linear.bias)}
+    p["final"] = {"w": t2j(ref.final_linear.weight).T,
+                  "b": t2j(ref.final_linear.bias)}
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(B, L, C))
+    x[0, 3, 1] = np.nan  # imputation path exercised in both builders
+
+    from online_neural_cdes_tpu.ops.interpolation import natural_cubic_coeffs
+    import torchcde
+
+    coeffs_j = natural_cubic_coeffs(jnp.asarray(x))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        coeffs_t = torchcde.natural_cubic_coeffs(torch.tensor(x))
+
+    with torch.no_grad():
+        out_ref = ref(coeffs_t)
+    out_j = ours.apply(p, coeffs_j)
+    np.testing.assert_allclose(np.asarray(out_j), out_ref.numpy(),
+                               rtol=1e-9, atol=1e-10)
