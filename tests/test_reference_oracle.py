@@ -813,14 +813,15 @@ def test_neural_cde_forward_matches_reference(oracle):
     import types
 
     # src.ncde.__init__ pulls attention.py, which imports autots (not
-    # installed; only preprocessing names are referenced) — stub it.
-    if "autots" not in sys.modules:
-        autots = types.ModuleType("autots")
-        prep = types.ModuleType("autots.preprocessing")
-        prep.ForwardFill = prep.PadRaggedTensors = prep.SimplePipeline = object
-        autots.preprocessing = prep
-        sys.modules["autots"] = autots
-        sys.modules["autots.preprocessing"] = prep
+    # installed; only preprocessing names are referenced) — stub it
+    # (enriching any leaner stub an earlier oracle test installed).
+    autots = sys.modules.get("autots") or types.ModuleType("autots")
+    prep = sys.modules.get("autots.preprocessing") or types.ModuleType(
+        "autots.preprocessing")
+    prep.ForwardFill = prep.PadRaggedTensors = prep.SimplePipeline = object
+    autots.preprocessing = prep
+    sys.modules["autots"] = autots
+    sys.modules["autots.preprocessing"] = prep
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     from src.ncde import NeuralCDE as RefNCDE
