@@ -803,12 +803,13 @@ def test_odernn_forward_matches_reference(oracle):
                                rtol=2e-5, atol=2e-6)
 
 
-def test_neural_cde_forward_matches_reference(oracle):
+@pytest.mark.parametrize("vector_field", ["original", "minimal", "gru"])
+def test_neural_cde_forward_matches_reference(oracle, vector_field):
     """THE headline model end-to-end vs the reference NeuralCDE itself
-    (reference src/ncde/ncde.py + vector_fields/base.py) with copied
-    weights: natural-cubic control (C^1, so the knot-side divergence is
-    moot), original/matmul field, rk4 step_size=1, h0 from the initial
-    observation, per-step outputs."""
+    (reference src/ncde/ncde.py + vector_fields/base.py + gating.py) with
+    copied weights, for all three gating variants: natural-cubic control
+    (C^1, so the knot-side divergence is moot), matmul contraction, rk4
+    step_size=1, h0 from the initial observation, per-step outputs."""
     torch, _, _ = oracle
     import types
 
@@ -831,14 +832,14 @@ def test_neural_cde_forward_matches_reference(oracle):
     B, L, C, H, HH, OUT, NL = 2, 8, 3, 6, 8, 2, 2
     ref = RefNCDE(
         input_dim=C, hidden_dim=H, output_dim=OUT, hidden_hidden_dim=HH,
-        num_layers=NL, interpolation="cubic", vector_field="original",
+        num_layers=NL, interpolation="cubic", vector_field=vector_field,
         vector_field_type="matmul", adjoint=False, solver="rk4",
         return_sequences=True,
     ).double()
 
     ours = NeuralCDE(
         input_dim=C, hidden_dim=H, output_dim=OUT, hidden_hidden_dim=HH,
-        num_layers=NL, interpolation="cubic", vector_field="original",
+        num_layers=NL, interpolation="cubic", vector_field=vector_field,
         vector_field_type="matmul", adjoint=False, solver="rk4",
         return_sequences=True, fused=False,
     )
@@ -853,8 +854,18 @@ def test_neural_cde_forward_matches_reference(oracle):
     p["field"]["trunk"] = [
         {"w": t2j(m.weight).T, "b": t2j(m.bias)} for m in linears
     ]
-    out_lin = ref.func.tanh_output_layer[0]
-    p["field"]["out"] = {"w": t2j(out_lin.weight).T, "b": t2j(out_lin.bias)}
+    def lin(seq_module):
+        return {"w": t2j(seq_module[0].weight).T, "b": t2j(seq_module[0].bias)}
+
+    if vector_field == "original":
+        p["field"]["out"] = lin(ref.func.tanh_output_layer)
+    elif vector_field == "minimal":
+        p["field"]["sig"] = lin(ref.func.sigmoid_net)
+        p["field"]["tanh"] = lin(ref.func.tanh_net)
+    else:  # gru
+        p["field"]["reset"] = lin(ref.func.reset_net)
+        p["field"]["sig"] = lin(ref.func.sigmoid_net)
+        p["field"]["tanh"] = lin(ref.func.tanh_net)
     p["initial"] = {"w": t2j(ref.initial_linear.weight).T,
                     "b": t2j(ref.initial_linear.bias)}
     p["final"] = {"w": t2j(ref.final_linear.weight).T,
