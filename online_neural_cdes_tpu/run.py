@@ -24,6 +24,10 @@ def main(argv=None):
     ap.add_argument("--test-mode", action="store_true")
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                    help="train each config over an N-device data-parallel "
+                         "mesh (params replicated, batches sharded, psum "
+                         "over ICI); 0 = single device")
     ap.add_argument("--analyse", action="store_true",
                     help="print seed-averaged tables instead of running")
     ap.add_argument("--tables-out", default=None, metavar="DIR",
@@ -56,6 +60,12 @@ def main(argv=None):
 
     from online_neural_cdes_tpu.training.sweep import run
 
+    mesh = None
+    if args.data_parallel > 0:
+        from online_neural_cdes_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
+
     completed = run(
         args.run_name,
         ledger_path=args.ledger,
@@ -64,6 +74,7 @@ def main(argv=None):
         test_mode=args.test_mode,
         shard_index=args.shard,
         num_shards=args.num_shards,
+        mesh=mesh,
         verbose=args.verbose,
     )
     print(f"completed {len(completed)} configs")

@@ -1386,3 +1386,15 @@ def test_grad_accumulation_matches_full_batch_step():
                           accum_steps=5)
     with pytest.raises(ValueError, match="divide"):
         bad(params0, init_adam_state(params0), coeffs, labels, 1.0)
+
+
+def test_cli_data_parallel_sweep(toy_dataset, tmp_path, capsys):
+    """--data-parallel N trains the suite over an N-device mesh through
+    the CLI (the virtual CPU mesh stands in for a slice)."""
+    from online_neural_cdes_tpu.run import main
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    main(["toy", "--data-root", toy_dataset, "--ledger", ledger,
+          "--data-parallel", "2"])
+    out = capsys.readouterr().out
+    assert "completed 1 configs" in out
