@@ -23,6 +23,9 @@ if ! python -c "import json,sys; json.loads(open(sys.argv[1]).read())" "$out"; t
   echo "bench output not parseable - removing $out"; rm -f "$out"; exit 1
 fi
 echo "saved $out"
+# results/ is gitignored (run artifacts); the landed evidence record is
+# the exception — force-add it so the round's history carries it.
+git add -f "$out" && git commit -q -m "Land hardware bench evidence: $out" && echo "committed $out"
 python - "$out" << 'PY'
 import json, sys
 d = json.loads(open(sys.argv[1]).read())
