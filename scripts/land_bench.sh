@@ -25,7 +25,11 @@ fi
 echo "saved $out"
 # results/ is gitignored (run artifacts); the landed evidence record is
 # the exception — force-add it so the round's history carries it.
-git add -f "$out" && git commit -q -m "Land hardware bench evidence: $out" && echo "committed $out"
+if git add -f "$out" && git commit -q -m "Land hardware bench evidence: $out" -- "$out"; then
+  echo "committed $out"
+else
+  echo "WARNING: evidence saved but NOT committed - commit $out manually"
+fi
 python - "$out" << 'PY'
 import json, sys
 d = json.loads(open(sys.argv[1]).read())

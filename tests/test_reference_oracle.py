@@ -68,6 +68,23 @@ def oracle():
     return torch, torchcde, torchdiffeq
 
 
+
+def _install_autots_stub():
+    """The reference's src/ modules import autots (not installed in this
+    image); only class NAMES are referenced by code paths the oracles
+    exercise.  One shared stub keeps the registration order-independent
+    across oracle tests (and matches scripts/ref_flagship_cpu.py)."""
+    import types
+
+    autots = sys.modules.get("autots") or types.ModuleType("autots")
+    prep = sys.modules.get("autots.preprocessing") or types.ModuleType(
+        "autots.preprocessing")
+    prep.ForwardFill = prep.PadRaggedTensors = prep.SimplePipeline = object
+    autots.preprocessing = prep
+    sys.modules["autots"] = autots
+    sys.modules["autots.preprocessing"] = prep
+
+
 def _nan_series(B=3, L=10, C=4, seed=0, scale=1.0):
     """Random batch with interior NaNs, a NaN start row, a NaN tail value
     and one all-NaN channel — the reference's hard imputation cases
@@ -688,18 +705,8 @@ def test_grud_cell_matches_reference(oracle):
     import importlib.util
 
     # The reference module calls .cuda() at import/construction time (this
-    # image's torch is CPU-only) and imports autots (not installed; only
-    # its ForwardFill name is referenced, unused by GRUDCell) — neutralize
-    # both for the oracle load.
-    import types
-
-    if "autots" not in sys.modules:
-        autots = types.ModuleType("autots")
-        prep = types.ModuleType("autots.preprocessing")
-        prep.ForwardFill = object
-        autots.preprocessing = prep
-        sys.modules["autots"] = autots
-        sys.modules["autots.preprocessing"] = prep
+    # image's torch is CPU-only) and imports autots — neutralize both.
+    _install_autots_stub()
     orig_cuda_t = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
     try:
@@ -811,18 +818,8 @@ def test_neural_cde_forward_matches_reference(oracle, vector_field):
     (C^1, so the knot-side divergence is moot), matmul contraction, rk4
     step_size=1, h0 from the initial observation, per-step outputs."""
     torch, _, _ = oracle
-    import types
-
-    # src.ncde.__init__ pulls attention.py, which imports autots (not
-    # installed; only preprocessing names are referenced) — stub it
-    # (enriching any leaner stub an earlier oracle test installed).
-    autots = sys.modules.get("autots") or types.ModuleType("autots")
-    prep = sys.modules.get("autots.preprocessing") or types.ModuleType(
-        "autots.preprocessing")
-    prep.ForwardFill = prep.PadRaggedTensors = prep.SimplePipeline = object
-    autots.preprocessing = prep
-    sys.modules["autots"] = autots
-    sys.modules["autots.preprocessing"] = prep
+    # src.ncde.__init__ pulls attention.py, which imports autots — stub it.
+    _install_autots_stub()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     from src.ncde import NeuralCDE as RefNCDE
