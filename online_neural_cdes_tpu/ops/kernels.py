@@ -89,14 +89,16 @@ def pack_fused_params(field_params: dict, hidden_dim: int, input_dim: int,
 
 
 def _mm(a, b, precision):
-    """MXU matmul with optional bf16 inputs and f32 accumulation (params
-    stay f32 in HBM; the cast is a VPU op amortised by the matmul)."""
+    """MXU matmul with optional bf16 inputs and >=f32 accumulation (params
+    stay f32 in HBM; the cast is a VPU op amortised by the matmul).  The
+    accumulator dtype follows the input dtype so f64 runs (x64 debugging /
+    CPU oracle tests) are not silently truncated to f32."""
     if precision == "bfloat16":
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
     )
 
 
@@ -119,7 +121,8 @@ def _kernel_mm(a, b, precision):
     if precision == "bfloat16":
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b,
+                   preferred_element_type=jnp.promote_types(a.dtype, jnp.float32))
 
 
 def _make_kernel(n_trunk: int, hidden_pad: int, input_dim: int,

@@ -255,3 +255,22 @@ def test_pallas_backward_interpret_matches_xla_vjp():
                 np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5),
             (gt, ghw, ghb, gz, gdx), (et, ehw, ehb, ez, edx),
         )
+
+
+def test_fused_field_preserves_float64():
+    """Under x64 the fused field must accumulate in f64 — the accumulator
+    dtype follows the inputs (``_mm``'s promote_types), so f64 oracle runs
+    and x64 debugging are not silently truncated to f32 (~1e-8 error,
+    found via the StackedNeuralCDE reference oracle)."""
+    field, params, z, dx = _setup(3)
+    params64 = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+    z64, dx64 = z.astype(jnp.float64), dx.astype(jnp.float64)
+    expected = jnp.einsum("bhi,bi->bh", field.apply(params64, 0.0, z64), dx64)
+    packed = pack_fused_params(params64, H, C)
+    got = fused_matmul_field(
+        packed["trunk"], packed["head_w"], packed["head_b"], z64, dx64, H, C,
+        False,
+    )
+    assert got.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-14, atol=1e-14)
