@@ -114,7 +114,11 @@ def _forward_reference(trunk, head_w, head_b, z, dx, hidden_dim, input_dim,
     a = jnp.tanh(_mm(u, head_w, precision) + head_b)  # (B, I*Hp)
     a = a.reshape(a.shape[:-1] + (input_dim, hp))
     out = jnp.sum(a * dx[..., :, None], axis=-2)
-    return out[..., :hidden_dim]
+    # Match the Pallas path's declared output dtype (z.dtype): _mm
+    # accumulates at >=f32, so reduced-precision storage (bf16) would
+    # otherwise silently promote here — on the custom_vjp fallback route
+    # that shows up as a primal-f32 / cotangent-bf16 VJP dtype clash.
+    return out[..., :hidden_dim].astype(z.dtype)
 
 
 def _kernel_mm(a, b, precision):

@@ -274,3 +274,28 @@ def test_fused_field_preserves_float64():
     assert got.dtype == jnp.float64
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-14, atol=1e-14)
+
+
+def test_fused_field_preserves_bfloat16_and_vjp_dtypes():
+    """bf16 *storage* through the fused field: the reference route's output
+    dtype must match the Pallas path's declared ``z.dtype`` (out_shape),
+    and the custom_vjp fallback must accept same-dtype cotangents.  The
+    un-cast f32 accumulator escaped here before: on TPU at lane-aligned
+    widths the primal runs Pallas (bf16 out) while the backward's
+    ``jax.vjp`` fallback differentiated an f32-out reference — a VJP dtype
+    clash that broke trainer.compute_dtype='bfloat16' at H=128 (caught by
+    BENCH r4's bf16_storage leg on hardware)."""
+    field, params, z, dx = _setup(5)
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    z16, dx16 = z.astype(jnp.bfloat16), dx.astype(jnp.bfloat16)
+    packed = pack_fused_params(params16, H, C)
+
+    def f(trunk, head_w, head_b, z_, dx_):
+        return fused_matmul_field(trunk, head_w, head_b, z_, dx_, H, C, False)
+
+    out, vjp = jax.vjp(f, packed["trunk"], packed["head_w"],
+                       packed["head_b"], z16, dx16)
+    assert out.dtype == jnp.bfloat16
+    cotangents = vjp(jnp.ones_like(out))  # same-dtype cotangent must be legal
+    for leaf in jax.tree.leaves(cotangents):
+        assert leaf.dtype == jnp.bfloat16
