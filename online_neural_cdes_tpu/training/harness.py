@@ -45,6 +45,13 @@ from online_neural_cdes_tpu.utils.params import count_params
 
 __all__ = ["setup_model", "train", "ModelBundle"]
 
+# Reference trainer scheduler constants (trainer.py:423-424): the plateau
+# scheduler is torch ReduceLROnPlateau(threshold=1e-6, min_lr=1e-7) in its
+# default 'rel'/'min' mode, always monitoring VAL LOSS (trainer.py:426-429)
+# — even when early stopping / checkpointing monitor another metric.
+PLATEAU_REL_THRESHOLD = 1e-6
+PLATEAU_MIN_LR = 1e-7
+
 MODEL_STRINGS = (
     "ncde", "ncde-stacked", "ncde-attention", "odernn",
     "gru-d", "gru", "gru-dt", "gru-intensity", "gru-dt-intensity",
@@ -485,6 +492,7 @@ def train(
     best_params = params
     best_epoch = 0
     plateau_count = 0
+    plateau_best = np.inf   # val LOSS tracked by the plateau scheduler
     stall_count = 0
     lr_scale = 1.0
     history = []
@@ -511,6 +519,7 @@ def train(
         best_score = float(meta["best_score"])
         best_epoch = int(meta["best_epoch"])
         plateau_count = int(meta["plateau_count"])
+        plateau_best = float(meta.get("plateau_best", np.inf))
         stall_count = int(meta["stall_count"])
         lr_scale = float(meta["lr_scale"])
         nfe_resumed = int(meta.get("nfe_total", 0))
@@ -634,20 +643,35 @@ def train(
         if verbose:
             print(f"epoch {epoch}: train_loss {float(loss_val):.4f} val {val_results}")
 
-        if score < best_score - 1e-12:
+        # Best-checkpoint + early stopping ride the MONITORED score with
+        # ignite's strict-improvement semantics (ModelCheckpoint replaces
+        # only on score > retained priority; EarlyStopping resets only on
+        # score > best, stops at counter >= patience — trainer.py:417-443).
+        if score < best_score:
             best_score = score
             best_params = params
             best_epoch = epoch
-            plateau_count = 0
             stall_count = 0
         else:
-            plateau_count += 1
             stall_count += 1
+        # The plateau scheduler is torch ReduceLROnPlateau on VAL LOSS
+        # (trainer.py:423-429): rel-threshold improvement test
+        # loss < best * (1 - 1e-6), reduce when num_bad > patience, clamp
+        # at min_lr=1e-7.  The single lr_scale clamps the BASE param group
+        # exactly; the boosted readout group floors at 10x min_lr instead
+        # of min_lr — reachable only after lr_scale has decayed below
+        # min_lr*final_mult/lr, i.e. long after training has plateaued.
+        if val_results["loss"] < plateau_best * (1.0 - PLATEAU_REL_THRESHOLD):
+            plateau_best = val_results["loss"]
+            plateau_count = 0
+        else:
+            plateau_count += 1
             if plateau_count > plateau_patience:
-                lr_scale *= plateau_factor
+                lr_scale = max(lr_scale * plateau_factor,
+                               PLATEAU_MIN_LR / lr)
                 plateau_count = 0
-            if stall_count > early_stop_patience:
-                break
+        if stall_count >= early_stop_patience:
+            break
 
         if (
             ckpt_path is not None and checkpoint_every > 0
@@ -666,6 +690,7 @@ def train(
                 "best_score": float(best_score),
                 "best_epoch": int(best_epoch),
                 "plateau_count": int(plateau_count),
+                "plateau_best": float(plateau_best),
                 "stall_count": int(stall_count),
                 "lr_scale": float(lr_scale),
                 "nfe_total": int(nfe_total),

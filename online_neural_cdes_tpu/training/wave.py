@@ -17,6 +17,16 @@ bookkeeping run vectorised on host exactly as the sequential harness does
 (training/harness.py:train) — each trial's parameter trajectory is the
 same function of the data as its sequential run, so the search outcome is
 preserved (tested to tolerance).
+
+Beyond hyperopt trials, the sweep runner co-schedules SAME-SHAPE CONFIGS
+through this path (:func:`config_wave_groups`): the canonical case is the
+reference's 3-seeds-per-final-config protocol (configurations.json5 seeds,
+reference runs.py one process per GPU) — seeds change only the param init,
+not the traced program, so K seed replicas train as one vmapped program
+with per-trial inits.  The r4 mfu_grid showed batch cannot buy MXU
+utilisation at H=128 (flat ~19-21% of bf16 peak from B=256-2048) while
+serial sweep execution left the chip ~79% idle per run; the trial axis is
+the lever batch is not.
 """
 
 from __future__ import annotations
@@ -27,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["run_trials_vmapped", "vmappable_groups", "WAVEABLE_TRAINER_KEYS"]
+__all__ = ["run_trials_vmapped", "vmappable_groups", "config_wave_groups",
+           "WAVEABLE_TRAINER_KEYS"]
 
 # Trainer scalars the vmapped wave can vary PER TRIAL without changing the
 # compiled program: ``lr`` and ``final_lr_multiplier`` ride the step's
@@ -64,6 +75,45 @@ def vmappable_groups(points: List[dict]):
     return list(groups.values())
 
 
+# Per-run facilities the vmapped loop does not implement; a config using
+# any of them routes down the sequential path (which honours them) instead
+# of silently dropping fault tolerance / profiling / memory staging.
+WAVE_UNSUPPORTED_TRAINER_KEYS = frozenset({
+    "checkpoint_dir", "checkpoint_every", "resume", "prefetch",
+    "profile_dir", "accum_steps",
+})
+
+
+def config_wave_groups(configs: List[dict]):
+    """Partition FULL experiment configs (the sweep runner's units,
+    training/experiment.py layout) into co-trainable groups: identical
+    except ``seed`` and the waveable trainer scalars, with no
+    wave-unsupported trainer options.  Returns a list of lists of indices
+    into ``configs``; singletons and unsupported configs come back as
+    1-element groups (the caller runs those sequentially).
+
+    The canonical target is the reference's seeds-per-final-config
+    protocol (reference configurations.json5 seed lists): K seed replicas
+    of one config share the traced program exactly — only the PRNGKey of
+    the init differs — so they train as one vmapped dispatch.
+    """
+    import json
+
+    waveable = {key.split("__", 1)[1] for key in WAVEABLE_TRAINER_KEYS}
+    groups: dict = {}
+    for i, cfg in enumerate(configs):
+        trainer = cfg.get("trainer", {}) or {}
+        if any(trainer.get(key) for key in WAVE_UNSUPPORTED_TRAINER_KEYS):
+            groups[("__solo__", i)] = [i]
+            continue
+        base = {k: v for k, v in cfg.items() if k not in ("trainer", "seed")}
+        tr = {k: v for k, v in trainer.items() if k not in waveable}
+        sig = json.dumps({"base": base, "trainer": tr},
+                         sort_keys=True, default=str)
+        groups.setdefault(sig, []).append(i)
+    return list(groups.values())
+
+
 def _stack_params(params, k: int):
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (k,) + x.shape), params)
 
@@ -89,10 +139,14 @@ def run_trials_vmapped(
     step and return one results dict per trial (the keys hyperopt reads:
     ``val.<metric>`` plus the split metrics / cost stats).
 
-    Contract: the configs must be identical except the waveable trainer
-    scalars (``trainer.lr``, ``trainer.final_lr_multiplier`` and the
-    host-side scheduler knobs — :data:`WAVEABLE_TRAINER_KEYS`); the caller
-    groups by shape signature.  Raises on mismatch."""
+    Contract: the configs must be identical except ``seed`` and the
+    waveable trainer scalars (``trainer.lr``,
+    ``trainer.final_lr_multiplier`` and the host-side scheduler knobs —
+    :data:`WAVEABLE_TRAINER_KEYS`); the caller groups by shape signature
+    (:func:`vmappable_groups` for hyperopt points,
+    :func:`config_wave_groups` for sweep configs).  Raises on mismatch.
+    Per-trial seeds change only the init PRNGKey — each trial's parameter
+    trajectory equals its sequential run's (tested)."""
     import time
 
     from online_neural_cdes_tpu.data.loader import Batches, load_numpy_data
@@ -115,8 +169,10 @@ def run_trials_vmapped(
         ])
 
     for cfg in trial_cfgs:
-        base = {key: val for key, val in cfg.items() if key != "trainer"}
-        base0 = {key: val for key, val in cfg0.items() if key != "trainer"}
+        base = {key: val for key, val in cfg.items()
+                if key not in ("trainer", "seed")}
+        base0 = {key: val for key, val in cfg0.items()
+                 if key not in ("trainer", "seed")}
         tr = {key: val for key, val in cfg.get("trainer", {}).items()
               if key not in waveable}
         tr0 = {key: val for key, val in cfg0.get("trainer", {}).items()
@@ -135,15 +191,13 @@ def run_trials_vmapped(
         # wave loop already amortises dispatch across trials; silently
         # proceeding loses nothing user-visible, unlike the facilities
         # below.
-        unsupported = [key for key in (
-            "checkpoint_dir", "checkpoint_every", "resume", "prefetch",
-            "profile_dir",
-        ) if cfg.get("trainer", {}).get(key)]
+        unsupported = [key for key in WAVE_UNSUPPORTED_TRAINER_KEYS
+                       if cfg.get("trainer", {}).get(key)]
         if unsupported:
             raise ValueError(
-                f"wave-incompatible trainer options {unsupported}: "
-                "checkpoint/resume/prefetch/profiling run only on the "
-                "sequential trial path"
+                f"wave-incompatible trainer options {sorted(unsupported)}: "
+                "checkpoint/resume/prefetch/profiling/accumulation run "
+                "only on the sequential trial path"
             )
     lrs = _per_trial("lr", 5e-3, float)
     final_mults = _per_trial("final_lr_multiplier", 10.0, float)
@@ -190,11 +244,22 @@ def run_trials_vmapped(
     batch_size = int(ds.get("batch_size", 1024))
     seed = int(cfg0.get("seed", 0))
 
-    # Same config seed for every trial (the reference's hyperopt trials
-    # share the experiment seed): init once, broadcast over the trial axis.
-    params1 = bundle.init(jax.random.PRNGKey(seed))
+    # Per-trial seeds: hyperopt trials share the experiment seed (init
+    # once, broadcast over the trial axis — the reference's behaviour);
+    # co-scheduled sweep seed-replicas each init from their own PRNGKey
+    # and stack.  The seed touches ONLY the init (harness.train uses it
+    # for nothing else), so either way each lane's trajectory equals its
+    # sequential run's.
+    seeds = [int(cfg.get("seed", seed)) for cfg in trial_cfgs]
+    params1 = bundle.init(jax.random.PRNGKey(seeds[0]))
     num_params = int(count_params(params1))
-    params = _stack_params(params1, k)
+    if all(s == seeds[0] for s in seeds):
+        params = _stack_params(params1, k)
+    else:
+        per_trial_params = [params1] + [
+            bundle.init(jax.random.PRNGKey(s)) for s in seeds[1:]
+        ]
+        params = jax.tree.map(lambda *xs: jnp.stack(xs), *per_trial_params)
     opt_state = _stack_params(init_adam_state(params1), k)
 
     # Per-trial LR via the runtime lr_scale: base lr 1.0, scale = lr_i x
@@ -280,6 +345,7 @@ def run_trials_vmapped(
     best_params = params
     best_epoch = np.zeros(k, np.int64)
     plateau_count = np.zeros(k, np.int64)
+    plateau_best = np.full(k, np.inf)   # val LOSS, torch scheduler track
     stall_count = np.zeros(k, np.int64)
     decay = np.ones(k, np.float64)
     active = np.ones(k, bool)
@@ -326,16 +392,34 @@ def run_trials_vmapped(
         if verbose:
             print(f"wave epoch {epoch}: scores {scores}")
 
-        improved = active & (scores < best_score - 1e-12)
+        # Same per-trial semantics as the sequential harness
+        # (training/harness.py:train): best-checkpoint + early stopping
+        # on the MONITORED score with ignite's strict improvement
+        # (reference trainer.py:417-443); the plateau scheduler on VAL
+        # LOSS with torch ReduceLROnPlateau's rel threshold + min_lr
+        # clamp (trainer.py:423-429).
+        from online_neural_cdes_tpu.training.harness import (
+            PLATEAU_MIN_LR, PLATEAU_REL_THRESHOLD,
+        )
+
+        val_losses = np.asarray([r["loss"] for r in val_results], np.float64)
+        improved = active & (scores < best_score)
         best_params = _select_rows(improved, params, best_params)
         best_score = np.where(improved, scores, best_score)
         best_epoch = np.where(improved, epoch, best_epoch)
-        plateau_count = np.where(improved, 0, plateau_count + active)
         stall_count = np.where(improved, 0, stall_count + active)
+        loss_improved = active & (
+            val_losses < plateau_best * (1.0 - PLATEAU_REL_THRESHOLD)
+        )
+        plateau_best = np.where(loss_improved, val_losses, plateau_best)
+        plateau_count = np.where(loss_improved, 0, plateau_count + active)
         decayed = active & (plateau_count > plateau_patience)
-        decay = np.where(decayed, decay * plateau_factor, decay)
+        decay = np.where(
+            decayed, np.maximum(decay * plateau_factor, PLATEAU_MIN_LR / lrs),
+            decay,
+        )
         plateau_count = np.where(decayed, 0, plateau_count)
-        active = active & ~(stall_count > early_stop_patience)
+        active = active & ~(stall_count >= early_stop_patience)
         if not active.any():
             break
     elapsed = time.perf_counter() - t_start
