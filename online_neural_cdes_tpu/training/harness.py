@@ -421,6 +421,7 @@ def train(
     compute_dtype: Optional[str] = None,
     epoch_fused: bool = False,
     accum_steps: Optional[int] = None,
+    init_params: Optional[dict] = None,
 ) -> dict:
     """Full training run; returns the reference's ``compile_results`` dict
     (trainer.py:472-510): metrics for all splits + cost statistics.
@@ -473,7 +474,11 @@ def train(
     sign = 1.0 if minimize else -1.0
 
     key = jax.random.PRNGKey(seed)
-    params = bundle.init(key)
+    # init_params: warm starts and weight-copied oracles (the trainer-
+    # dynamics parity suite copies the reference model's initial weights
+    # here); the seed then seeds nothing else — the trainer is
+    # deterministic given data + init.
+    params = bundle.init(key) if init_params is None else init_params
     opt_state = init_adam_state(params)
     num_params = count_params(params)
 

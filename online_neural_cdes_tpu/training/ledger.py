@@ -72,6 +72,20 @@ class Ledger:
         )
         return h
 
+    def mark_failed(self, config: dict, run_name: Optional[str] = None,
+                    error: str = "") -> str:
+        """Failure sentinel (sweep watchdog / crash isolation): records WHY a
+        config did not complete without counting as completed — dedup skips
+        only ``completed`` entries and ``purge_incomplete_runs`` drops these,
+        so a failed config is retried on the next sweep invocation (the
+        reference's purge-and-retry contract, runs.py:45-57)."""
+        h = config_hash(config)
+        self._append(
+            {"hash": h, "run_name": run_name, "status": "failed",
+             "config": config, "error": error}
+        )
+        return h
+
     def save_result(self, config: dict, results: dict,
                     run_name: Optional[str] = None, info: Optional[dict] = None):
         results = {k: v for k, v in results.items() if k not in ("best_params",)}

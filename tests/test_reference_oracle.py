@@ -760,7 +760,7 @@ def test_grud_cell_matches_reference(oracle):
     from online_neural_cdes_tpu.models.grud import grud_cell_apply
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     p = {
         "z": {"w": t2j(cell.zl.weight).T, "b": t2j(cell.zl.bias)},
@@ -827,7 +827,7 @@ def test_odernn_forward_matches_reference(oracle):
     p = ours.init(jax.random.PRNGKey(0), dtype=jnp.float32)
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     seq = list(ref.ode_cell.net)  # Linear, Tanh, Linear
     p["ode_net"][0] = {"w": t2j(seq[0].weight).T, "b": t2j(seq[0].bias)}
@@ -881,7 +881,7 @@ def test_neural_cde_forward_matches_reference(oracle, vector_field):
     p = ours.init(jax.random.PRNGKey(0), dtype=jnp.float64)
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     # trunk: Sequential(Linear, ReLU, [Linear, ReLU]*): linears at 0,2,4...
     linears = [m for m in ref.func.net_to_hh if isinstance(m, torch.nn.Linear)]
@@ -930,7 +930,11 @@ def _copy_original_field_ncde_params(torch, p, ref):
     param dict (trunk linears, tanh output head, initial/final linears)."""
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        # Owned copy, NOT a view: jnp.asarray of a contiguous numpy view is
+        # zero-copy on the CPU backend, which would alias the torch tensor's
+        # memory — any later in-place torch mutation (opt.step() in the
+        # trainer-dynamics oracle) would silently rewrite "our" params.
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     linears = [m for m in ref.func.net_to_hh if isinstance(m, torch.nn.Linear)]
     assert len(linears) == len(p["field"]["trunk"])
@@ -1041,7 +1045,7 @@ def test_stacked_ncde_matches_reference(oracle, static_dim,
     )
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     B, L, C, OUT, HH = 2, 7, 3, 2, 6
     HD = (5, 4)
@@ -1190,7 +1194,7 @@ def test_grud_model_matches_reference(oracle, return_sequences):
     p = ours.init(jax.random.PRNGKey(0), dtype=jnp.float64)
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     cell = ref.cell
     p["cell"] = {
@@ -1265,7 +1269,7 @@ def test_attention_ncde_matches_reference(oracle, use_sparsemax):
     _copy_original_field_ncde_params(torch, p["final"], ref.final[0])
 
     def t2j(t):
-        return jnp.asarray(t.detach().numpy())
+        return jnp.asarray(np.array(t.detach().numpy()))
 
     p["fc_output"] = {"w": t2j(ref.fc_output.weight).T,
                       "b": t2j(ref.fc_output.bias)}
