@@ -622,6 +622,41 @@ def assert_pallas_parity():
                              packed_p["head_b"], z, dx, g, H, I, "float32")
     close_tree(got_b, expected_b)
     checks.append(f"pallas_backward B={B} H={H} HH={HH} padded")
+
+    # bf16-STORAGE fwd+bwd on hardware (ADVICE r4 #4): the exact mixed
+    # route that regressed in r4 — at lane-aligned widths the primal runs
+    # the Pallas kernel (bf16 out) while the custom_vjp fallback
+    # differentiates the XLA reference; the dtype-clash fix is pinned on
+    # CPU (tests/test_kernels.py) but only this path exercises the Pallas
+    # primal + XLA backward combination the bug lived in.
+    B16, H16 = 512, 128
+    field16 = VectorField(input_dim=21, hidden_dim=H16, hidden_hidden_dim=H16,
+                          num_layers=2, kind="original")
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                       field16.init(jax.random.PRNGKey(3)))
+    packed16 = pack_fused_params(p16, H16, 21, pad=True)
+    rng16 = np.random.default_rng(3)
+    z16 = jnp.asarray(rng16.normal(size=(B16, H16)), jnp.bfloat16)
+    dx16 = jnp.asarray(rng16.normal(size=(B16, 21)), jnp.bfloat16)
+
+    def run16(use_pallas):
+        def loss(pk, z_):
+            out = fused_matmul_field(
+                pk["trunk"], pk["head_w"], pk["head_b"], z_, dx16, H16, 21,
+                use_pallas, "bfloat16")
+            return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+        (_, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(packed16, z16)
+        return out, grads
+
+    out16_p, g16_p = run16(True)
+    out16_x, g16_x = run16(False)
+    assert out16_p.dtype == jnp.bfloat16, out16_p.dtype
+    # bf16 storage carries ~3 decimal digits; parity tolerance follows.
+    close_tree(out16_p, out16_x, tol=3e-2)
+    close_tree(g16_p, g16_x, tol=3e-2)
+    checks.append(f"bf16_storage fwd+bwd B={B16} H={H16} padded")
     return {"status": "ok", "checks": checks}
 
 
@@ -656,6 +691,107 @@ def bench_flagship_h256(n=15):
         "shape": f"B={B} knots={2*L-1} C={C} H={H}",
         "step_ms": round(ms, 2),
         "eff_tf_s": round(step_flops / (ms * 1e-3) / 1e12, 2),
+    }
+
+
+def concurrency_grid():
+    """K co-resident flagship replicas trained as ONE vmapped program —
+    the sweep runner's co-scheduled seed-replica path (training/sweep.py
+    config_wave_groups -> training/wave.py).  The r4 mfu_grid showed the
+    H=128 flagship is latency-bound: batch buys nothing (flat ~19-21% of
+    bf16 peak from B=256-2048) while serial sweep execution left the chip
+    ~79% idle per run.  The trial axis is the lever batch is not: K seed
+    replicas (the reference's seeds-per-final-config protocol,
+    configurations.json5) share one traced program and fill the idle MXU.
+
+    Reports, for K in {1, 2, 4, 8} at the flagship shape (B=512,
+    knots=199, C=21, H=128, adjoint rk4): per-replica step time, aggregate
+    NFE/s, effective TF/s and % of bf16 peak, plus the best aggregate
+    speedup vs the K=1 row."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_neural_cdes_tpu.models.ncde import NeuralCDE
+    from online_neural_cdes_tpu.ops.interpolation import linear_interpolation_coeffs
+    from online_neural_cdes_tpu.training.loop import init_adam_state, make_train_step
+
+    B, L, C, H = 512, 100, 21, 128
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, L, C)).astype(np.float32)
+    x[:, :, 0] = np.arange(L)
+    static = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+    coeffs = linear_interpolation_coeffs(jnp.asarray(x), rectilinear=0)
+    labels = jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.float32))
+    inputs = (static, coeffs)
+
+    model = NeuralCDE(
+        input_dim=C, hidden_dim=H, output_dim=1, static_dim=10,
+        hidden_hidden_dim=H, num_layers=2, interpolation="rectilinear",
+        return_sequences=True, adjoint=True, solver="rk4", solver_unroll=4,
+    )
+    base_step = make_train_step(model, loss="bce", lr=5e-4, donate=False)
+    fwd_nfe = (2 * L - 2) * 4
+    flops_full = _field_flops(B, H, H, C, 2)
+    flops_even = 2 * B * (H * H + H * H + H * 1 * H)
+    step_flops = 3 * (L - 1) * 4 * (flops_full + flops_even)
+
+    rows = []
+    agg1 = None
+    for K in (1, 2, 4, 8):
+        if _BENCH_DEADLINE is not None and time.perf_counter() > _BENCH_DEADLINE:
+            rows.append({"k": K, "note": "skipped (bench time budget spent)"})
+            continue
+        # Per-replica seeds, exactly like the co-scheduled sweep: only the
+        # init PRNGKey differs across lanes.
+        per_rep = [model.init(jax.random.PRNGKey(s)) for s in range(K)]
+        params = jax.tree.map(lambda *xs: jnp.stack(xs), *per_rep)
+        # EVERY opt-state leaf takes the K axis (incl. Adam's scalar count,
+        # which vmap in_axes=0 requires) — the wave.py stacking recipe.
+        opt_state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape),
+            init_adam_state(per_rep[0]))
+        vstep = jax.jit(jax.vmap(base_step, in_axes=(0, 0, None, None, None)))
+        params, opt_state, l = vstep(params, opt_state, inputs, labels, 1.0)
+        np.asarray(l)  # compile + warm (host transfer: the only true sync
+        #                on the axon backend — block_until_ready lies)
+        n = 20
+        if _TUNNEL_RT_S is not None:
+            n = min(max(n, int(_TUNNEL_RT_S * 1000.0 / max(K, 1))), 150)
+        times = []
+        for _ in range(_CHAINS):
+            rt = _measure_tunnel_rt()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                params, opt_state, l = vstep(
+                    params, opt_state, inputs, labels, 1.0)
+            np.asarray(l)
+            elapsed = time.perf_counter() - t0
+            times.append((elapsed - min(rt, 0.5 * elapsed)) / n)
+        step_s = float(np.median(times))
+        agg_nfe_s = K * fwd_nfe / step_s
+        eff_tf = K * step_flops / step_s / 1e12
+        if K == 1:
+            agg1 = agg_nfe_s
+        rows.append({
+            "k": K,
+            "per_replica_step_ms": round(step_s * 1000.0, 2),
+            "agg_nfe_per_s": round(agg_nfe_s, 1),
+            "eff_tf_s": round(eff_tf, 2),
+            "pct_of_bf16_peak": round(100.0 * eff_tf / PEAK_BF16_TF, 1),
+            "agg_speedup_vs_k1": (
+                round(agg_nfe_s / agg1, 2) if agg1 else None),
+        })
+    best = max((r.get("agg_speedup_vs_k1") or 0.0) for r in rows)
+    return {
+        "shape": f"B={B} knots={2*L-1} C={C} H={H} adjoint rk4 (flagship)",
+        "rows": rows,
+        "best_agg_speedup": round(best, 2) if best else None,
+        "note": (
+            "K seed replicas vmapped into one program (the sweep runner's "
+            "config_wave_groups path); per_replica_step_ms is the whole "
+            "vmapped step's wall time — every replica finishes a step in "
+            "that time, so aggregate throughput is K replicas per step"
+        ),
     }
 
 
@@ -766,6 +902,31 @@ def bench_serving():
     np.asarray(y)
     elapsed = time.perf_counter() - t0
     tick_ms = (elapsed - min(rt, 0.5 * elapsed)) / n * 1000.0
+
+    # Percentile protocol (r5, VERDICT #8): the per-tick latency
+    # DISTRIBUTION under a replayed arrival trace — every tick dispatched
+    # and its output synced individually, exactly as a live server pays.
+    # On this tunneled box one transport round-trip rides every sample, so
+    # the distribution is reported raw AND net of the interleaved-probe
+    # median RT (the documented tunnel-RT-subtracted protocol); the RT
+    # percentiles are included so tail attribution is self-describing.
+    n_lat = 200
+    lat, rts = [], []
+    state_p = stepper.init(jnp.asarray(obs[0]))
+    for i in range(n_lat):
+        if i % 8 == 0:
+            rts.append(_measure_tunnel_rt())
+        x_new = ticks[i % len(ticks)]
+        t0 = time.perf_counter()
+        state_p, y_p = stepper.step(state_p, x_new)
+        np.asarray(y_p)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    rt_arr_ms = np.asarray(rts) * 1e3
+    rt_med_ms = float(np.median(rt_arr_ms))
+    p50_raw, p99_raw = (float(v) for v in np.percentile(lat_ms, [50, 99]))
+    p50_net = max(p50_raw - rt_med_ms, 0.0)
+    p99_net = max(p99_raw - rt_med_ms, 0.0)
 
     # Catch-up blocks (r4): a reconnecting stream replays a backlog of
     # K observations.  RAW wall clock both sides — the block's win IS
@@ -885,6 +1046,24 @@ def bench_serving():
             "device time per observation tick for 64 concurrent streams "
             "(2 rectilinear pieces/tick); deployed latency adds one "
             "dispatch round-trip (transport-bound)"
+        ),
+        "tick_p50_ms": round(p50_net, 3),
+        "tick_p99_ms": round(p99_net, 3),
+        "tick_p50_raw_ms": round(p50_raw, 3),
+        "tick_p99_raw_ms": round(p99_raw, 3),
+        "tick_rt_p50_ms": round(rt_med_ms, 3),
+        "tick_rt_p99_ms": round(float(np.percentile(rt_arr_ms, 99)), 3),
+        "percentile_note": (
+            f"{n_lat}-tick replayed arrival trace, each tick synced "
+            "individually (a live server's accounting); p50/p99 are net "
+            "of the interleaved-probe median tunnel RT, *_raw_ms are as "
+            "measured — the RT percentiles attribute the tail"
+        ),
+        "sustained_obs_per_s": round(B / tick_ms * 1000.0, 1),
+        "sustained_note": (
+            "64 concurrent streams advanced one observation per tick at "
+            "the chained (sync-amortised) tick time — the saturation "
+            "throughput a pipelined server sustains"
         ),
         "catchup_block64_ms": round(block_ms, 2),
         "catchup_sequential64_ms": round(seq_ms, 2),
@@ -1210,8 +1389,7 @@ def main():
     if status != "ok":
         report["errors"] = errors
         report["backend"] = "unavailable"
-        print(json.dumps(report))
-        sys.stdout.flush()
+        _emit(report)
         os._exit(0)  # a hung daemon probe thread must not block exit
 
     # Total-runtime budget: an external (driver-level) timeout kill would
@@ -1249,6 +1427,7 @@ def main():
     flag_res = leg("flagship", bench_flagship_step)
     flagship, flagship_ms, flagship_nfe_s, flagship_mid_ms = (
         flag_res if flag_res is not None else (None, None, None, None))
+    conc = leg("concurrency_grid", concurrency_grid)
     flagship_h256 = leg("flagship_h256", bench_flagship_h256)
     chartraj = leg("chartraj", bench_chartraj)
     beijing = leg("beijing", bench_beijing_hermite)
@@ -1316,10 +1495,70 @@ def main():
             "configs": [_with_peak(c) for c in configs],
             "roofline": roofline,
             "mfu_grid": grid,
+            "concurrency_grid": conc,
+            "serving_p50_ms": (
+                serving.get("tick_p50_ms")
+                if isinstance(serving, dict) else None),
+            "serving_p99_ms": (
+                serving.get("tick_p99_ms")
+                if isinstance(serving, dict) else None),
             "errors": errors,
         }
     )
-    print(json.dumps(report))
+    _emit(report)
+
+
+def _emit(report):
+    """Print ONE compact headline JSON line (driver-parseable) and write the
+    full record to results/ (VERDICT r4 ask #3: BENCH_r04 landed
+    ``parsed: null`` purely because the full JSON line outgrew the driver's
+    capture window — the headline stays well under ~1.5 KB, the full
+    evidence lives in the pointed-to file)."""
+    ts = time.strftime("%Y%m%dT%H%M%S")
+    full_path = None
+    try:
+        results_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "results")
+        os.makedirs(results_dir, exist_ok=True)
+        full_path = os.path.join("results", f"bench_full_{ts}.json")
+        with open(os.path.join(results_dir, f"bench_full_{ts}.json"),
+                  "w") as fh:
+            json.dump(report, fh, indent=1)
+    except Exception as e:  # noqa: BLE001 — headline still prints
+        full_path = f"unwritten ({type(e).__name__})"
+
+    grid = report.get("mfu_grid") or []
+    mfu_peak = None
+    try:
+        pcts = [c.get("pct_of_bf16_peak") for c in grid
+                if isinstance(c, dict) and c.get("pct_of_bf16_peak")]
+        if pcts:
+            mfu_peak = max(pcts)
+    except Exception:  # noqa: BLE001
+        pass
+    conc = report.get("concurrency_grid") or {}
+    headline = {
+        "metric": report.get("metric"),
+        "value": report.get("value"),
+        "unit": report.get("unit"),
+        "vs_baseline": report.get("vs_baseline"),
+        "backend": report.get("backend"),
+        "flagship_step_ms": report.get("flagship_mimic_scale_step_ms"),
+        "flagship_nfe_per_s": report.get("flagship_vector_field_nfe_per_s"),
+        "pallas_parity": report.get("pallas_parity"),
+        "mfu_peak_pct": mfu_peak,
+        "concurrency_best_agg_speedup": conc.get("best_agg_speedup"),
+        "serving_p99_ms": (report.get("serving_p99_ms")),
+        "n_errors": len(report.get("errors") or []),
+        "errors_head": [e[:120] for e in (report.get("errors") or [])[:2]],
+        "full_record": full_path,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1800:
+        # Hard guarantee: never outgrow the driver capture window again.
+        headline.pop("errors_head", None)
+        line = json.dumps(headline)
+    print(line)
     sys.stdout.flush()
 
 

@@ -4,21 +4,41 @@ Replaces the reference's vendored 730-line sktime loader
 (/root/reference/get_data/download/tsr.py:55-730) with a minimal reader
 covering what the benchmarks need: multivariate series with optional class
 labels (UEA classification) or regression targets (TSER), '?' missing
-values, ragged lengths.
+values, ragged lengths — in BOTH on-disk layouts:
+
+* plain format — dimensions separated by ':', observations
+  comma-separated: ``1.0,2.0,?:5.0,6.0,7.0:label``
+* ``@timestamps true`` tuple format (reference tsr.py:125,365-517) —
+  each observation is a ``(timestamp, value)`` tuple, timestamps int,
+  float, or ISO date strings:
+  ``(0,1.0),(2,2.0):(0,5.0),(1,6.0):label``
 
 Format recap: '#' comment lines, '@tag value' header lines, then '@data'
-followed by one line per case — dimensions separated by ':', observations
-comma-separated, with the label/target as the final ':'-field when
-``@classLabel``/``@targetlabel`` is true.
+followed by one line per case — dimensions separated by ':', with the
+label/target as the final ':'-field when ``@classLabel``/``@targetlabel``
+is true.
+
+Timestamped cases align every dimension on the case's UNION timestamp
+grid (sorted), with NaN where a dimension has no observation at that
+time — exactly the irregular-sampling layout the NCDE pipeline consumes
+(data/common.py NaN-aware coefficient builds).  Their rows gain a leading
+time column (column 0): numeric timestamps pass through; date timestamps
+convert to float seconds since the case's first observation (an affine
+reparametrisation — CDE solutions are invariant to it, and the corpus
+normalisation rescales the channel anyway).  Plain-format rows are
+returned without a time column, as before.
 """
 
 from __future__ import annotations
 
+import re
 from typing import List, Tuple
 
 import numpy as np
 
 __all__ = ["load_ts_file"]
+
+_TUPLE_RE = re.compile(r"\(([^)]*)\)")
 
 
 def _parse_value(tok: str) -> float:
@@ -26,11 +46,60 @@ def _parse_value(tok: str) -> float:
     return np.nan if tok in ("?", "") else float(tok)
 
 
+def _parse_timestamp(tok: str):
+    """int/float pass through; anything else must parse as a date
+    (reference tsr.py:452-517 accepts exactly these three kinds)."""
+    tok = tok.strip().strip("'\"")
+    try:
+        return float(tok)
+    except ValueError:
+        return np.datetime64(tok)
+
+
+def _parse_tuple_dimension(field: str):
+    """One dimension's ``(t, v), (t, v), ...`` string -> (timestamps,
+    values) lists.  The value is everything after the tuple's LAST comma
+    (the reference's rfind(',') rule, tsr.py:384-393 — date timestamps
+    may themselves contain commas)."""
+    ts, vs = [], []
+    for body in _TUPLE_RE.findall(field):
+        cut = body.rfind(",")
+        if cut == -1:
+            raise ValueError(f"tuple without a comma in .ts dimension: ({body})")
+        ts.append(_parse_timestamp(body[:cut]))
+        vs.append(_parse_value(body[cut + 1:]))
+    return ts, vs
+
+
+def _timestamped_case(fields: List[str]) -> np.ndarray:
+    """Tuple-format case -> (L, 1 + C) float32: union timestamp grid in
+    column 0, per-dimension values aligned on it with NaN holes."""
+    dims = [_parse_tuple_dimension(f) for f in fields]
+    all_ts = [t for ts, _ in dims for t in ts]
+    if not all_ts:
+        return np.zeros((0, 1 + len(dims)), np.float32)
+    if isinstance(all_ts[0], np.datetime64):
+        origin = min(all_ts)
+        to_num = lambda t: float((t - origin) / np.timedelta64(1, "s"))  # noqa: E731
+    else:
+        to_num = float
+    grid = sorted({to_num(t) for t in all_ts})
+    index = {t: i for i, t in enumerate(grid)}
+    arr = np.full((len(grid), 1 + len(dims)), np.nan, np.float32)
+    arr[:, 0] = grid
+    for c, (ts, vs) in enumerate(dims):
+        for t, v in zip(ts, vs):
+            arr[index[to_num(t)], 1 + c] = v
+    return arr
+
+
 def load_ts_file(path: str) -> Tuple[List[np.ndarray], List[str]]:
     """Returns (series, labels): series[i] is (L_i, C) float32 with NaN for
-    missing values; labels[i] is the raw label/target string ('' if the
-    file has none)."""
+    missing values — (L_i, 1 + C) with a leading time column for
+    ``@timestamps true`` files; labels[i] is the raw label/target string
+    ('' if the file has none)."""
     has_labels = False
+    timestamps = False
     in_data = False
     series: List[np.ndarray] = []
     labels: List[str] = []
@@ -44,8 +113,29 @@ def load_ts_file(path: str) -> Tuple[List[np.ndarray], List[str]]:
                 low = line.lower()
                 if low.startswith("@classlabel") or low.startswith("@targetlabel"):
                     has_labels = "true" in low.split()
+                if low.startswith("@timestamps"):
+                    timestamps = "true" in low.split()
                 if low.startswith("@data"):
                     in_data = True
+                continue
+
+            if timestamps:
+                # The label field is everything after the last ')' and its
+                # following ':' — ':' inside date timestamps must not split.
+                if has_labels:
+                    cut = line.rfind(":")
+                    if cut <= line.rfind(")"):
+                        raise ValueError(
+                            f"missing label field in timestamped case: {line[:60]}"
+                        )
+                    label = line[cut + 1:].strip()
+                    line = line[:cut]
+                else:
+                    label = ""
+                # Dimension separators are the ':' between a ')' and a '('.
+                fields = re.split(r"(?<=\))\s*:\s*(?=\()", line)
+                series.append(_timestamped_case(fields))
+                labels.append(label)
                 continue
 
             fields = line.split(":")

@@ -140,7 +140,18 @@ def _rebuild(config: dict, checkpoint: str, data_root: Optional[str]):
     raw = npz["temporal_data_raw"]
     channels = int(np.asarray(raw[0]).shape[-1])
     max_length = int(max(len(np.asarray(r)) for r in raw))
-    return bundle, splits, params, channels, max_length
+    # VAL-split raw rows + labels, for the reduced-precision task-metric
+    # gate: the artifact is scored on the config's own validation data.
+    val_idxs = np.asarray(npz["val_idxs"])
+    val_rows = [np.asarray(raw[i], np.float32) for i in val_idxs]
+    val_static = (
+        npz["static_data"].astype(np.float32)[val_idxs]
+        if "static_data" in npz.files and ds.get("use_static", True)
+        else None
+    )
+    val_labels = np.asarray(npz["labels"])[val_idxs]
+    val_eval = (val_rows, val_static, val_labels)
+    return bundle, splits, params, channels, max_length, val_eval
 
 
 def build_predictor_from_config(
@@ -158,7 +169,7 @@ def build_predictor_from_config(
     ``max_length`` (longest training series), and ``static_dim``."""
     from online_neural_cdes_tpu.serving import predictor_from_bundle
 
-    bundle, splits, params, channels, max_length = (
+    bundle, splits, params, channels, max_length, _ = (
         _rebuilt or _rebuild(config, checkpoint, data_root)
     )
 
@@ -217,7 +228,7 @@ def build_stepper_from_config(
     guards reject anything else loudly).  Returns ``(stepper, info)``."""
     from online_neural_cdes_tpu.serving import OnlineNCDEStepper
 
-    bundle, splits, params, channels, _ = (
+    bundle, splits, params, channels, _, _ = (
         _rebuilt or _rebuild(config, checkpoint, data_root)
     )
     if bundle.model_string != "ncde":
@@ -268,6 +279,86 @@ def _verify_against_live(predictor, out_dir, channels, max_len, static_dim,
             else f"within {reduced_dtype} tolerance")
 
 
+def _stack_row_outputs(outs, target_len=None):
+    """Per-request output list -> one (N, ...) array; sequence outputs
+    NaN-pad to ``target_len`` (the stored label length, so the flattened
+    pred/label positions align — the metrics are NaN-masked, and a
+    request's pad region has no finite stored label either)."""
+    outs = [np.asarray(o) for o in outs]
+    if target_len is None and all(o.shape == outs[0].shape for o in outs):
+        return np.stack(outs)
+    max_len = max([o.shape[0] for o in outs] + [target_len or 0])
+    padded = np.full((len(outs), max_len) + outs[0].shape[1:], np.nan,
+                     np.float64)
+    for i, o in enumerate(outs):
+        padded[i, : o.shape[0]] = o
+    return padded
+
+
+def _gate_metrics(config, labels):
+    """Which task metrics score a reduced-precision artifact: the config's
+    own trainer metrics when present, else inferred from the label space."""
+    names = [m for m in (config.get("trainer", {}) or {}).get("metrics", [])
+             if m != "loss"]
+    if names:
+        return names
+    finite = np.asarray(labels)[np.isfinite(np.asarray(labels, np.float64))]
+    if finite.size and np.allclose(finite, np.round(finite)):
+        classes = np.unique(finite)
+        return ["auc", "acc"] if len(classes) <= 2 else ["acc"]
+    return ["rmse"]
+
+
+def _task_metric_gate(predictor, out_dir, val_eval, config, tol):
+    """Task-metric quality gate for reduced-precision artifacts (a raw
+    'max rel dev' on outputs is not a quality statement — 2.7% on a logit
+    near a decision boundary is not obviously benign): score the reloaded
+    artifact AND the live f32 predictor on the config's VAL split with the
+    config's own metrics, and fail the export when any metric departs the
+    live value by more than ``tol``.  Returns the per-metric summary."""
+    from online_neural_cdes_tpu.serving_export import load_predictor
+    from online_neural_cdes_tpu.training.metrics import METRICS
+
+    rows, static, labels = val_eval
+    labels_arr = np.asarray(labels)
+    target_len = labels_arr.shape[1] if labels_arr.ndim > 1 else None
+    live = _stack_row_outputs(predictor.predict(rows, static=static),
+                              target_len)
+    art = _stack_row_outputs(load_predictor(out_dir).predict(
+        rows, static=static), target_len)
+
+    def rmse(preds, labs):
+        preds = np.asarray(preds, np.float64).squeeze()
+        labs = np.asarray(labs, np.float64)
+        mask = np.isfinite(labs)
+        return float(np.sqrt(np.mean((preds[mask] - labs[mask]) ** 2)))
+
+    summary = {"tol": tol, "metrics": {}}
+    failures = []
+    for name in _gate_metrics(config, labels):
+        fn = METRICS.get(name, rmse if name == "rmse" else None)
+        if fn is None:
+            continue
+        m_live = float(fn(live, labels))
+        m_art = float(fn(art, labels))
+        delta = abs(m_art - m_live)
+        summary["metrics"][name] = {
+            "live_f32": round(m_live, 6),
+            "artifact": round(m_art, 6),
+            "abs_delta": round(delta, 6),
+        }
+        if not np.isfinite(delta) or delta > tol:
+            failures.append(f"{name}: |{m_art:.6f} - {m_live:.6f}| "
+                            f"= {delta:.6f} > tol {tol}")
+    if failures:
+        raise ValueError(
+            "reduced-precision artifact fails the task-metric gate on the "
+            f"config's val split: {'; '.join(failures)} — raise "
+            "--metric-tol only with cause, or export f32"
+        )
+    return summary
+
+
 def main(argv=None) -> str:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", required=True,
@@ -303,7 +394,14 @@ def main(argv=None) -> str:
                     help="after exporting, reload the artifact in-process "
                          "and assert it serves synthetic rows identically "
                          "to the live predictor (adds 'verified' to the "
-                         "summary)")
+                         "summary); reduced-precision exports additionally "
+                         "pass the task-metric gate on the config's val "
+                         "split (see --metric-tol)")
+    ap.add_argument("--metric-tol", type=float, default=0.01,
+                    help="task-metric gate for reduced-precision artifacts "
+                         "under --verify: max allowed |metric(artifact) - "
+                         "metric(live f32)| on the config's val split for "
+                         "each of the config's metrics (default 0.01)")
     ap.add_argument("--update-params-only", action="store_true",
                     help="roll the checkpoint into the EXISTING artifact "
                          "at --out (atomic params.npz rewrite; architecture "
@@ -320,7 +418,7 @@ def main(argv=None) -> str:
     rebuilt = _rebuild(config, args.checkpoint, args.data_root)
 
     if args.update_params_only:
-        _, _, params, _, _ = rebuilt
+        _, _, params, _, _, _ = rebuilt
         n = update_params(args.out, params)
         stepper_dir = os.path.join(args.out, "stepper")
         summary = {"artifact": args.out, "leaves_updated": n}
@@ -348,6 +446,11 @@ def main(argv=None) -> str:
                 predictor, args.out, manifest["channels"],
                 manifest["max_length"], manifest["static_dim"], reduced,
             )
+            if reduced is not None:
+                summary["metric_gate"] = _task_metric_gate(
+                    predictor, args.out, rebuilt[5], config,
+                    args.metric_tol,
+                )
         print(json.dumps(summary))
         return args.out
     predictor, info = build_predictor_from_config(
@@ -379,6 +482,10 @@ def main(argv=None) -> str:
             args.max_length or info["max_length"], info["static_dim"],
             args.params_dtype,
         )
+        if args.params_dtype is not None:
+            summary["metric_gate"] = _task_metric_gate(
+                predictor, args.out, rebuilt[5], config, args.metric_tol,
+            )
     if args.stepper:
         stepper, sinfo = build_stepper_from_config(
             config, args.checkpoint, _rebuilt=rebuilt

@@ -537,3 +537,44 @@ def test_cli_verify_gate(tmp_path, corpus, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["leaves_updated"] > 0
     assert summary["verified"] == "bit-exact"
+
+
+def test_bf16_metric_gate_passes_and_fails_by_threshold(tmp_path, corpus,
+                                                        capsys):
+    """Reduced-precision exports under --verify pass a TASK-METRIC gate on
+    the config's val split (a raw output deviation is not a quality
+    statement): a healthy bf16 export scores within --metric-tol of the
+    live f32 predictor, and an artifact whose weights drifted (a bad
+    checkpoint roll) fails by threshold before it can serve."""
+    from online_neural_cdes_tpu.deploy import _rebuild, _task_metric_gate
+    from online_neural_cdes_tpu.serving_export import update_params
+
+    config = _config("linear")
+    bundle, _ = load_and_setup(config, corpus)
+    params = bundle.init(jax.random.PRNGKey(3))
+    ckpt = save_checkpoint(str(tmp_path / "best_params"), params,
+                           use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    out16 = str(tmp_path / "a16")
+    main(["--config", str(cfg_path), "--checkpoint", ckpt, "--out", out16,
+          "--data-root", corpus, "--batch-buckets", "4",
+          "--length-multiple", "8", "--platforms", "cpu", "--params-dtype",
+          "bfloat16", "--verify"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    gate = summary["metric_gate"]
+    assert set(gate["metrics"]) == {"auc", "acc"}, gate
+    for vals in gate["metrics"].values():
+        assert vals["abs_delta"] <= gate["tol"], gate
+
+    # Failing-by-threshold path: roll DIFFERENT weights into the artifact
+    # behind the live predictor's back; the val-split metrics depart and
+    # the gate must refuse.
+    update_params(out16, jax.tree.map(lambda a: a * 5.0, params))
+    rebuilt = _rebuild(config, ckpt, corpus)
+    predictor, _ = build_predictor_from_config(
+        config, ckpt, _rebuilt=rebuilt, batch_buckets=(4,),
+        length_multiple=8)
+    with pytest.raises(ValueError, match="task-metric gate"):
+        _task_metric_gate(predictor, out16, rebuilt[5], config, 0.01)

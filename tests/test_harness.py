@@ -83,6 +83,61 @@ def test_ts_parser(tmp_path):
     np.testing.assert_allclose(series[1][:, 1], [9.0, 10.0])
 
 
+def test_ts_parser_timestamp_tuples(tmp_path):
+    """Golden: the @timestamps tuple format (reference tsr.py:125,365-517).
+    Dimensions observed at DIFFERENT times align on the case's union
+    timestamp grid with NaN holes, the grid itself lands in column 0, and
+    '?' values stay missing."""
+    content = """@problemName tinyts
+@timestamps true
+@classLabel true a b
+@data
+(0,1.0),(2,2.0),(5,?):(0,10.0),(3,11.0):a
+(1,7.0):(1,9.5),(2,10.5):b
+"""
+    path = tmp_path / "tinyts.ts"
+    path.write_text(content)
+    from online_neural_cdes_tpu.data.ts_format import load_ts_file
+
+    series, labels = load_ts_file(str(path))
+    assert labels == ["a", "b"]
+    # Case 0: union grid {0, 2, 3, 5} -> (4, 1 + 2)
+    assert series[0].shape == (4, 3)
+    np.testing.assert_allclose(series[0][:, 0], [0.0, 2.0, 3.0, 5.0])
+    np.testing.assert_allclose(series[0][:2, 1], [1.0, 2.0])
+    assert np.isnan(series[0][3, 1])      # the '?' value at t=5
+    assert np.isnan(series[0][1, 2])      # dim 2 unobserved at t=2
+    np.testing.assert_allclose(series[0][[0, 2], 2], [10.0, 11.0])
+    # Case 1: union grid {1, 2}
+    assert series[1].shape == (2, 3)
+    np.testing.assert_allclose(series[1][:, 0], [1.0, 2.0])
+    assert np.isnan(series[1][1, 1])
+    np.testing.assert_allclose(series[1][:, 2], [9.5, 10.5])
+
+
+def test_ts_parser_date_timestamps(tmp_path):
+    """Date timestamps convert to float seconds since the case's first
+    observation (an affine reparametrisation — CDE solutions are invariant
+    to it); no-label tuple files parse too."""
+    content = """@problemName dately
+@timestamps true
+@classLabel false
+@data
+(2020-01-01 00:00:00,1.0),(2020-01-01 00:01:00,2.0)
+(2020-03-05,4.0),(2020-03-06,5.0)
+"""
+    path = tmp_path / "dately.ts"
+    path.write_text(content)
+    from online_neural_cdes_tpu.data.ts_format import load_ts_file
+
+    series, labels = load_ts_file(str(path))
+    assert labels == ["", ""]
+    np.testing.assert_allclose(series[0][:, 0], [0.0, 60.0])
+    np.testing.assert_allclose(series[0][:, 1], [1.0, 2.0])
+    np.testing.assert_allclose(series[1][:, 0], [0.0, 86400.0])
+    np.testing.assert_allclose(series[1][:, 1], [4.0, 5.0])
+
+
 @pytest.fixture(scope="module")
 def toy_dataset(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("processed"))
