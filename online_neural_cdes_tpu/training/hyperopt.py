@@ -191,15 +191,23 @@ def run_hyperopt(
     wave_size = max(1, int(config.get("wave_size", 1)))
     wave_vmap = bool(config.get("wave_vmap", True))
     dims, fixed = _split_space(space)
+    # search modes: "tpe" (default, Sobol startup then TPE refinement),
+    # "sobol" (pure low-discrepancy), "random" (iid uniform — the
+    # head-to-head baseline; scripts/hyperopt_headtohead.py).
     n_startup = (
-        total_trials if search == "sobol"
+        total_trials if search in ("sobol", "random")
         else min(total_trials, max(5, int(config.get(
             "startup_trials", total_trials // 2))))
     )
     # Full-length Sobol table: trials whose wave begins before ANY scored
     # history exists (a wave spanning the whole startup phase) continue
     # the low-discrepancy sequence instead of calling TPE with nothing.
-    startup_unit = _sobol_unit(len(dims), total_trials, seed)
+    startup_unit = (
+        np.random.default_rng((seed, 7919)).uniform(
+            size=(total_trials, len(dims)))
+        if search == "random"
+        else _sobol_unit(len(dims), total_trials, seed)
+    )
 
     from online_neural_cdes_tpu.training.ledger import config_hash
 

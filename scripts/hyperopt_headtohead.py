@@ -1,0 +1,133 @@
+"""Hyperopt head-to-head on a REAL training objective (VERDICT r4 #7).
+
+The reference hyper-optimizes with Ax (GPEI after Sobol startup,
+/root/reference/experiments/hyperoptimize.py:86-94); this framework ships
+a Sobol+TPE search with the same spaces/budget/sentinel contract
+(training/hyperopt.py).  Ax is not importable in this image, so the
+strongest available comparison is Sobol+TPE vs its own ablations — pure
+Sobol and iid random — on a genuine training objective: the model__*
+dunder space of the reference's ncde-mimic suite
+(configurations/configurations.json5:32-37), scaled to the toy
+Brownian-motion corpus, 20-trial budget (the reference's), 5 repetitions
+per method.
+
+Usage (CPU, ~40-60 min cold / faster with a warm jit cache):
+
+    python scripts/hyperopt_headtohead.py [--trials 20] [--reps 5] \
+        [--out results/hyperopt_headtohead.json]
+
+Prints a per-method best-found-metric table (markdown) and writes the
+full per-seed record as JSON.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # never ride the TPU tunnel
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/h2h_jax_cache",
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.02)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def base_config(seed: int, trials: int) -> dict:
+    """The search problem: NCDE shape dims on the toy online task —
+    the reference ncde-mimic parameterization's structure
+    (configurations.json5: model__hidden_dim / model__hidden_hidden_dim /
+    model__num_layers ranges) at toy scale."""
+    return {
+        "dataset_name": "ToyBM",
+        "seed": seed,
+        "total_trials": trials,
+        "evaluation_metric": "auc",
+        "minimize": False,
+        "parameterization": [
+            {"name": "model__hidden_dim", "type": "range", "bounds": [8, 48]},
+            {"name": "model__hidden_hidden_dim", "type": "range",
+             "bounds": [8, 48]},
+            {"name": "model__num_layers", "type": "range", "bounds": [1, 3]},
+            # LR on a 4-decade log range (the reference gru-family spaces
+            # include trainer__lr too): a badly chosen LR undertrains in
+            # the 5-epoch budget, so FINDING the good region is the
+            # signal that separates search qualities.
+            {"name": "trainer__lr", "type": "range",
+             "bounds": [1e-4, 1e-1], "log_scale": True},
+        ],
+        "dataset": {"data_loc": "Toy/BM", "problem": "online",
+                    "use_static": True, "interpolation": "linear",
+                    "batch_size": 256},
+        "model": {"model_string": "ncde", "adjoint": False, "solver": "rk4"},
+        "trainer": {"loss_str": "bce", "metrics": ["loss", "auc"],
+                    "val_metric_to_monitor": "auc", "max_epochs": 5},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default="results/hyperopt_headtohead.json")
+    args = ap.parse_args()
+
+    from online_neural_cdes_tpu.data.builders import build_toy_bm
+    from online_neural_cdes_tpu.training.hyperopt import run_hyperopt
+
+    root = tempfile.mkdtemp(prefix="h2h_")
+    build_toy_bm(root, num_paths=512, n_points=10, seed=0)
+
+    record = {"trials": args.trials, "reps": args.reps, "methods": {}}
+    for method in ("tpe", "sobol", "random"):
+        scores, traj = [], []
+        for seed in range(args.reps):
+            cfg = base_config(seed, args.trials)
+            if method != "tpe":
+                cfg["search"] = method
+            t0 = time.perf_counter()
+            res = run_hyperopt(cfg, data_root=root)
+            best_auc = -res["best_score"]  # sign-folded (maximize)
+            scores.append(best_auc)
+            traj.append(round(time.perf_counter() - t0, 1))
+            print(f"{method} seed {seed}: best val.auc {best_auc:.4f} "
+                  f"({traj[-1]}s)", flush=True)
+        record["methods"][method] = {
+            "best_val_auc_per_seed": [round(s, 4) for s in scores],
+            "mean": round(float(np.mean(scores)), 4),
+            "std": round(float(np.std(scores)), 4),
+            "min": round(float(np.min(scores)), 4),
+            "max": round(float(np.max(scores)), 4),
+            "seconds_per_rep": traj,
+        }
+
+    tpe = record["methods"]["tpe"]["best_val_auc_per_seed"]
+    for other in ("sobol", "random"):
+        o = record["methods"][other]["best_val_auc_per_seed"]
+        record["methods"][other]["tpe_wins"] = int(
+            sum(t >= s for t, s in zip(tpe, o)))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(record, fh, indent=1)
+
+    print("\n| method | best val.auc (mean ± std over "
+          f"{args.reps} seeds) | min | max |")
+    print("|---|---|---|---|")
+    for m, r in record["methods"].items():
+        print(f"| {m} | {r['mean']:.4f} ± {r['std']:.4f} "
+              f"| {r['min']:.4f} | {r['max']:.4f} |")
+    print(f"\nfull record: {args.out}")
+
+
+if __name__ == "__main__":
+    main()

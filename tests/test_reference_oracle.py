@@ -71,14 +71,28 @@ def oracle():
 
 def _install_autots_stub():
     """The reference's src/ modules import autots (not installed in this
-    image).  Functional minimal stubs of the three transforms the
-    reference's AttentionNeuralCDE.reduce_hidden_state actually calls
-    (attention.py:100-118): PadRaggedTensors pads a list of (Li, C)
-    tensors to (N, max Li, C) with NaN, ForwardFill fills NaN forward
-    along the length axis, SimplePipeline chains transforms.  One shared
-    stub keeps the registration order-independent across oracle tests
-    (and matches scripts/ref_flagship_cpu.py); tests that only need the
-    NAMES to exist are unaffected by the functionality."""
+    image; pinned jambo6/autots@v0.0.8 in reference requirements.txt:2 —
+    same author as the reference).  Functional minimal stubs of the three
+    transforms the reference's AttentionNeuralCDE.reduce_hidden_state
+    actually calls (attention.py:100-118): PadRaggedTensors pads a list of
+    (Li, C) tensors to (N, max Li, C) with NaN, ForwardFill fills NaN
+    forward along the length axis, SimplePipeline chains transforms.
+
+    The stub semantics are tied to the reference's OWN usage of the real
+    library (we wrote the stubs, so the pin would otherwise be vacuous):
+    grud.py:244-256 ForwardFills NaN-holed controls and then still
+    torch.isnan-checks the result — so ForwardFill propagates last
+    observations forward and leaves LEADING NaNs in place (feature_means
+    fill them afterwards); get_data/common.py:169-170 builds NaN rows as
+    the padding value for same-size returns, and attention.py's pipeline
+    ForwardFills immediately after PadRaggedTensors — coherent only if
+    the pad value IS NaN (a zero/constant pad would need no fill and
+    would corrupt the final-hidden-state gather).  A runtime self-check
+    below asserts the chained stubs leave a padded tail constant at the
+    last real row.  One shared stub keeps the registration
+    order-independent across oracle tests (and matches
+    scripts/ref_flagship_cpu.py); tests that only need the NAMES to exist
+    are unaffected by the functionality."""
     import types
 
     import torch
@@ -111,6 +125,19 @@ def _install_autots_stub():
             for step in self.steps:
                 x = step.transform(x)
             return x
+
+    # Self-check of the documented semantics the oracle pin rests on:
+    # NaN-pad + forward fill leaves a ragged row's padded tail CONSTANT at
+    # its last real observation (attention.py's final-state gather depends
+    # on exactly this), and leading NaNs survive the fill (grud.py's
+    # feature_means path depends on that).
+    ragged = [torch.tensor([[1.0], [2.0]]),
+              torch.tensor([[float("nan")], [5.0], [6.0]])]
+    chained = SimplePipeline([PadRaggedTensors(), ForwardFill()]).transform(
+        ragged)
+    assert torch.equal(chained[0], torch.tensor([[1.0], [2.0], [2.0]]))
+    assert torch.isnan(chained[1][0, 0]) and torch.equal(
+        chained[1][1:], torch.tensor([[5.0], [6.0]]))
 
     autots = sys.modules.get("autots") or types.ModuleType("autots")
     prep = sys.modules.get("autots.preprocessing") or types.ModuleType(
