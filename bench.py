@@ -1527,10 +1527,12 @@ def _emit(report):
     except Exception as e:  # noqa: BLE001 — headline still prints
         full_path = f"unwritten ({type(e).__name__})"
 
-    grid = report.get("mfu_grid") or []
+    grid = report.get("mfu_grid") or {}
     mfu_peak = None
     try:
-        pcts = [c.get("pct_of_bf16_peak") for c in grid
+        cells = (grid.get("grid", {}).values()
+                 if isinstance(grid, dict) else grid)
+        pcts = [c.get("pct_of_bf16_peak") for c in cells
                 if isinstance(c, dict) and c.get("pct_of_bf16_peak")]
         if pcts:
             mfu_peak = max(pcts)

@@ -154,15 +154,21 @@ def run(
     co_schedule: bool = True,
     isolate: bool = False,
     config_timeout_s: Optional[float] = None,
+    max_wave_size: int = 4,
 ) -> list:
     """Run a configuration suite (reference runs.run, runs.py:23-73).
 
     ``co_schedule``: co-train same-shape config groups (identical except
     ``seed``/waveable trainer scalars, wave.config_wave_groups) as one
-    vmapped program.  ``isolate``/``config_timeout_s``: subprocess crash
-    isolation + per-unit wall-clock watchdog (``config_timeout_s`` implies
-    ``isolate``); incompatible with an in-process ``mesh`` (the mesh
-    cannot cross the process boundary — shard across hosts instead).
+    vmapped program.  ``max_wave_size`` caps each co-scheduled group:
+    the r5 concurrency_grid measured flagship-shape aggregate throughput
+    FLAT to K=4 and 0.70x at K=8 (per-replica weights make the vmapped
+    stage K independent small matmuls — RESULTS.md r5 record), so larger
+    groups chunk into waves of at most this size.  ``isolate``/
+    ``config_timeout_s``: subprocess crash isolation + per-unit
+    wall-clock watchdog (``config_timeout_s`` implies ``isolate``);
+    incompatible with an in-process ``mesh`` (the mesh cannot cross the
+    process boundary — shard across hosts instead).
     """
     from online_neural_cdes_tpu.training.config import DEFAULT_CONFIG_DIR
 
@@ -214,9 +220,11 @@ def run(
     if co_schedule and not hyperopt_suite and len(todo) > 1:
         from online_neural_cdes_tpu.training.wave import config_wave_groups
 
+        cap = max(1, int(max_wave_size))
         groups = [
-            [todo[j] for j in g]
+            [todo[j] for j in g[k:k + cap]]
             for g in config_wave_groups([configs[i] for i in todo])
+            for k in range(0, len(g), cap)
         ]
     else:
         groups = [[i] for i in todo]

@@ -250,3 +250,39 @@ def test_sweep_isolation_rejects_in_process_mesh(tmp_path):
     with pytest.raises(ValueError, match="subprocess"):
         sweep.run("toy", ledger_path=str(tmp_path / "l.jsonl"),
                   isolate=True, mesh=mesh)
+
+
+def test_sweep_wave_size_cap(toy_dataset, tmp_path, monkeypatch):
+    """Co-scheduled groups chunk at ``max_wave_size`` (default 4): the r5
+    concurrency_grid measured flagship-shape aggregate throughput FLAT to
+    K=4 and 0.70x at K=8 (per-replica weights give K independent small
+    matmuls — RESULTS.md r5 record), so an oversize seed list must split
+    into capped waves rather than one giant vmapped program."""
+    from online_neural_cdes_tpu.training import wave
+
+    config_dir = _write_config_dir(tmp_path, {
+        "toy6": {
+            "hyperparameters": ["set"],
+            "seed": [0, 1, 2, 3, 4, 5],
+            "dataset_name": ["ToyBM"],
+            "dataset": {"interpolation": ["rectilinear"], "batch_size": [128]},
+            "model": TOY_MODEL,
+            "trainer": {"max_epochs": [1]},
+        },
+    })
+
+    calls = []
+    real_wave = wave.run_trials_vmapped
+
+    def counting_wave(cfgs, **kw):
+        calls.append(len(cfgs))
+        return real_wave(cfgs, **kw)
+
+    monkeypatch.setattr(wave, "run_trials_vmapped", counting_wave)
+
+    completed = sweep.run(
+        "toy6", ledger_path=str(tmp_path / "ledger6.jsonl"),
+        data_root=toy_dataset, config_dir=config_dir,
+    )
+    assert calls == [4, 2], calls
+    assert sorted(cfg["seed"] for cfg, _ in completed) == [0, 1, 2, 3, 4, 5]
