@@ -97,7 +97,13 @@ def load_ts_file(path: str) -> Tuple[List[np.ndarray], List[str]]:
     """Returns (series, labels): series[i] is (L_i, C) float32 with NaN for
     missing values — (L_i, 1 + C) with a leading time column for
     ``@timestamps true`` files; labels[i] is the raw label/target string
-    ('' if the file has none)."""
+    ('' if the file has none).
+
+    Builder note: for timestamped files column 0 already IS the time
+    channel, so a corpus builder should pass the rows to
+    ``process_all_interpolations`` directly instead of prepending another
+    index-time channel with ``add_time`` (the plain-format builders'
+    recipe, builders.py)."""
     has_labels = False
     timestamps = False
     in_data = False
