@@ -737,7 +737,11 @@ def concurrency_grid():
 
     rows = []
     agg1 = None
-    for K in (1, 2, 4, 8):
+    # K=2 is dropped from the routine sweep (its 0.88x point is landed in
+    # results/bench_r5_20260819T102555.json's full record): three K values
+    # keep the leg inside the driver's 900s default budget alongside the
+    # mfu/bf16 legs.
+    for K in (1, 4, 8):
         if _BENCH_DEADLINE is not None and time.perf_counter() > _BENCH_DEADLINE:
             rows.append({"k": K, "note": "skipped (bench time budget spent)"})
             continue
