@@ -522,3 +522,137 @@ def fused_rk4_interval(trunk, head_w, head_b, z, dx, hidden_dim, input_dim):
             transcendentals=4 * batch * head_cols,
         ),
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Multi-replica interleaved whole-interval RK4 kernel (r5 experiment).
+#
+# Hypothesis under test: the flagship H=128 step is bounded by the dependent
+# stage chain's per-matmul MXU pipeline latency, with ~2/3 of each eval spent
+# on VPU work (tanh + contraction) during which the MXU idles — and vice
+# versa.  XLA-level co-residency (vmapped K replicas, r5 concurrency_grid)
+# measured FLAT because batched dot_generals serialise; but K *independent*
+# replicas' stage chains interleaved INSIDE one Mosaic kernel give the
+# static scheduler K independent matmul/VPU streams per RK stage, so one
+# replica's MXU pass can overlap another's tanh/contraction.  If that
+# overlap materialises, K co-trained models (the 3-seeds-per-config sweep
+# protocol) cost ≪ K× one model.  Measured by scripts/interleave_experiment.py.
+# ---------------------------------------------------------------------------
+
+
+def _make_rk4_multi_kernel(n_replicas: int, n_trunk: int, hidden_dim: int,
+                           input_dim: int):
+    third = 1.0 / 3.0
+
+    def kernel(*refs):
+        z_ref, dx_ref = refs[0], refs[1]
+        trunk_refs = refs[2: 2 + 2 * n_trunk]
+        head_w_ref, head_b_ref, out_ref = refs[2 + 2 * n_trunk:]
+
+        bt = z_ref.shape[1]
+        dx = [dx_ref[r].astype(jnp.float32) for r in range(n_replicas)]
+
+        def field(r, z):
+            u = z
+            for i in range(n_trunk):
+                w = trunk_refs[2 * i][r]
+                b = trunk_refs[2 * i + 1][r]
+                u = jnp.maximum(
+                    jnp.dot(u, w, preferred_element_type=jnp.float32) + b, 0.0
+                )
+            a = jnp.tanh(
+                jnp.dot(u, head_w_ref[r], preferred_element_type=jnp.float32)
+                + head_b_ref[r]
+            ).reshape(bt, input_dim, hidden_dim)
+            return jnp.sum(a * dx[r][:, :, None], axis=1)
+
+        # Stage-major, replica-minor: each RK stage is a Python loop over the
+        # K replicas' INDEPENDENT field evals — the instruction scheduler may
+        # interleave replica r+1's matmuls with replica r's VPU epilogue.
+        z = [z_ref[r].astype(jnp.float32) for r in range(n_replicas)]
+        k1 = [field(r, z[r]) for r in range(n_replicas)]
+        k2 = [field(r, z[r] + third * k1[r]) for r in range(n_replicas)]
+        k3 = [field(r, z[r] + k2[r] - third * k1[r])
+              for r in range(n_replicas)]
+        k4 = [field(r, z[r] + k1[r] - k2[r] + k3[r])
+              for r in range(n_replicas)]
+        for r in range(n_replicas):
+            out = z[r] + (k1[r] + 3.0 * (k2[r] + k3[r]) + k4[r]) * 0.125
+            out_ref[r] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_rk4_interval_multi(trunk, head_w, head_b, z, dx, hidden_dim,
+                             input_dim):
+    """K independent replicas' unit RK4(3/8) intervals in ONE kernel,
+    stage-interleaved so the Mosaic scheduler can overlap one replica's MXU
+    matmuls with another's VPU (tanh/contraction) work.
+
+    Stacked-replica layouts: ``trunk`` is a list of ``{'w': (K, din, dout),
+    'b': (K, dout)}``; ``head_w`` is ``(K, HH, I*H)`` contraction-major
+    UNPADDED (``pack_fused_params(..., pad=False)`` per replica, stacked);
+    ``head_b``: ``(K, I*H)``; ``z``: ``(K, B, H)``; ``dx``: ``(K, B, I)``.
+    Returns ``(K, B, H)``.  Weights differ per replica (co-trained seeds /
+    configs); only shapes are shared."""
+    n_replicas, batch = z.shape[0], z.shape[1]
+    hh = head_w.shape[1]
+    head_cols = head_w.shape[2]
+    assert head_cols == input_dim * hidden_dim, (
+        "fused_rk4_interval_multi requires unpadded packing "
+        "(pack_fused_params(..., pad=False))"
+    )
+    n_trunk = len(trunk)
+    # K replicas' weights + live stage tensors all resident: scale the
+    # single-replica budget accounting by K.
+    tile = batch
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if batch % cand != 0:
+            continue
+        words = n_replicas * (
+            cand * (head_cols + hh + 6 * hidden_dim)
+            + hh * head_cols
+            + sum(l["w"].shape[1] * l["w"].shape[2] for l in trunk)
+        )
+        if words * 4 < 10 * 1024 * 1024:
+            tile = cand
+            break
+
+    def rep_spec(cols):
+        return pl.BlockSpec((n_replicas, tile, cols), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [rep_spec(z.shape[2]), rep_spec(dx.shape[2])]
+    operands = [z, dx]
+    for layer in trunk:
+        in_specs += [full, full]
+        operands += [layer["w"], layer["b"][:, None, :]]
+    in_specs += [full, full]
+    operands += [head_w, head_b[:, None, :]]
+
+    flops = n_replicas * 4 * 2 * batch * (
+        sum(l["w"].shape[1] * l["w"].shape[2] for l in trunk) + hh * head_cols
+    )
+    return pl.pallas_call(
+        _make_rk4_multi_kernel(n_replicas, n_trunk, hidden_dim, input_dim),
+        grid=(batch // tile,),
+        in_specs=in_specs,
+        out_specs=rep_spec(hidden_dim),
+        out_shape=jax.ShapeDtypeStruct((n_replicas, batch, hidden_dim),
+                                       z.dtype),
+        # The interleaved schedule deliberately keeps K replicas' stage
+        # tensors (incl. the (Bt, I*H) field activations) live at once —
+        # that is the whole point — so the default 16 MB scoped-VMEM cap
+        # is too small at K>=2.  v5e VMEM is 128 MB; give the scheduler
+        # room and let the tile picker bound the true working set.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (z.size * 2 + dx.size
+                                + n_replicas * hh * head_cols),
+            transcendentals=n_replicas * 4 * batch * head_cols,
+        ),
+    )(*operands)

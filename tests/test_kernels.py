@@ -101,6 +101,45 @@ def test_fused_rk4_interval_matches_composition():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
 
+def test_fused_rk4_interval_multi_matches_per_replica():
+    """The K-replica interleaved interval kernel must equal K independent
+    single-replica intervals exactly (it only restructures scheduling)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from online_neural_cdes_tpu.ops.kernels import (
+        fused_rk4_interval, fused_rk4_interval_multi,
+    )
+
+    K = 3
+    packs, zs, dxs = [], [], []
+    for r in range(K):
+        _, params, z, dx = _setup(10 + r)
+        packs.append(pack_fused_params(params, H, C, pad=False))
+        zs.append(z)
+        dxs.append(dx)
+
+    with pltpu.force_tpu_interpret_mode():
+        expected = [
+            fused_rk4_interval(p["trunk"], p["head_w"], p["head_b"],
+                               z, dx, H, C)
+            for p, z, dx in zip(packs, zs, dxs)
+        ]
+        trunk = [
+            {"w": jnp.stack([p["trunk"][i]["w"] for p in packs]),
+             "b": jnp.stack([p["trunk"][i]["b"] for p in packs])}
+            for i in range(len(packs[0]["trunk"]))
+        ]
+        got = fused_rk4_interval_multi(
+            trunk,
+            jnp.stack([p["head_w"] for p in packs]),
+            jnp.stack([p["head_b"] for p in packs]),
+            jnp.stack(zs), jnp.stack(dxs), H, C,
+        )
+    for r in range(K):
+        np.testing.assert_allclose(np.asarray(got[r]),
+                                   np.asarray(expected[r]), atol=1e-5)
+
+
 @pytest.mark.parametrize("adjoint", [False, True])
 def test_rectilinear_paired_scan_equivalence(adjoint):
     """The paired rectilinear scan (cheap time-column field on even
