@@ -1517,7 +1517,12 @@ def _emit(report):
     full record to results/ (VERDICT r4 ask #3: BENCH_r04 landed
     ``parsed: null`` purely because the full JSON line outgrew the driver's
     capture window — the headline stays well under ~1.5 KB, the full
-    evidence lives in the pointed-to file)."""
+    evidence lives in the pointed-to file).
+
+    The record is always written under THIS file's own results/ dir
+    (cwd-independent); the headline's ``full_record`` pointer is
+    repo-root-relative — the form git and land_bench.sh (which cd to the
+    repo root) consume."""
     ts = time.strftime("%Y%m%dT%H%M%S")
     full_path = None
     try:

@@ -22,11 +22,12 @@ Timestamped cases align every dimension on the case's UNION timestamp
 grid (sorted), with NaN where a dimension has no observation at that
 time — exactly the irregular-sampling layout the NCDE pipeline consumes
 (data/common.py NaN-aware coefficient builds).  Their rows gain a leading
-time column (column 0): numeric timestamps pass through; date timestamps
-convert to float seconds since the case's first observation (an affine
-reparametrisation — CDE solutions are invariant to it, and the corpus
-normalisation rescales the channel anyway).  Plain-format rows are
-returned without a time column, as before.
+time column (column 0), rebased to each case's first observation — date
+timestamps as float seconds, numeric timestamps as offsets (an affine
+reparametrisation — CDE solutions are invariant to it, the corpus
+normalisation rescales the channel anyway, and rebasing keeps epoch-scale
+stamps exact under float32; see ``_timestamped_case``).  Plain-format
+rows are returned without a time column, as before.
 """
 
 from __future__ import annotations
@@ -73,7 +74,15 @@ def _parse_tuple_dimension(field: str):
 
 def _timestamped_case(fields: List[str]) -> np.ndarray:
     """Tuple-format case -> (L, 1 + C) float32: union timestamp grid in
-    column 0, per-dimension values aligned on it with NaN holes."""
+    column 0, per-dimension values aligned on it with NaN holes.
+
+    Column 0 is rebased to the case's FIRST observation for numeric and
+    date stamps alike (an affine reparametrisation — CDE solutions are
+    invariant to it, and the corpus normalisation rescales the channel
+    anyway): epoch-scale absolute stamps (~1.7e9 s) otherwise collapse to
+    duplicate knots under float32 (resolution ~256 s there), producing
+    zero-width intervals in the downstream interpolation.  The grid
+    arithmetic itself runs in float64."""
     dims = [_parse_tuple_dimension(f) for f in fields]
     all_ts = [t for ts, _ in dims for t in ts]
     if not all_ts:
@@ -83,10 +92,10 @@ def _timestamped_case(fields: List[str]) -> np.ndarray:
         to_num = lambda t: float((t - origin) / np.timedelta64(1, "s"))  # noqa: E731
     else:
         to_num = float
-    grid = sorted({to_num(t) for t in all_ts})
+    grid = np.array(sorted({to_num(t) for t in all_ts}), np.float64)
     index = {t: i for i, t in enumerate(grid)}
     arr = np.full((len(grid), 1 + len(dims)), np.nan, np.float32)
-    arr[:, 0] = grid
+    arr[:, 0] = (grid - grid[0]).astype(np.float32)
     for c, (ts, vs) in enumerate(dims):
         for t, v in zip(ts, vs):
             arr[index[to_num(t)], 1 + c] = v

@@ -120,7 +120,9 @@ def serving_coeff_fn(interpolation: Optional[str]):
 
 def _rebuild(config: dict, checkpoint: str, data_root: Optional[str]):
     """config + checkpoint -> (bundle, splits, params) plus the raw-request
-    corpus metadata, through the experiment module's own setup path."""
+    corpus metadata, through the experiment module's own setup path.  The
+    final slot is a ZERO-ARG CALLABLE producing (val_rows, val_static,
+    val_labels) for the reduced-precision task-metric gate."""
     from online_neural_cdes_tpu.training.experiment import (
         DEFAULT_DATA_ROOT, load_and_setup, npz_path_for,
     )
@@ -140,17 +142,22 @@ def _rebuild(config: dict, checkpoint: str, data_root: Optional[str]):
     raw = npz["temporal_data_raw"]
     channels = int(np.asarray(raw[0]).shape[-1])
     max_length = int(max(len(np.asarray(r)) for r in raw))
-    # VAL-split raw rows + labels, for the reduced-precision task-metric
-    # gate: the artifact is scored on the config's own validation data.
-    val_idxs = np.asarray(npz["val_idxs"])
-    val_rows = [np.asarray(raw[i], np.float32) for i in val_idxs]
-    val_static = (
-        npz["static_data"].astype(np.float32)[val_idxs]
-        if "static_data" in npz.files and ds.get("use_static", True)
-        else None
-    )
-    val_labels = np.asarray(npz["labels"])[val_idxs]
-    val_eval = (val_rows, val_static, val_labels)
+
+    def val_eval():
+        # VAL-split raw rows + labels, for the reduced-precision task-metric
+        # gate: the artifact is scored on the config's own validation data.
+        # Lazy: only --verify exports of reduced-precision artifacts pay the
+        # float32 copy of the split; predictor/stepper builds never do.
+        val_idxs = np.asarray(npz["val_idxs"])
+        val_rows = [np.asarray(raw[i], np.float32) for i in val_idxs]
+        val_static = (
+            npz["static_data"].astype(np.float32)[val_idxs]
+            if "static_data" in npz.files and ds.get("use_static", True)
+            else None
+        )
+        val_labels = np.asarray(npz["labels"])[val_idxs]
+        return val_rows, val_static, val_labels
+
     return bundle, splits, params, channels, max_length, val_eval
 
 
@@ -295,6 +302,20 @@ def _stack_row_outputs(outs, target_len=None):
     return padded
 
 
+def _dense_labels(labels) -> np.ndarray:
+    """Stored labels -> one NaN-padded float64 array.  Online tasks with
+    per-row label lengths (the MIMIC Ventilation/Sepsis contract,
+    data/common.py's object-dtype save branch) arrive as an object array of
+    ragged (L_i, ...) rows; densify them the same way the gate stacks the
+    per-request outputs so positions align under the NaN mask."""
+    labels = np.asarray(labels)
+    if labels.dtype == object:
+        return _stack_row_outputs(
+            [np.asarray(r, np.float64) for r in labels]
+        )
+    return np.asarray(labels, np.float64)
+
+
 def _gate_metrics(config, labels):
     """Which task metrics score a reduced-precision artifact: the config's
     own trainer metrics when present, else inferred from the label space."""
@@ -302,7 +323,8 @@ def _gate_metrics(config, labels):
              if m != "loss"]
     if names:
         return names
-    finite = np.asarray(labels)[np.isfinite(np.asarray(labels, np.float64))]
+    dense = _dense_labels(labels)
+    finite = dense[np.isfinite(dense)]
     if finite.size and np.allclose(finite, np.round(finite)):
         classes = np.unique(finite)
         return ["auc", "acc"] if len(classes) <= 2 else ["acc"]
@@ -319,26 +341,60 @@ def _task_metric_gate(predictor, out_dir, val_eval, config, tol):
     from online_neural_cdes_tpu.serving_export import load_predictor
     from online_neural_cdes_tpu.training.metrics import METRICS
 
-    rows, static, labels = val_eval
-    labels_arr = np.asarray(labels)
-    target_len = labels_arr.shape[1] if labels_arr.ndim > 1 else None
+    rows, static, raw_labels = val_eval() if callable(val_eval) else val_eval
+    labels = _dense_labels(raw_labels)
+    # Sequence labels (online tasks) carry a time axis the per-request
+    # outputs must pad to; one-shot labels ((N,) or the MIMIC (N, 1)
+    # contract) do not.
+    is_sequence = labels.ndim >= 2 and labels.shape[1] > 1
+    target_len = labels.shape[1] if is_sequence else None
     live = _stack_row_outputs(predictor.predict(rows, static=static),
                               target_len)
     art = _stack_row_outputs(load_predictor(out_dir).predict(
         rows, static=static), target_len)
+    if is_sequence and live.ndim >= 2 and live.shape[1] > labels.shape[1]:
+        # Requests longer than their stored (ragged) label rows: NaN-pad the
+        # label time axis to the output grid — pad positions carry no finite
+        # label and the metrics are NaN-masked.
+        pad_shape = (labels.shape[0], live.shape[1] - labels.shape[1])
+        labels = np.concatenate(
+            [labels, np.full(pad_shape + labels.shape[2:], np.nan)], axis=1
+        )
 
-    def rmse(preds, labs):
-        preds = np.asarray(preds, np.float64).squeeze()
-        labs = np.asarray(labs, np.float64)
-        mask = np.isfinite(labs)
-        return float(np.sqrt(np.mean((preds[mask] - labs[mask]) ** 2)))
+    def _rmse_like(sqrt):
+        def fn(preds, labs):
+            preds = np.asarray(preds, np.float64)
+            labs = np.asarray(labs, np.float64)
+            # Align trailing singleton axes on either side ((N,1) stored
+            # labels vs (N,) preds and vice versa), then NaN-mask.
+            while preds.ndim > labs.ndim and preds.shape[-1] == 1:
+                preds = preds[..., 0]
+            while labs.ndim > preds.ndim and labs.shape[-1] == 1:
+                labs = labs[..., 0]
+            preds, labs = preds.reshape(-1), labs.reshape(-1)
+            if preds.shape != labs.shape:
+                raise ValueError(
+                    f"gate metric: {preds.shape} predictions vs "
+                    f"{labs.shape} labels after squeezing"
+                )
+            mask = np.isfinite(labs)
+            m = np.mean((preds[mask] - labs[mask]) ** 2)
+            return float(np.sqrt(m) if sqrt else m)
+        return fn
 
+    extra = {"rmse": _rmse_like(sqrt=True), "mse": _rmse_like(sqrt=False)}
     summary = {"tol": tol, "metrics": {}}
     failures = []
-    for name in _gate_metrics(config, labels):
-        fn = METRICS.get(name, rmse if name == "rmse" else None)
-        if fn is None:
-            continue
+    names = _gate_metrics(config, labels)
+    unknown = [n for n in names if n not in METRICS and n not in extra]
+    if unknown:
+        # A skipped metric would pass the gate vacuously — refuse instead.
+        raise ValueError(
+            f"task-metric gate: unknown metric(s) {unknown} in the config's "
+            f"trainer.metrics; known: {sorted(METRICS) + sorted(extra)}"
+        )
+    for name in names:
+        fn = METRICS.get(name) or extra[name]
         m_live = float(fn(live, labels))
         m_art = float(fn(art, labels))
         delta = abs(m_art - m_live)

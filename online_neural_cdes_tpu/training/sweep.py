@@ -88,8 +88,30 @@ def _subprocess_worker(payload_path: str, result_path: str):
         results = [run_experiment(cfgs[0], data_root=data_root, verbose=verbose)]
     tmp = result_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(results, fh, default=str)
+        json.dump([_jsonable_results(r) for r in results], fh)
     os.replace(tmp, result_path)
+
+
+def _jsonable_results(results: dict) -> dict:
+    """Results crossing the isolation process boundary: drop in-memory
+    parameter pytrees (the ledger drops ``best_params`` anyway — persistent
+    weights are ``trainer.checkpoint_dir``'s job) and convert numpy scalars
+    to plain Python so the parent reads back real numbers, not ``str()``
+    reprs."""
+    import numpy as np
+
+    def conv(v):
+        if hasattr(v, "dtype") and hasattr(v, "shape"):  # numpy/jax array
+            a = np.asarray(v)
+            return a.item() if a.ndim == 0 else a.tolist()
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        return v
+
+    return conv({k: v for k, v in results.items()
+                 if k not in ("best_params",)})
 
 
 def _run_isolated(kind: str, cfgs: List[dict], data_root: str, verbose: bool,
@@ -168,7 +190,11 @@ def run(
     ``config_timeout_s``: subprocess crash isolation + per-unit
     wall-clock watchdog (``config_timeout_s`` implies ``isolate``);
     incompatible with an in-process ``mesh`` (the mesh cannot cross the
-    process boundary — shard across hosts instead).
+    process boundary — shard across hosts instead).  Isolated results
+    come back as plain JSON numbers and omit the in-memory
+    ``best_params`` pytree — persist weights with
+    ``trainer.checkpoint_dir``.  A ``mesh`` runs each config serially
+    over it (the vmapped wave path is single-device).
     """
     from online_neural_cdes_tpu.training.config import DEFAULT_CONFIG_DIR
 
@@ -217,6 +243,16 @@ def run(
     # singletons.  Hyperopt suites keep their own internal wave machinery
     # (training/hyperopt.py) — each hyperopt config is a whole search, not
     # a trainable trial, so it always runs as a singleton here.
+    if mesh is not None and co_schedule:
+        # The vmapped wave path trains single-device; silently dropping the
+        # caller's mesh would shed the data-parallel sharding (and its
+        # memory headroom) for every grouped config.  Mesh suites run each
+        # config serially over the mesh instead — the measured co-residency
+        # verdict (RESULTS.md r5 concurrency_grid: flat at flagship shape)
+        # means this forfeits nothing at the shapes a mesh is for.
+        logger.info("mesh given: running configs serially over the mesh "
+                    "(co-scheduled waves are single-device)")
+        co_schedule = False
     if co_schedule and not hyperopt_suite and len(todo) > 1:
         from online_neural_cdes_tpu.training.wave import config_wave_groups
 

@@ -110,11 +110,18 @@ def main():
             "seconds_per_rep": traj,
         }
 
+    # Ties reported separately — counting them as wins would overstate the
+    # search-quality claim on a saturating objective where exact ties are
+    # common.
     tpe = record["methods"]["tpe"]["best_val_auc_per_seed"]
     for other in ("sobol", "random"):
         o = record["methods"][other]["best_val_auc_per_seed"]
         record["methods"][other]["tpe_wins"] = int(
-            sum(t >= s for t, s in zip(tpe, o)))
+            sum(t > s for t, s in zip(tpe, o)))
+        record["methods"][other]["ties"] = int(
+            sum(t == s for t, s in zip(tpe, o)))
+        record["methods"][other]["tpe_losses"] = int(
+            sum(t < s for t, s in zip(tpe, o)))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:

@@ -578,3 +578,98 @@ def test_bf16_metric_gate_passes_and_fails_by_threshold(tmp_path, corpus,
         length_multiple=8)
     with pytest.raises(ValueError, match="task-metric gate"):
         _task_metric_gate(predictor, out16, rebuilt[5], config, 0.01)
+
+
+def _export_bf16(tmp_path, config, root, seed=3):
+    """Shared scaffolding for the metric-gate label-contract tests: init ->
+    checkpoint -> bf16 artifact, returning (out_dir, predictor, rebuilt)."""
+    from online_neural_cdes_tpu.deploy import _rebuild
+
+    bundle, _ = load_and_setup(config, root)
+    params = bundle.init(jax.random.PRNGKey(seed))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, use_orbax=False)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    out16 = str(tmp_path / "a16")
+    main(["--config", str(cfg_path), "--checkpoint", ckpt, "--out", out16,
+          "--data-root", root, "--batch-buckets", "4",
+          "--length-multiple", "8", "--platforms", "cpu",
+          "--params-dtype", "bfloat16"])
+    rebuilt = _rebuild(config, ckpt, root)
+    predictor, _ = build_predictor_from_config(
+        config, ckpt, _rebuilt=rebuilt, batch_buckets=(4,),
+        length_multiple=8)
+    return out16, predictor, rebuilt
+
+
+def test_metric_gate_regression_n1_labels(tmp_path):
+    """The gate scores the MIMIC LOS/Mortality label contract — continuous
+    (N, 1) stored labels — through the inferred rmse without a shape crash
+    (the trailing singleton must align with the squeezed predictions)."""
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+    from online_neural_cdes_tpu.deploy import _task_metric_gate
+
+    rng = np.random.default_rng(5)
+    values = (np.cumsum(rng.normal(size=(30, 24, 2)), axis=1) * 0.3)
+    temporal = add_time(values).astype(np.float32)
+    labels = (values[:, -1, 0] + 0.1 * rng.normal(size=30)).reshape(-1, 1)
+    root = str(tmp_path / "root")
+    processed = process_all_interpolations(None, temporal, None)
+    save_processed(processed, labels.astype(np.float32),
+                   os.path.join(root, "Toy/REG"))
+
+    config = _config("linear")
+    config["dataset"]["data_loc"] = "Toy/REG"
+    out16, predictor, rebuilt = _export_bf16(tmp_path, config, root)
+
+    gate = _task_metric_gate(predictor, out16, rebuilt[5], config, tol=10.0)
+    assert set(gate["metrics"]) == {"rmse"}, gate
+    assert np.isfinite(gate["metrics"]["rmse"]["live_f32"])
+
+
+def test_metric_gate_ragged_object_labels(tmp_path):
+    """Online tasks whose stored labels are an object array of ragged
+    (L_i, 1) rows (the MIMIC Ventilation/Sepsis save contract,
+    data/common.py object branch) gate without a crash: the ragged rows
+    densify onto a NaN-padded grid and label rows shorter than the request
+    outputs NaN-pad up to the output time axis."""
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+    from online_neural_cdes_tpu.deploy import _task_metric_gate
+
+    rng = np.random.default_rng(7)
+    values = (np.cumsum(rng.normal(size=(30, 24, 2)), axis=1) * 0.3)
+    temporal = add_time(values).astype(np.float32)
+    # Ragged per-row label lengths, all strictly shorter than the series.
+    labels = [
+        rng.integers(0, 2, size=(int(L), 1)).astype(np.float32)
+        for L in rng.integers(15, 23, size=30)
+    ]
+    root = str(tmp_path / "root")
+    processed = process_all_interpolations(None, temporal, None)
+    save_processed(processed, labels, os.path.join(root, "Toy/RAG"))
+
+    config = _config("linear")
+    config["dataset"]["data_loc"] = "Toy/RAG"
+    config["dataset"]["problem"] = "online"
+    out16, predictor, rebuilt = _export_bf16(tmp_path, config, root)
+
+    gate = _task_metric_gate(predictor, out16, rebuilt[5], config, tol=0.5)
+    assert set(gate["metrics"]) == {"auc", "acc"}, gate
+    for vals in gate["metrics"].values():
+        assert np.isfinite(vals["artifact"]), gate
+
+
+def test_metric_gate_refuses_unknown_metric(tmp_path, corpus):
+    """A configured metric name the gate cannot score must refuse loudly
+    rather than skip (a skipped metric would pass the gate vacuously)."""
+    from online_neural_cdes_tpu.deploy import _task_metric_gate
+
+    config = _config("linear")
+    config["trainer"] = {"metrics": ["loss", "not-a-metric"]}
+    out16, predictor, rebuilt = _export_bf16(tmp_path, config, corpus)
+    with pytest.raises(ValueError, match="unknown metric"):
+        _task_metric_gate(predictor, out16, rebuilt[5], config, tol=0.5)

@@ -86,8 +86,9 @@ def test_ts_parser(tmp_path):
 def test_ts_parser_timestamp_tuples(tmp_path):
     """Golden: the @timestamps tuple format (reference tsr.py:125,365-517).
     Dimensions observed at DIFFERENT times align on the case's union
-    timestamp grid with NaN holes, the grid itself lands in column 0, and
-    '?' values stay missing."""
+    timestamp grid with NaN holes, the grid itself lands in column 0
+    rebased to the case's first observation (float32-safe for epoch-scale
+    stamps), and '?' values stay missing."""
     content = """@problemName tinyts
 @timestamps true
 @classLabel true a b
@@ -108,11 +109,31 @@ def test_ts_parser_timestamp_tuples(tmp_path):
     assert np.isnan(series[0][3, 1])      # the '?' value at t=5
     assert np.isnan(series[0][1, 2])      # dim 2 unobserved at t=2
     np.testing.assert_allclose(series[0][[0, 2], 2], [10.0, 11.0])
-    # Case 1: union grid {1, 2}
+    # Case 1: union grid {1, 2}, rebased to the first observation.
     assert series[1].shape == (2, 3)
-    np.testing.assert_allclose(series[1][:, 0], [1.0, 2.0])
+    np.testing.assert_allclose(series[1][:, 0], [0.0, 1.0])
     assert np.isnan(series[1][1, 1])
     np.testing.assert_allclose(series[1][:, 2], [9.5, 10.5])
+
+
+def test_ts_parser_epoch_scale_timestamps(tmp_path):
+    """Epoch-scale numeric stamps (~1.7e9 s, float32 resolution ~256 s
+    there) must stay distinct in the float32 time column: rebasing to the
+    case origin keeps second-apart observations exact."""
+    t0 = 1_700_000_000
+    content = f"""@problemName epochy
+@timestamps true
+@classLabel false
+@data
+({t0},1.0),({t0 + 1},2.0),({t0 + 3},3.0)
+"""
+    path = tmp_path / "epochy.ts"
+    path.write_text(content)
+    from online_neural_cdes_tpu.data.ts_format import load_ts_file
+
+    series, _ = load_ts_file(str(path))
+    np.testing.assert_allclose(series[0][:, 0], [0.0, 1.0, 3.0])
+    np.testing.assert_allclose(series[0][:, 1], [1.0, 2.0, 3.0])
 
 
 def test_ts_parser_date_timestamps(tmp_path):

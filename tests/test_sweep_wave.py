@@ -286,3 +286,62 @@ def test_sweep_wave_size_cap(toy_dataset, tmp_path, monkeypatch):
     )
     assert calls == [4, 2], calls
     assert sorted(cfg["seed"] for cfg, _ in completed) == [0, 1, 2, 3, 4, 5]
+
+
+def test_sweep_mesh_runs_serially_with_mesh(toy_dataset, tmp_path, monkeypatch):
+    """A sweep given an in-process mesh must NOT route same-shape groups
+    through the single-device vmapped wave (that would silently shed the
+    data-parallel sharding); every config runs serially over the mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from online_neural_cdes_tpu.training import wave
+
+    def no_wave(*a, **kw):  # pragma: no cover - the assertion is the point
+        raise AssertionError("vmapped wave must not run under a mesh")
+
+    monkeypatch.setattr(wave, "run_trials_vmapped", no_wave)
+
+    config_dir = _write_config_dir(tmp_path, {
+        "meshtoy": {
+            "hyperparameters": ["set"],
+            "seed": [0, 1],
+            "dataset_name": ["ToyBM"],
+            "dataset": {"interpolation": ["rectilinear"], "batch_size": [128]},
+            "model": TOY_MODEL,
+            "trainer": {"max_epochs": [1]},
+        },
+    })
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    completed = sweep.run(
+        "meshtoy", ledger_path=str(tmp_path / "ledger.jsonl"),
+        data_root=toy_dataset, config_dir=config_dir, mesh=mesh,
+    )
+    assert len(completed) == 2
+    for _, results in completed:
+        assert np.isfinite(results["test.loss"])
+
+
+def test_sweep_isolated_results_are_plain_json(toy_dataset, tmp_path):
+    """Results crossing the isolation boundary come back as real numbers
+    (not ``str()`` reprs) and omit the in-memory ``best_params`` pytree —
+    weights persist via trainer.checkpoint_dir, not the result dict."""
+    config_dir = _write_config_dir(tmp_path, {
+        "iso": {
+            "hyperparameters": ["set"],
+            "seed": [0],
+            "dataset_name": ["ToyBM"],
+            "dataset": {"interpolation": ["rectilinear"], "batch_size": [128]},
+            "model": TOY_MODEL,
+            "trainer": {"max_epochs": [1]},
+        },
+    })
+    completed = sweep.run(
+        "iso", ledger_path=str(tmp_path / "ledger.jsonl"),
+        data_root=toy_dataset, config_dir=config_dir, isolate=True,
+    )
+    assert len(completed) == 1
+    results = completed[0][1]
+    assert "best_params" not in results
+    for key in ("test.loss", "test.auc", "time_per_epoch"):
+        assert isinstance(results[key], (int, float)), (key, results[key])
