@@ -7,13 +7,16 @@ Replaces the reference's GNU-parallel + MongoDB orchestration
 - **Co-scheduled waves** (default): same-shape config groups — the
   canonical case is the reference's 3-seeds-per-final-config protocol
   (reference configurations.json5 seed lists) — train as ONE vmapped SPMD
-  program (training/wave.py) instead of serially.  The r4 mfu_grid showed
-  batch cannot buy MXU utilisation at H=128 (flat ~19-21% of bf16 peak,
-  B=256-2048) while serial execution left the chip ~79% idle per run; the
-  trial axis is the lever batch is not.  Ledger semantics are preserved:
-  every group member is marked running before the wave and saved
-  individually after it, so dedup/resume behave exactly as the serial
-  path.
+  program (training/wave.py) instead of serially.  What this buys,
+  measured (RESULTS.md r5): K× fewer host dispatches and scheduler
+  round-trips — a real win for small/medium programs (wave.py's ≥2×
+  hyperopt measurements) — but NOT extra MXU utilisation at the flagship
+  shape, where the r5 concurrency_grid found aggregate throughput FLAT to
+  K=4 (per-replica weights make the vmapped stage K independent small
+  matmuls), hence the ``max_wave_size=4`` cap.  Ledger semantics are
+  preserved: every group member is marked running before the wave and
+  saved individually after it, so dedup/resume behave exactly as the
+  serial path.
 - **Config-parallelism across hosts** by sharding the config list
   (``shard_index``/``num_shards`` — each host runs its slice against a
   shared-filesystem ledger, the same coordination contract MongoDB gave

@@ -23,10 +23,13 @@ through this path (:func:`config_wave_groups`): the canonical case is the
 reference's 3-seeds-per-final-config protocol (configurations.json5 seeds,
 reference runs.py one process per GPU) — seeds change only the param init,
 not the traced program, so K seed replicas train as one vmapped program
-with per-trial inits.  The r4 mfu_grid showed batch cannot buy MXU
-utilisation at H=128 (flat ~19-21% of bf16 peak from B=256-2048) while
-serial sweep execution left the chip ~79% idle per run; the trial axis is
-the lever batch is not.
+with per-trial inits.  Measured scope of the win (RESULTS.md r5
+concurrency_grid): the dispatch/host-round-trip amortisation is real
+(≥2× on small/medium programs), but at the flagship shape aggregate MXU
+throughput is FLAT in K — per-replica weights make the vmapped stage K
+independent small matmuls, so each replica's latency floor multiplies
+instead of filling the idle pipeline; sweep.run caps groups at
+``max_wave_size=4`` accordingly.
 """
 
 from __future__ import annotations
