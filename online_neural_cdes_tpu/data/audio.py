@@ -6,6 +6,13 @@ preprocessing (reference get_data/download/speech_commands.py:108-115:
 Matches torchaudio's conventions: center-padded reflect STFT with a Hann
 window, power spectrogram, HTK mel filterbank without normalisation,
 natural-log mels (log(mel + 1e-6)), orthonormal DCT-II.
+
+Component oracles (torchaudio itself is not importable in this image):
+the STFT power spectrogram is pinned at 1e-12 rtol against ``torch.stft``
+called with torchaudio.Spectrogram's exact arguments, and the DCT-II
+basis against ``scipy.fft.dct(type=2, norm="ortho")`` — see
+tests/test_raw_builders.py.  The mel filterbank remains formula-matched
+(HTK scale, unnormalised triangles, torchaudio melscale_fbanks contract).
 """
 
 from __future__ import annotations

@@ -8,7 +8,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from online_neural_cdes_tpu.data.audio import _dct2_ortho, mel_filterbank, mfcc
+from online_neural_cdes_tpu.data.audio import (
+    _dct2_ortho,
+    _stft_power,
+    mel_filterbank,
+    mfcc,
+)
 from online_neural_cdes_tpu.data.mimic_raw import (
     build_reduced_format,
     merge_nearby_vitals,
@@ -19,6 +24,48 @@ from online_neural_cdes_tpu.data.mimic_raw import (
 def test_dct_is_orthonormal():
     D = _dct2_ortho(32, 32)
     np.testing.assert_allclose(D @ D.T, np.eye(32), atol=1e-12)
+
+
+@pytest.mark.oracle
+def test_stft_power_matches_torch_stft():
+    """Component oracle for the MFCC front half: ``_stft_power`` vs
+    ``torch.stft`` called with torchaudio.Spectrogram's exact arguments.
+
+    torchaudio's Spectrogram (which MFCC wraps, reference
+    get_data/download/speech_commands.py:108-115) is literally a call to
+    torch.stft(n_fft, hop, win_length=n_fft, window=hann_window,
+    center=True, pad_mode="reflect", onesided=True) followed by
+    ``abs()**power`` — so pinning against torch's own C++ STFT at those
+    arguments ties the numpy implementation to the real library's
+    conventions (framing, periodic-Hann window, reflect center padding)
+    without torchaudio being importable in this image."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    n_fft, hop = 360, 180
+    for shape in [(1000,), (3, 1000), (2, 2, 777)]:
+        audio = rng.normal(size=shape)
+        ours = _stft_power(audio, n_fft, hop)
+        win = torch.hann_window(n_fft, periodic=True, dtype=torch.float64)
+        spec = torch.stft(
+            torch.from_numpy(audio).reshape(-1, shape[-1]),
+            n_fft=n_fft, hop_length=hop, win_length=n_fft, window=win,
+            center=True, pad_mode="reflect", normalized=False,
+            onesided=True, return_complex=True,
+        )
+        ref = (spec.abs().numpy() ** 2).reshape(ours.shape)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-10)
+
+
+@pytest.mark.oracle
+def test_dct2_matches_scipy():
+    """Component oracle for the MFCC back half: the orthonormal DCT-II
+    basis vs scipy.fft.dct(type=2, norm="ortho") — the same transform
+    torchaudio's create_dct produces (torchaudio functional docs)."""
+    scipy_fft = pytest.importorskip("scipy.fft")
+    for n_mfcc, n_mels in [(10, 32), (13, 40), (32, 32)]:
+        D = _dct2_ortho(n_mfcc, n_mels)
+        ref = scipy_fft.dct(np.eye(n_mels), type=2, norm="ortho", axis=0)[:n_mfcc]
+        np.testing.assert_allclose(D, ref, atol=1e-14)
 
 
 def test_mel_filterbank_covers_spectrum():
