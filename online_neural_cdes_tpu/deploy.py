@@ -317,12 +317,24 @@ def _dense_labels(labels) -> np.ndarray:
 
 
 def _gate_metrics(config, labels):
-    """Which task metrics score a reduced-precision artifact: the config's
-    own trainer metrics when present, else inferred from the label space."""
-    names = [m for m in (config.get("trainer", {}) or {}).get("metrics", [])
-             if m != "loss"]
+    """Which task metrics score a reduced-precision artifact, in priority
+    order: the config's own trainer metrics; else the metrics implied by
+    the config's EXPLICIT loss (the training contract — this is what keeps
+    integer-valued regression targets from being misread as classification:
+    every TSER-style config carries ``loss_str: rmse`` via dataset.json5);
+    else inferred from the label space (configs with no trainer section at
+    all)."""
+    trainer_cfg = config.get("trainer", {}) or {}
+    names = [m for m in trainer_cfg.get("metrics", []) if m != "loss"]
     if names:
         return names
+    loss = trainer_cfg.get("loss_str")
+    if loss in ("mse", "rmse"):
+        return ["rmse"]
+    if loss == "ce":
+        return ["acc"]
+    if loss == "bce":
+        return ["auc", "acc"]
     dense = _dense_labels(labels)
     finite = dense[np.isfinite(dense)]
     if finite.size and np.allclose(finite, np.round(finite)):
@@ -342,6 +354,11 @@ def _task_metric_gate(predictor, out_dir, val_eval, config, tol):
     from online_neural_cdes_tpu.training.metrics import METRICS
 
     rows, static, raw_labels = val_eval() if callable(val_eval) else val_eval
+    if static is not None and not getattr(predictor, "accept_static", True):
+        # The corpus stores static features but this model does not consume
+        # them (recurrent baselines, serving.py accept_static=False); feeding
+        # them would raise inside predict and abort a healthy verify.
+        static = None
     labels = _dense_labels(raw_labels)
     # Sequence labels (online tasks) carry a time axis the per-request
     # outputs must pad to; one-shot labels ((N,) or the MIMIC (N, 1)
@@ -393,10 +410,28 @@ def _task_metric_gate(predictor, out_dir, val_eval, config, tol):
             f"task-metric gate: unknown metric(s) {unknown} in the config's "
             f"trainer.metrics; known: {sorted(METRICS) + sorted(extra)}"
         )
+    def _guarded(fn, preds):
+        # Mirror harness._evaluate: sklearn raises ValueError when a metric
+        # is undefined on the split (e.g. single-class val AUC) — map that
+        # to nan instead of aborting the export with a raw traceback.
+        try:
+            return float(fn(preds, labels))
+        except ValueError:
+            return float("nan")
+
+    scored = 0
     for name in names:
         fn = METRICS.get(name) or extra[name]
-        m_live = float(fn(live, labels))
-        m_art = float(fn(art, labels))
+        m_live = _guarded(fn, live)
+        m_art = _guarded(fn, art)
+        if not np.isfinite(m_live) and not np.isfinite(m_art):
+            # Undefined on this val split for live AND artifact alike
+            # (same data, same reason): nothing to gate on — record it and
+            # score the remaining metrics rather than failing a healthy
+            # export or passing a broken one vacuously.
+            summary["metrics"][name] = {"skipped": "undefined on val split"}
+            continue
+        scored += 1
         delta = abs(m_art - m_live)
         summary["metrics"][name] = {
             "live_f32": round(m_live, 6),
@@ -406,6 +441,13 @@ def _task_metric_gate(predictor, out_dir, val_eval, config, tol):
         if not np.isfinite(delta) or delta > tol:
             failures.append(f"{name}: |{m_art:.6f} - {m_live:.6f}| "
                             f"= {delta:.6f} > tol {tol}")
+    if scored == 0:
+        raise ValueError(
+            "task-metric gate: every gate metric "
+            f"({', '.join(names)}) is undefined on the config's val split "
+            "— the gate would be vacuous; export f32 or provide a val "
+            "split the config's metrics can score"
+        )
     if failures:
         raise ValueError(
             "reduced-precision artifact fails the task-metric gate on the "

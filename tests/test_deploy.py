@@ -673,3 +673,95 @@ def test_metric_gate_refuses_unknown_metric(tmp_path, corpus):
     out16, predictor, rebuilt = _export_bf16(tmp_path, config, corpus)
     with pytest.raises(ValueError, match="unknown metric"):
         _task_metric_gate(predictor, out16, rebuilt[5], config, tol=0.5)
+
+
+def test_gate_metrics_follow_training_contract():
+    """The gate's metric choice follows the config (the TRAINING contract)
+    before the label space: an explicit loss_str decides even when the
+    label values would suggest otherwise — integer-valued regression
+    targets (counts/scores) under loss_str: rmse must gate on rmse, not on
+    thresholded-sigmoid 'accuracy' (which would be ~0 delta for any
+    artifact and make the gate vacuous)."""
+    from online_neural_cdes_tpu.deploy import _gate_metrics
+
+    int_regression = np.asarray([3.0, 7.0, 2.0, 9.0])  # integers, not classes
+    assert _gate_metrics({"trainer": {"loss_str": "rmse"}},
+                         int_regression) == ["rmse"]
+    assert _gate_metrics({"trainer": {"loss_str": "mse"}},
+                         int_regression) == ["rmse"]
+    assert _gate_metrics({"trainer": {"loss_str": "ce"}},
+                         np.asarray([0.0, 3.0, 2.0])) == ["acc"]
+    assert _gate_metrics({"trainer": {"loss_str": "bce"}},
+                         np.asarray([0.0, 1.0])) == ["auc", "acc"]
+    # Explicit trainer.metrics wins over everything.
+    assert _gate_metrics(
+        {"trainer": {"metrics": ["loss", "auprc"], "loss_str": "rmse"}},
+        int_regression) == ["auprc"]
+    # No trainer section at all: label-space inference (the legacy path).
+    assert _gate_metrics({}, np.asarray([0.0, 1.0])) == ["auc", "acc"]
+    assert _gate_metrics({}, np.asarray([0.25, 1.75])) == ["rmse"]
+
+
+def test_metric_gate_recurrent_model_with_static_corpus(tmp_path):
+    """A recurrent baseline served from a corpus that STORES static
+    features: the model does not consume static (accept_static=False,
+    serving.py), so the gate must not feed the val split's static block to
+    predict — doing so raised and aborted the verify of a healthy
+    artifact."""
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+    from online_neural_cdes_tpu.deploy import _task_metric_gate
+
+    rng = np.random.default_rng(23)
+    n, length = 30, 16
+    values = np.cumsum(rng.normal(size=(n, length, 2)), axis=1) * 0.2
+    temporal = add_time(values).astype(np.float32)
+    static = rng.normal(size=(n, 3)).astype(np.float32)
+    labels = (values[:, :, 0] > 0).astype(np.float32)[..., None]  # online
+    root = str(tmp_path / "root")
+    processed = process_all_interpolations(static, temporal, None)
+    save_processed(processed, labels, os.path.join(root, "Toy/RS"))
+
+    config = _config(None, model_string="gru")
+    config["dataset"]["data_loc"] = "Toy/RS"
+    config["dataset"]["problem"] = "online"
+    config["dataset"]["use_static"] = True
+    out16, predictor, rebuilt = _export_bf16(tmp_path, config, root)
+    assert not predictor.accept_static
+    gate = _task_metric_gate(predictor, out16, rebuilt[5], config, tol=0.5)
+    assert set(gate["metrics"]) == {"auc", "acc"}, gate
+
+
+def test_metric_gate_single_class_val_split(tmp_path):
+    """A val split sklearn's AUC cannot score (single class) must not
+    abort the export with a raw traceback: the undefined metric is
+    recorded skipped (undefined for live AND artifact alike) and the gate
+    scores the remaining metrics — unless NOTHING is scoreable, which
+    refuses loudly (a vacuous gate)."""
+    from online_neural_cdes_tpu.data.common import (
+        add_time, process_all_interpolations, save_processed,
+    )
+    from online_neural_cdes_tpu.deploy import _task_metric_gate
+
+    rng = np.random.default_rng(29)
+    values = np.cumsum(rng.normal(size=(30, 16, 2)), axis=1) * 0.2
+    temporal = add_time(values).astype(np.float32)
+    labels = np.ones(30, np.float32)  # one class everywhere
+    root = str(tmp_path / "root")
+    processed = process_all_interpolations(None, temporal, labels)
+    save_processed(processed, labels, os.path.join(root, "Toy/ONE"))
+
+    config = _config("linear")
+    config["dataset"]["data_loc"] = "Toy/ONE"
+    config["trainer"] = {"metrics": ["loss", "auc", "acc"]}
+    out16, predictor, rebuilt = _export_bf16(tmp_path, config, root)
+    gate = _task_metric_gate(predictor, out16, rebuilt[5], config, tol=0.5)
+    assert gate["metrics"]["auc"] == {"skipped": "undefined on val split"}
+    assert np.isfinite(gate["metrics"]["acc"]["abs_delta"])
+
+    # All metrics undefined -> the gate refuses rather than passing empty.
+    config_auc_only = dict(config, trainer={"metrics": ["auc"]})
+    with pytest.raises(ValueError, match="vacuous"):
+        _task_metric_gate(predictor, out16, rebuilt[5], config_auc_only,
+                          tol=0.5)
