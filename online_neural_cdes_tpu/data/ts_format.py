@@ -72,6 +72,30 @@ def _parse_tuple_dimension(field: str):
     return ts, vs
 
 
+def _split_colons_outside_parens(line: str) -> List[str]:
+    """Split a timestamped data line on the ':' separators at paren-depth
+    zero.  Date timestamps contain ':' only INSIDE '(...)' tuples, so
+    depth-zero colons are exactly the dimension/label separators — and
+    unlike a lookaround split requiring ')<sep>(' this keeps EMPTY
+    dimensions (legal in the format, '::') as empty fields instead of
+    silently merging their neighbours into one column."""
+    parts: List[str] = []
+    depth = 0
+    cur: List[str] = []
+    for ch in line:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == ":" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _timestamped_case(fields: List[str]) -> np.ndarray:
     """Tuple-format case -> (L, 1 + C) float32: union timestamp grid in
     column 0, per-dimension values aligned on it with NaN holes.
@@ -135,20 +159,19 @@ def load_ts_file(path: str) -> Tuple[List[np.ndarray], List[str]]:
                 continue
 
             if timestamps:
-                # The label field is everything after the last ')' and its
-                # following ':' — ':' inside date timestamps must not split.
+                # ':' inside date timestamps must not split — depth-zero
+                # colons are the dimension (and label) separators.
+                parts = _split_colons_outside_parens(line)
                 if has_labels:
-                    cut = line.rfind(":")
-                    if cut <= line.rfind(")"):
+                    if ")" in parts[-1]:
                         raise ValueError(
                             f"missing label field in timestamped case: {line[:60]}"
                         )
-                    label = line[cut + 1:].strip()
-                    line = line[:cut]
+                    label = parts[-1].strip()
+                    fields = parts[:-1]
                 else:
                     label = ""
-                # Dimension separators are the ':' between a ')' and a '('.
-                fields = re.split(r"(?<=\))\s*:\s*(?=\()", line)
+                    fields = parts
                 series.append(_timestamped_case(fields))
                 labels.append(label)
                 continue

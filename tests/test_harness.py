@@ -1,8 +1,8 @@
 """Harness stack tests: config grids, ledger semantics, dataset builders,
 the .ts parser, and the end-to-end sweep smoke path (the analogue of the
 reference's TEST_MODE runs through the real harness, SURVEY.md §4)."""
-
 import os
+import time
 
 import numpy as np
 import pytest
@@ -157,6 +157,75 @@ def test_ts_parser_date_timestamps(tmp_path):
     np.testing.assert_allclose(series[0][:, 1], [1.0, 2.0])
     np.testing.assert_allclose(series[1][:, 0], [0.0, 86400.0])
     np.testing.assert_allclose(series[1][:, 1], [4.0, 5.0])
+
+
+def test_ts_parser_timestamped_empty_dimension(tmp_path):
+    """Regression: a dimension with NO observations ('::', legal in the
+    format and handled by the reference loader) must stay its own all-NaN
+    column — a lookaround split requiring ')<colon>(' silently merged its
+    neighbours, corrupting values and channel counts across cases."""
+    content = """@problemName holey
+@timestamps true
+@classLabel true a b
+@data
+(0,1.0),(2,2.0)::(0,3.0):a
+(0,4.0):(1,5.0):(1,6.0):b
+"""
+    path = tmp_path / "holey.ts"
+    path.write_text(content)
+    from online_neural_cdes_tpu.data.ts_format import load_ts_file
+
+    series, labels = load_ts_file(str(path))
+    assert labels == ["a", "b"]
+    # Case 0: 3 dimensions (middle empty) on union grid {0, 2} -> (2, 1+3).
+    assert series[0].shape == (2, 4)
+    np.testing.assert_allclose(series[0][:, 0], [0.0, 2.0])
+    np.testing.assert_allclose(series[0][:, 1], [1.0, 2.0])
+    assert np.isnan(series[0][:, 2]).all()          # the empty dimension
+    np.testing.assert_allclose(series[0][0, 3], 3.0)
+    assert np.isnan(series[0][1, 3])
+    # Case 1 (no empty dims) agrees on the channel count.
+    assert series[1].shape == (2, 4)
+    # A trailing empty dimension parses too (label still extracted).
+    path2 = tmp_path / "holey2.ts"
+    path2.write_text("""@problemName holey2
+@timestamps true
+@classLabel true a
+@data
+(0,1.0)::a
+""")
+    series2, labels2 = load_ts_file(str(path2))
+    assert labels2 == ["a"]
+    assert series2[0].shape == (1, 3)
+    assert np.isnan(series2[0][0, 2])
+
+
+def test_timing_protocol_helpers():
+    """The shared tunnel-RT-subtracted protocol (utils/timing.py — the one
+    copy bench.py and the experiment scripts calibrate from): chain length
+    scaling respects floor/cap, and the chain measurement subtracts at most
+    half the elapsed time and averages over n."""
+    from online_neural_cdes_tpu.utils.timing import (
+        rt_subtracted_chain_s, scaled_chain_len, tunnel_rt,
+    )
+
+    rt = tunnel_rt()
+    assert rt >= 0.0
+    n = scaled_chain_len(15, cap=60, per_iter_ms_hint=2.0)
+    assert 15 <= n <= 60
+    assert scaled_chain_len(10, cap=10, per_iter_ms_hint=1e-12) == 10
+
+    calls = []
+
+    def run_chain(k):
+        calls.append(k)
+        time.sleep(0.01 * k)
+
+    per_iter = rt_subtracted_chain_s(run_chain, n=5, chains=3)
+    assert calls == [5, 5, 5]
+    # Each iteration sleeps 10 ms; the subtraction is bounded at half the
+    # elapsed time, so the result stays within [5 ms, ~elapsed/n].
+    assert 0.005 <= per_iter < 0.05
 
 
 @pytest.fixture(scope="module")
