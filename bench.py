@@ -267,14 +267,12 @@ def _measure_tunnel_rt() -> float:
     """One dispatch+sync round-trip of a trivial op.  The axon tunnel's RT
     varies from ~2 ms to tens of SECONDS between sessions; when it is bad,
     the benchmark must spend its budget on long amortised chains with few
-    syncs instead of timing out."""
-    import jax.numpy as jnp
+    syncs instead of timing out.  The probe itself is the shared one in
+    utils/timing.py (the canonical protocol statement, also used by the
+    experiment scripts) so calibration cannot drift between surfaces."""
+    from online_neural_cdes_tpu.utils.timing import tunnel_rt
 
-    x = jnp.ones((8, 8))
-    float((x @ x).sum())  # warm the terminal + compile
-    t0 = time.perf_counter()
-    float((x @ x).sum())
-    return time.perf_counter() - t0
+    return tunnel_rt()
 
 
 def _calibrate_protocol():
@@ -914,7 +912,11 @@ def bench_serving():
     # the distribution is reported raw AND net of the interleaved-probe
     # median RT (the documented tunnel-RT-subtracted protocol); the RT
     # percentiles are included so tail attribution is self-describing.
-    n_lat = 200
+    # Every sample pays a full transport round-trip, so size the trace to
+    # a fixed ~25 s wall budget like the sibling RT-scaled protocols
+    # (200 ticks at a healthy ~40 ms RT; floor 50 keeps p99 meaningful on
+    # a congested tunnel instead of letting one leg eat the bench budget).
+    n_lat = int(np.clip(25.0 / max(rt, 0.005), 50, 200))
     lat, rts = [], []
     state_p = stepper.init(jnp.asarray(obs[0]))
     for i in range(n_lat):

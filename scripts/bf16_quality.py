@@ -69,8 +69,11 @@ def main():
 
     # --- 1. mixed-precision TRAINING -----------------------------------
     runs = {}
+    f32_res = None
     for key, dtype in (("f32", None), ("bf16_compute", "bfloat16")):
         res = run_experiment(config(dtype), data_root=root)
+        if key == "f32":
+            f32_res = res  # reused below: the artifact leg serves these weights
         runs[key] = {m: round(float(res[m]), 4)
                      for m in ("val.auc", "val.acc", "test.auc", "test.acc")}
         print(key, runs[key], flush=True)
@@ -87,18 +90,13 @@ def main():
         _rebuild, _task_metric_gate, build_predictor_from_config,
     )
     from online_neural_cdes_tpu.serving_export import export_predictor
-    from online_neural_cdes_tpu.training.experiment import load_and_setup
-    from online_neural_cdes_tpu.training.harness import train
     from online_neural_cdes_tpu.utils.checkpoint import save_checkpoint
 
     cfg = config(None)
     ckpt_dir = tempfile.mkdtemp(prefix="bf16q_ckpt_")
-    # Retrain WITH the trained weights in hand (run_experiment returns
-    # metrics only): the harness train returns best_params directly.
-    bundle, splits = load_and_setup(cfg, root)
-    out = train(bundle, *splits, **cfg["trainer"],
-                batch_size=cfg["dataset"]["batch_size"], seed=cfg["seed"])
-    params = out["best_params"]
+    # run_experiment returns harness.train's results dict verbatim — the
+    # f32 run's best_params are already in hand, no third training run.
+    params = f32_res["best_params"]
     ckpt = save_checkpoint(os.path.join(ckpt_dir, "best_params"), params,
                            use_orbax=False)
 

@@ -33,7 +33,6 @@ Usage (tunnel healthy): python scripts/interleave_experiment.py
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -126,29 +125,24 @@ def main():
 
         return jax.jit(run)
 
-    def tunnel_rt():
-        x = jnp.ones((8, 8))
-        float((x @ x).sum())
-        t0 = time.perf_counter()
-        float((x @ x).sum())
-        return time.perf_counter() - t0
+    from online_neural_cdes_tpu.utils.timing import (
+        rt_subtracted_chain_s, scaled_chain_len,
+    )
 
     def measure(fn, n=15):
+        # The sanctioned RT-subtracted chain protocol (utils/timing.py —
+        # one copy shared with the sibling experiment scripts): without
+        # subtracting the chain's one closing round-trip the slower
+        # variants look relatively better.
         float(fn())  # compile + the only true sync on axon (host transfer)
-        # bench.py's RT-subtracted chain protocol: each chain pays ONE
-        # tunnel round-trip on its closing sync; without subtracting it the
-        # slower variants look relatively better.
-        n = min(max(n, int(tunnel_rt() * 1000.0 / 2)), 60)
-        times = []
-        for _ in range(3):
-            rt = tunnel_rt()
-            t0 = time.perf_counter()
-            for _ in range(n):
+        n = scaled_chain_len(n, cap=60, per_iter_ms_hint=2.0)
+
+        def run_chain(k):
+            for _ in range(k):
                 v = fn()
             float(v)
-            elapsed = time.perf_counter() - t0
-            times.append((elapsed - min(rt, 0.5 * elapsed)) / n)
-        return float(np.median(times)) * 1000.0
+
+        return rt_subtracted_chain_s(run_chain, n) * 1000.0
 
     # Resumable: rows land in the JSON as they are measured (kernel compiles
     # through the tunnel are slow; a budget kill must not lose landed legs).

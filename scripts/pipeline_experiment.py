@@ -26,7 +26,6 @@ Writes results/pipeline_experiment.json and prints the table.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -98,33 +97,30 @@ def main():
 
         return jax.jit(jax.value_and_grad(loss))
 
-    def tunnel_rt():
-        x = jnp.ones((8, 8))
-        float((x @ x).sum())
-        t0 = time.perf_counter()
-        float((x @ x).sum())
-        return time.perf_counter() - t0
+    from online_neural_cdes_tpu.utils.timing import (
+        rt_subtracted_chain_s, scaled_chain_len,
+    )
 
     def measure(fn, n=15):
+        # The sanctioned RT-subtracted chain protocol (utils/timing.py —
+        # one copy shared with the sibling experiment scripts).  Here the
+        # RT bias is uniform across variants (so the landed record's
+        # accept/reject ordering stands — an additive constant only
+        # shrinks relative gaps, making the "interleaved is worse" verdict
+        # conservative), but subtract it anyway so absolute step times
+        # match the siblings' protocol.  Chain length adapts to the RT
+        # with a heavy per-iteration hint (each iteration is a full
+        # ~36 ms flagship train step).
         v, g = fn(packed)
         float(v)  # host transfer: the only true sync on axon
-        # The sanctioned RT-subtracted chain protocol (bench.py,
-        # interleave_experiment.py): each chain pays ONE tunnel round-trip
-        # on its closing sync, ~RT/n per step.  Here the bias is uniform
-        # across variants (so the landed record's accept/reject ordering
-        # stands — an additive constant only shrinks relative gaps, making
-        # the "interleaved is worse" verdict conservative), but subtract it
-        # anyway so absolute step times match the siblings' protocol.
-        times = []
-        for _ in range(3):
-            rt = tunnel_rt()
-            t0 = time.perf_counter()
-            for _ in range(n):
-                v, g = fn(packed)
+        n = scaled_chain_len(n, cap=60, per_iter_ms_hint=30.0)
+
+        def run_chain(k):
+            for _ in range(k):
+                v, _ = fn(packed)
             float(v)
-            elapsed = time.perf_counter() - t0
-            times.append((elapsed - min(rt, 0.5 * elapsed)) / n)
-        return float(np.median(times)) * 1000.0
+
+        return rt_subtracted_chain_s(run_chain, n) * 1000.0
 
     rows = []
     for unroll in (1, 2, 4, 8, 16):

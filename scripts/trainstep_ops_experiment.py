@@ -28,7 +28,6 @@ Usage (tunnel healthy): python scripts/trainstep_ops_experiment.py [variants...]
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -119,31 +118,27 @@ def main():
 
         return run, state
 
-    def tunnel_rt():
-        x = jnp.ones((8, 8))
-        float((x @ x).sum())
-        t0 = time.perf_counter()
-        float((x @ x).sum())
-        return time.perf_counter() - t0
+    from online_neural_cdes_tpu.utils.timing import (
+        rt_subtracted_chain_s, scaled_chain_len,
+    )
 
     def measure(run, state, n=10):
+        # The sanctioned RT-subtracted chain protocol (utils/timing.py —
+        # one copy shared with the sibling experiment scripts): without
+        # subtracting the chain's one closing round-trip the slower
+        # variants look relatively better (the r5 trainstep run first
+        # showed phantom 1.1-1.17x aggregate wins this way).
         state, l = run(state)
         np.asarray(l)  # compile + the only true sync on axon
-        # bench.py's RT-subtracted chain protocol: each chain pays ONE
-        # tunnel round-trip on its closing sync; without subtracting it the
-        # slower variants look relatively better (the r5 trainstep run
-        # first showed phantom 1.1-1.17x aggregate wins this way).
-        n = min(max(n, int(tunnel_rt() * 1000.0 / 2)), 60)
-        times = []
-        for _ in range(3):
-            rt = tunnel_rt()
-            t0 = time.perf_counter()
-            for _ in range(n):
+        n = scaled_chain_len(n, cap=60, per_iter_ms_hint=2.0)
+
+        def run_chain(k):
+            nonlocal state
+            for _ in range(k):
                 state, l = run(state)
             np.asarray(l)
-            elapsed = time.perf_counter() - t0
-            times.append((elapsed - min(rt, 0.5 * elapsed)) / n)
-        return float(np.median(times)) * 1000.0
+
+        return rt_subtracted_chain_s(run_chain, n) * 1000.0
 
     path = "results/trainstep_ops_experiment.json"
     os.makedirs("results", exist_ok=True)
