@@ -38,7 +38,10 @@ def unzip(file: str, loc: str):
 
 def untar(file: str, loc: str):
     with tarfile.open(file, "r") as tf:
-        tf.extractall(loc)
+        # "data" filter: reject absolute paths / traversal / special files
+        # (the Python 3.14 default; explicit here for 3.12+ behaviour and
+        # basic archive-hygiene on downloaded corpora).
+        tf.extractall(loc, filter="data")
 
 
 def download_zip(folder: str, name: str, url: str, do_unzip: bool = True):
